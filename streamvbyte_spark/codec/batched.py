@@ -1,0 +1,359 @@
+"""Whole-batch multi-row codec kernels for Arrow-batched Spark UDFs.
+
+``core.py`` encodes one array at a time; calling it per row from a Spark UDF
+would pay Python-loop overhead per document.  These kernels instead treat an
+entire Arrow RecordBatch as ONE flat vector: `flat` is the concatenated token
+values of every row (zero-copy from the Arrow ListArray values buffer) and
+`offsets` are the row boundaries.  Every step — byte-length classification,
+control-byte packing, data scatter/gather, per-row cost reduction, delta
+prefix sums — is a whole-batch NumPy expression, so the per-row Python cost is
+zero regardless of how many documents a batch holds.  This is the idiomatic
+Spark analog of the reference's 8-values-per-iteration SIMD kernels
+(/root/reference/src/streamvbyte_x64_encode.c:55-97): the batch is the vector.
+
+Format produced per row is byte-identical to ``core`` (and therefore to the
+reference spec, README.md:207-244) — tested row-by-row against core.
+
+Cost model: per-row exact sizes for the 7 vectorizable codecs
+(svb, svb0124, svb_delta, bitpack, for, dict, rle) computed with segmented
+reductions; argmin per row = the auto-selector of select.py, batched.
+FSST cost is not vectorizable per-row (needs a per-row symbol table), so fsst
+participates only via the single-array path (select.choose with explicit
+candidates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import companions, core, select
+
+_PLACE16 = np.array([1, 4, 16, 64], dtype=np.uint16)
+_SHIFTS = np.array([0, 2, 4, 6], dtype=np.uint8)
+_LEN_0124 = np.array([0, 1, 2, 4], dtype=np.int64)
+# value mask by data-byte length 0..4
+_MASK_BY_LEN = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], dtype=np.uint32)
+
+# stable codec id <-> name mapping for the dictionary-encoded `codec` column
+CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
+CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
+VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
+
+
+def _seg_sum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of x (len V) for rows bounded by offsets (len R+1)."""
+    c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def _seg_reduce(ufunc, x: np.ndarray, offsets: np.ndarray, empty_val=0) -> np.ndarray:
+    """Per-row ufunc.reduceat with empty-row safety."""
+    nr = offsets[1:] - offsets[:-1]
+    if x.size == 0:
+        return np.full(nr.size, empty_val, dtype=x.dtype)
+    starts = np.minimum(offsets[:-1], x.size - 1)
+    out = ufunc.reduceat(x, starts)
+    out[nr == 0] = empty_val
+    return out
+
+
+def _row_deltas(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row wrap-around uint32 deltas with prev=0 at each row start."""
+    d = np.empty_like(flat)
+    if flat.size == 0:
+        return d
+    d[1:] = flat[1:] - flat[:-1]
+    starts = offsets[:-1]
+    starts = starts[starts < flat.size]
+    d[starts] = flat[starts]  # prev = 0
+    return d
+
+
+# ----------------------------------------------------------- batched svb enc
+
+def _svb_encode_rows(flat: np.ndarray, offsets: np.ndarray, scheme0124: bool):
+    """Encode every row as an independent svb stream; returns (out, out_offsets).
+
+    Data bytes are written with one ordered 4-byte-per-value overwrite scatter
+    (NumPy fancy assignment: on duplicate indices the last value wins, so a
+    value's surplus bytes are overwritten by the next value / next row's data,
+    mirroring how the reference SSE kernel writes 16B and advances dataPtr by
+    the true length, src/streamvbyte_x64_encode.c:70-81).  Control bytes are
+    scattered AFTER data so row-leading control regions clobber any surplus
+    from the previous row's final value.
+    """
+    V = flat.size
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    key_len = (nr + 3) // 4
+    if scheme0124:
+        lens = core._lens_0124(flat)
+        codes = np.where(lens == 4, 3, lens).astype(np.uint8)
+    else:
+        lens = core._lens_1234(flat)
+        codes = (lens - 1).astype(np.uint8)
+    data_len = _seg_sum(lens, offsets)
+    out_size = np.where(nr > 0, key_len + data_len, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(out_size)])
+    total_out = int(out_offsets[-1])
+    if V == 0:
+        return np.zeros(total_out, dtype=np.uint8), out_offsets
+
+    out = np.zeros(total_out + 4, dtype=np.uint8)  # +4: surplus of final value (0124 zero has len 0)
+    intra = np.arange(V, dtype=np.int64)
+    intra -= np.repeat(offsets[:-1], nr)
+    # data bytes: per-value start positions within out
+    ends = np.cumsum(lens)
+    starts_g = ends - lens
+    row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
+    dest_val_start = starts_g - np.repeat(row_data_base - out_offsets[:-1] - key_len, nr)
+    idx4 = (dest_val_start[:, None] + np.arange(4, dtype=np.int64)).ravel()
+    out[idx4] = flat.view(np.uint8)  # ordered overwrite scatter
+    # control bytes: per-row zero-padded code quads, packed LSB-first
+    pad_starts = np.concatenate([[0], np.cumsum(4 * key_len)])
+    padded = np.zeros(int(pad_starts[-1]), dtype=np.uint8)
+    padded[np.repeat(pad_starts[:-1], nr) + intra] = codes
+    q = padded.reshape(-1, 4)
+    ctrl = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6))
+    K = ctrl.size
+    ctrl_starts = np.concatenate([[0], np.cumsum(key_len)])
+    ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
+    out[np.repeat(out_offsets[:-1], key_len) + ctrl_intra] = ctrl
+    return out[:total_out], out_offsets
+
+
+def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
+                     scheme0124: bool):
+    """Decode every row's independent svb stream; returns (flat, offsets)."""
+    nr = n_toks.astype(np.int64)
+    R = nr.size
+    offsets = np.concatenate([[0], np.cumsum(nr)])
+    V = int(offsets[-1])
+    flat = np.zeros(V, dtype=np.uint32)
+    if V == 0:
+        return flat, offsets
+    key_len = (nr + 3) // 4
+    K = int(key_len.sum())
+    ctrl_starts = np.concatenate([[0], np.cumsum(key_len)])
+    ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
+    ctrl = enc[np.repeat(enc_offsets[:-1], key_len) + ctrl_intra]
+    codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
+    intra = np.arange(V, dtype=np.int64)
+    intra -= np.repeat(offsets[:-1], nr)
+    codes = codes_padded[np.repeat(4 * ctrl_starts[:-1], nr) + intra]
+    lens = _LEN_0124[codes] if scheme0124 else codes.astype(np.int64) + 1
+    ends = np.cumsum(lens)
+    starts_g = ends - lens
+    row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
+    src = starts_g - np.repeat(row_data_base - enc_offsets[:-1] - key_len, nr)
+    # 4 flat gathers from a 4-byte-padded buffer + per-code mask LUT:
+    # the NumPy analog of the reference's unconditional 16B SIMD load +
+    # shuffle-mask (src/streamvbyte_x64_decode.c:10-26); pad 4 because a
+    # 0124 zero (len 0) at stream end has src == enc.size
+    enc_p = np.zeros(enc.size + 4, dtype=np.uint8)
+    enc_p[:enc.size] = enc
+    vals = enc_p[src].astype(np.uint32)
+    vals |= enc_p[src + 1].astype(np.uint32) << np.uint32(8)
+    vals |= enc_p[src + 2].astype(np.uint32) << np.uint32(16)
+    vals |= enc_p[src + 3].astype(np.uint32) << np.uint32(24)
+    vals &= _MASK_BY_LEN[lens]
+    return vals, offsets
+
+
+# -------------------------------------------------------------- per-row costs
+
+def row_costs(flat: np.ndarray, offsets: np.ndarray,
+              candidates: tuple[str, ...]) -> np.ndarray:
+    """(R, len(candidates)) exact per-row encoded sizes. Empty rows cost 0."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    key_len = (nr + 3) // 4
+    cols = []
+    lens1234 = core._lens_1234(flat) if flat.size else np.zeros(0, np.int64)
+    for name in candidates:
+        if name == "svb":
+            c = key_len + _seg_sum(lens1234, offsets)
+        elif name == "svb0124":
+            c = key_len + _seg_sum(core._lens_0124(flat), offsets)
+        elif name == "svb_delta":
+            d = _row_deltas(flat, offsets)
+            c = key_len + _seg_sum(core._lens_1234(d), offsets)
+        elif name == "bitpack":
+            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+            w = _exact_width(mx)
+            c = 1 + (nr * w + 7) // 8
+        elif name == "for":
+            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+            mn = _seg_reduce(np.minimum, flat, offsets).astype(np.int64)
+            w = _exact_width(mx - mn)
+            c = 5 + (nr * w + 7) // 8
+        elif name == "dict":
+            k = _row_distinct(flat, offsets)
+            w = _exact_width(np.maximum(k - 1, 0))
+            c = 4 + 4 * k + (nr * w + 7) // 8
+        elif name == "rle":
+            c = _rle_costs(flat, offsets)
+        else:
+            raise ValueError(f"no vectorized cost for codec {name!r}")
+        cols.append(np.where(nr > 0, c, 0))
+    return np.stack(cols, axis=1)
+
+
+def _exact_width(mx: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length per element (exact for the uint32 range)."""
+    cur = mx.astype(np.uint64)
+    w = np.zeros(cur.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        hit = cur >= (np.uint64(1) << np.uint64(shift))
+        w += np.where(hit, shift, 0)
+        cur = np.where(hit, cur >> np.uint64(shift), cur)
+    return w + (cur > 0)
+
+
+def _row_distinct(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    nr = offsets[1:] - offsets[:-1]
+    if flat.size == 0:
+        return np.zeros(nr.size, dtype=np.int64)
+    # composite key (row_id << 32 | value): one flat sort groups rows and
+    # orders values within each row — much faster than lexsort
+    row_ids = np.repeat(np.arange(nr.size, dtype=np.uint64), nr)
+    key = (row_ids << np.uint64(32)) | flat.astype(np.uint64)
+    key.sort()
+    new = np.ones(key.size, dtype=np.int64)
+    new[1:] = key[1:] != key[:-1]
+    return _seg_sum(new, offsets)  # sort preserves row segment boundaries
+
+
+def _rle_costs(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if flat.size == 0:
+        return np.zeros(nr.size, dtype=np.int64)
+    is_start = np.ones(flat.size, dtype=bool)
+    is_start[1:] = flat[1:] != flat[:-1]
+    row_starts = offsets[:-1][nr > 0]
+    is_start[row_starts] = True
+    run_pos = np.flatnonzero(is_start)
+    run_vals = flat[run_pos]
+    # run lengths: distance to next run start (within the global flat; row
+    # boundaries always start runs so lengths never cross rows)
+    run_ends = np.concatenate([run_pos[1:], [flat.size]])
+    run_lens = (run_ends - run_pos).astype(np.uint32)
+    # per-row run-count boundaries
+    runs_per_row = _seg_sum(is_start.astype(np.int64), offsets)
+    run_offsets = np.concatenate([[0], np.cumsum(runs_per_row)])
+    rkey = (runs_per_row + 3) // 4
+    sz_vals = rkey + _seg_sum(core._lens_1234(run_vals), run_offsets)
+    sz_lens = rkey + _seg_sum(core._lens_1234(run_lens), run_offsets)
+    return 8 + sz_vals + sz_lens
+
+
+# ------------------------------------------------------------ public facades
+
+def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
+                candidates: tuple[str, ...] = VECTOR_COST_CODECS):
+    """Encode each row with `codec` (or per-row argmin when 'auto').
+
+    Returns (out_bytes: uint8[], out_offsets: int64[R+1], codec_ids: int32[R]).
+    """
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    R = offsets.size - 1
+    nr = offsets[1:] - offsets[:-1]
+    if codec == "auto":
+        costs = row_costs(flat, offsets, candidates)
+        pick = np.argmin(costs, axis=1)  # first minimum = candidate priority
+        names = np.array([CODEC_ID[c] for c in candidates], dtype=np.int32)
+        codec_ids = names[pick]
+        codec_ids[nr == 0] = CODEC_ID["svb"]
+    else:
+        codec_ids = np.full(R, CODEC_ID[codec], dtype=np.int32)
+
+    groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    sizes = np.zeros(R, dtype=np.int64)
+    for cid in np.unique(codec_ids):
+        rows = np.flatnonzero(codec_ids == cid)
+        name = CODEC_NAMES[cid]
+        if rows.size == R:
+            sub_flat, sub_offsets = flat, offsets
+        else:
+            sub_flat, sub_offsets = _subset_rows(flat, offsets, rows)
+        if name in ("svb", "svb0124"):
+            enc, eoff = _svb_encode_rows(sub_flat, sub_offsets, name == "svb0124")
+        elif name == "svb_delta":
+            enc, eoff = _svb_encode_rows(_row_deltas(sub_flat, sub_offsets), sub_offsets, False)
+        else:
+            fn = select.REGISTRY[name].encode
+            bufs = [fn(sub_flat[sub_offsets[i]:sub_offsets[i + 1]]) for i in range(rows.size)]
+            enc = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            eoff = np.concatenate([[0], np.cumsum([len(b) for b in bufs], dtype=np.int64)])
+        groups.append((rows, enc, eoff))
+        sizes[rows] = eoff[1:] - eoff[:-1]
+
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    for rows, enc, eoff in groups:
+        sz = eoff[1:] - eoff[:-1]
+        intra = np.arange(int(eoff[-1]), dtype=np.int64) - np.repeat(eoff[:-1], sz)
+        out[np.repeat(out_offsets[:-1][rows], sz) + intra] = enc[:int(eoff[-1])]
+    return out, out_offsets, codec_ids
+
+
+def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
+                codec_ids: np.ndarray):
+    """Decode each row; returns (flat uint32[], offsets int64[R+1])."""
+    enc = np.ascontiguousarray(enc, dtype=np.uint8)
+    enc_offsets = np.asarray(enc_offsets, dtype=np.int64)
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    codec_ids = np.asarray(codec_ids, dtype=np.int32)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    for cid in np.unique(codec_ids):
+        rows = np.flatnonzero(codec_ids == cid)
+        name = CODEC_NAMES[cid]
+        if rows.size == R:
+            sub_enc, sub_eoff = enc, enc_offsets
+        else:
+            sub_enc, sub_eoff = _subset_bytes(enc, enc_offsets, rows)
+        sub_n = n_toks[rows]
+        if name in ("svb", "svb0124", "svb_delta"):
+            vals, voff = _svb_decode_rows(sub_enc, sub_eoff, sub_n, name == "svb0124")
+            if name == "svb_delta":
+                vals = _segmented_cumsum_u32(vals, voff)
+        else:
+            fn = select.REGISTRY[name].decode
+            parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))
+                     for i in range(rows.size)]
+            vals = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+            voff = np.concatenate([[0], np.cumsum(sub_n)])
+        # vectorized scatter of this group's values into the global flat array
+        intra = np.arange(int(voff[-1]), dtype=np.int64) - np.repeat(voff[:-1], sub_n)
+        flat[np.repeat(offsets[:-1][rows], sub_n) + intra] = vals
+    return flat, offsets
+
+
+def _segmented_cumsum_u32(d: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row uint32 wrap-around prefix sums (prev=0 per row)."""
+    if d.size == 0:
+        return d
+    g = np.cumsum(d, dtype=np.uint32)
+    base = np.concatenate([[np.uint32(0)], g])[offsets[:-1]].astype(np.uint32)
+    nr = offsets[1:] - offsets[:-1]
+    return g - np.repeat(base, nr)
+
+
+def _subset_rows(flat, offsets, rows):
+    nr = offsets[1:] - offsets[:-1]
+    sub_nr = nr[rows]
+    sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
+    idx = np.repeat(offsets[:-1][rows], sub_nr) + (
+        np.arange(int(sub_off[-1]), dtype=np.int64) - np.repeat(sub_off[:-1], sub_nr))
+    return flat[idx], sub_off
+
+
+def _subset_bytes(enc, enc_offsets, rows):
+    sz = enc_offsets[1:] - enc_offsets[:-1]
+    sub_sz = sz[rows]
+    sub_off = np.concatenate([[0], np.cumsum(sub_sz)])
+    idx = np.repeat(enc_offsets[:-1][rows], sub_sz) + (
+        np.arange(int(sub_off[-1]), dtype=np.int64) - np.repeat(sub_off[:-1], sub_sz))
+    return enc[idx], sub_off

@@ -1,0 +1,92 @@
+"""Batched multi-row kernels must be byte-identical to the single-array core
+codec, row by row, for every codec and every auto-selection outcome."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from streamvbyte_spark.codec import batched, core, select
+
+RNG = np.random.default_rng(99)
+
+
+def make_rows(lengths, gen):
+    arrays = [gen(n) for n in lengths]
+    flat = np.concatenate(arrays) if arrays else np.zeros(0, np.uint32)
+    offsets = np.concatenate([[0], np.cumsum([a.size for a in arrays])]).astype(np.int64)
+    return arrays, flat.astype(np.uint32), offsets
+
+
+EDGE_LENGTHS = [0, 1, 2, 3, 4, 5, 7, 8, 31, 32, 33, 127, 128, 0, 256]
+
+
+def gen_mixed(n):
+    kind = RNG.integers(0, 5)
+    if kind == 0:
+        return RNG.integers(0, 2 ** 32, size=n, dtype=np.uint64).astype(np.uint32)
+    if kind == 1:
+        return np.where(RNG.random(n) < 0.8, 0, RNG.integers(0, 300, n)).astype(np.uint32)
+    if kind == 2:
+        return np.sort(RNG.integers(0, 2 ** 28, size=n)).astype(np.uint32)
+    if kind == 3:
+        return np.repeat(RNG.integers(0, 9, max(n // 5 + 1, 1)), 5)[:n].astype(np.uint32)
+    return (RNG.zipf(1.2, size=n) % 50257).astype(np.uint32)
+
+
+@pytest.mark.parametrize("codec", ["svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle"])
+def test_fixed_codec_matches_core_per_row(codec):
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS, gen_mixed)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec)
+    ref = select.REGISTRY[codec]
+    for i, a in enumerate(arrays):
+        got = out[ooff[i]:ooff[i + 1]].tobytes()
+        assert got == ref.encode(a), f"row {i} len {a.size}"
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
+
+
+def test_auto_selection_matches_single_array_selector():
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS * 3, gen_mixed)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    for i, a in enumerate(arrays):
+        got_size = int(ooff[i + 1] - ooff[i])
+        _, want_size = select.choose(a, candidates=batched.VECTOR_COST_CODECS)
+        assert got_size == want_size, f"row {i}: {got_size} != {want_size}"
+        assert got_size <= core.compressed_size(a) or a.size == 0
+        name = batched.CODEC_NAMES[cids[i]]
+        assert out[ooff[i]:ooff[i + 1]].tobytes() == select.REGISTRY[name].encode(a)
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
+
+
+def test_row_costs_exact():
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS, gen_mixed)
+    costs = batched.row_costs(flat, offsets, batched.VECTOR_COST_CODECS)
+    for i, a in enumerate(arrays):
+        for j, name in enumerate(batched.VECTOR_COST_CODECS):
+            want = len(select.REGISTRY[name].encode(a))
+            assert costs[i, j] == want, f"row {i} codec {name}: {costs[i, j]} != {want}"
+
+
+def test_all_empty_batch():
+    flat = np.zeros(0, np.uint32)
+    offsets = np.zeros(4, np.int64)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    assert out.size == 0 and list(ooff) == [0, 0, 0, 0]
+    vflat, voff = batched.decode_rows(out, ooff, np.zeros(3, np.int64), cids)
+    assert vflat.size == 0
+
+
+def test_big_batch_roundtrip():
+    lengths = RNG.integers(0, 512, size=2000)
+    arrays, flat, offsets = make_rows(lengths, gen_mixed)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    vflat, voff = batched.decode_rows(out, ooff,
+                                      np.array([a.size for a in arrays], np.int64), cids)
+    np.testing.assert_array_equal(vflat, flat)
+    np.testing.assert_array_equal(voff, offsets)
