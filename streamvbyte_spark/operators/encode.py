@@ -1,0 +1,153 @@
+"""Distributed encode/decode over the token table via mapInArrow.
+
+The lifecycle (SURVEY.md §3.4): DataFrame -> optional explicit repartition
+(range on doc_id, or salted for skewed sources) -> ``mapInArrow`` running the
+whole-batch kernels of ``codec.batched`` -> encoded table with lineage
+columns.  The JVM<->Python boundary is crossed exactly once per Arrow batch;
+inside a batch there is no per-row Python (input_hint requirement).
+
+Encoded schema:
+  doc_id string, source string, n_tok int, codec string, encoded binary,
+  in_bytes bigint, out_bytes bigint, checksum bigint
+
+``checksum`` = per-row sum of token values (mod 2^63, vectorized) — cheap
+lineage for resume verification; ``in_bytes`` = 4 * n_tok (raw uint32 bytes,
+matching the reference perf harness's compressed-vs-raw framing,
+/root/reference/tests/perf.c:87-89).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codec import batched
+
+ENCODED_SCHEMA = (
+    "doc_id string, source string, n_tok int, codec string, encoded binary, "
+    "in_bytes bigint, out_bytes bigint, checksum bigint"
+)
+DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, offsets) from an Arrow list array, slice-safe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int32)
+    base = off[0]
+    return vals[base:off[-1]].view(np.uint32), off - base
+
+
+def _binary_array(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy Arrow binary array from flat bytes + int64 offsets."""
+    off32 = offsets.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(off32) - 1,
+        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def encode_table(df: DataFrame, codec: str = "auto",
+                 candidates: tuple[str, ...] = batched.VECTOR_COST_CODECS,
+                 range_partitions: int | None = None,
+                 salt_partitions: int | None = None) -> DataFrame:
+    """Encode tokens -> (codec, encoded, lineage).
+
+    range_partitions: repartitionByRange on doc_id so encoded block boundaries
+    align with doc_id ranges (scan/prune-friendly at the Iceberg layer).
+    salt_partitions: hash-salted repartition that breaks up skewed sources —
+    AQE fixes join skew but not UDF-stage skew, so this is explicit.
+    """
+    if range_partitions:
+        df = df.repartitionByRange(range_partitions, "doc_id")
+    elif salt_partitions:
+        df = df.repartition(salt_partitions, F.col("source"),
+                            F.pmod(F.hash("doc_id"), F.lit(salt_partitions)))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("tokens")))
+            out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec,
+                                                  candidates=candidates)
+            nr = offsets[1:] - offsets[:-1]
+            csum = batched._seg_sum(flat.astype(np.int64), offsets)
+            names = pa.array([batched.CODEC_NAMES[c] for c in cids], pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    batch.column(batch.schema.get_field_index("source")),
+                    pa.array(nr.astype(np.int32), pa.int32()),
+                    names,
+                    _binary_array(out, ooff),
+                    pa.array(4 * nr, pa.int64()),
+                    pa.array(ooff[1:] - ooff[:-1], pa.int64()),
+                    pa.array(csum, pa.int64()),
+                ],
+                names=["doc_id", "source", "n_tok", "codec", "encoded",
+                       "in_bytes", "out_bytes", "checksum"],
+            )
+
+    return df.mapInArrow(run, ENCODED_SCHEMA)
+
+
+def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
+    """Encoded table -> token table; bit-identical to the pre-encode input."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.schema.get_field_index(n) for n in
+                    ("doc_id", "source", "n_tok", "codec", "encoded", "checksum")}
+            enc_col = batch.column(cols["encoded"])
+            if isinstance(enc_col, pa.ChunkedArray):
+                enc_col = enc_col.combine_chunks()
+            bufs = enc_col.buffers()
+            off_all = np.frombuffer(bufs[1], dtype=np.int32)
+            eoff = off_all[enc_col.offset:enc_col.offset + len(enc_col) + 1].astype(np.int64)
+            ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+            base = eoff[0]
+            enc = ebuf[base:eoff[-1]]
+            eoff = eoff - base
+            n_toks = np.asarray(batch.column(cols["n_tok"]), dtype=np.int64)
+            names = batch.column(cols["codec"]).to_pylist()
+            cids = np.array([batched.CODEC_ID[n] for n in names], dtype=np.int32)
+            flat, offsets = batched.decode_rows(enc, eoff, n_toks, cids)
+            if verify_checksum:
+                want = np.asarray(batch.column(cols["checksum"]), dtype=np.int64)
+                got = batched._seg_sum(flat.astype(np.int64), offsets)
+                bad = np.flatnonzero(want != got)
+                if bad.size:
+                    doc = batch.column(cols["doc_id"])[int(bad[0])]
+                    raise ValueError(f"checksum mismatch decoding doc_id={doc}")
+            tok = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(flat.view(np.int32), pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(cols["doc_id"]),
+                    tok,
+                    pa.array(n_toks.astype(np.int32), pa.int32()),
+                    batch.column(cols["source"]),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return enc_df.mapInArrow(run, DECODED_SCHEMA)
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> int:
+    """Count rows whose decoded token array differs from the original
+    (must be 0). Broadcast-free sort-merge join on doc_id."""
+    o = original.select("doc_id", F.col("tokens").alias("tokens_orig"))
+    d = decoded.select("doc_id", F.col("tokens").alias("tokens_dec"))
+    joined = o.join(d, "doc_id", "full_outer")
+    return joined.where(
+        ~(F.col("tokens_orig") == F.col("tokens_dec")) |
+        F.col("tokens_orig").isNull() | F.col("tokens_dec").isNull()
+    ).count()

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Configs chosen for the 100 TB target (AQE re-planning, Arrow-batched Python
+exchange, pushdown-friendly parquet scans) but harmless on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# glibc malloc tuning for the Python workers: without it every large NumPy
+# allocation is mmap'd and returned to the OS on free, so each Arrow batch
+# repays the kernel page-fault cost. Keeping freed memory in the heap pool is
+# worth >2x on the codec kernels.
+_WORKER_MALLOC_ENV = {
+    "MALLOC_MMAP_MAX_": "0",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+}
+
+
+def get_spark(app: str = "streamvbyte-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    os.environ.update(_WORKER_MALLOC_ENV)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in _WORKER_MALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
+    return b.getOrCreate()

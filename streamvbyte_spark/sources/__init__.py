@@ -1,0 +1,1 @@
+from .tokens import posting_lists, synthetic_tokens, tokens_from_documents  # noqa: F401

@@ -1,0 +1,108 @@
+"""Token-table sources (the input_hint shape: doc_id, tokens, n_tok, source).
+
+Three ways to obtain the canonical table:
+
+* ``tokens_from_documents`` — derive token ids from the driver testdata
+  ``documents`` table with the dialect-paired SQL tokenizer (exact DuckDB
+  oracle possible).
+* ``posting_lists`` — sorted posting lists from ``lineitem`` (delta-codec
+  showcase; also exactly oracle-able).
+* ``synthetic_tokens`` — deterministic distributed generator following
+  FIXTURES.md (skewed sources, FIXTURES fixture families); used by bench and
+  scale tests.  Generation happens inside ``mapInArrow`` partitions seeded by
+  row id, so no driver-side materialization: the same code shape works at
+  10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sqlpair import spark_tokens_expr
+
+TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(spark_tokens_expr("text")).alias("tokens"),
+        F.size(F.expr(spark_tokens_expr("text"))).alias("n_tok"),
+        F.col("source").alias("source"),
+    )
+
+
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted l_orderkey posting list per part — ascending ints, the classic
+    delta-codec input (reference README.md:54 documents delta for sorted
+    data)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy(F.col("l_partkey"))
+        .agg(F.sort_array(F.collect_list("l_orderkey")).alias("tokens"))
+        .select(
+            F.col("l_partkey").cast("string").alias("doc_id"),
+            F.col("tokens").cast("array<int>").alias("tokens"),
+            F.size("tokens").alias("n_tok"),
+            F.lit("lineitem").alias("source"),
+        )
+    )
+
+
+# ------------------------------------------------------- synthetic generator
+
+def _gen_rows(doc_ids: np.ndarray, seed: int, avg_len: int):
+    """Deterministic per-doc token arrays; family round-robin per FIXTURES.md."""
+    arrays = []
+    sources = []
+    for i in doc_ids:
+        rng = np.random.default_rng((seed, int(i)))
+        fam = int(i) % 5
+        n = int(rng.integers(avg_len // 2, avg_len * 2))
+        if fam == 0:  # token_zipf: realistic LLM token ids
+            a = (rng.zipf(1.1, size=n) % 50257).astype(np.uint32)
+        elif fam == 1:  # rand_shifted: perf.c distribution (1-4 byte mix)
+            r = rng.integers(0, 2**31, size=n, dtype=np.uint64)
+            a = (r >> (rng.integers(0, 32, size=n, dtype=np.uint64))).astype(np.uint32)
+        elif fam == 2:  # near_sorted_gap
+            gap = 3 ** int(rng.integers(0, 12))
+            a = np.cumsum(rng.integers(0, 8, size=n, dtype=np.uint64) + gap - 1).astype(np.uint32)
+        elif fam == 3:  # zero_heavy
+            a = np.where(rng.random(n) < 0.7, 0, rng.integers(0, 50257, n)).astype(np.uint32)
+        else:  # small domain / runs
+            a = np.repeat(rng.integers(0, 30, size=max(n // 6, 1)), 6)[:n].astype(np.uint32)
+        arrays.append(a.astype(np.int32))
+        u = rng.random()
+        sources.append("web" if u < 0.8 else ("code" if u < 0.95 else "rare"))
+    return arrays, sources
+
+
+def synthetic_tokens(spark: SparkSession, n_docs: int, avg_len: int = 256,
+                     seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic token table: web 80% / code 15% / rare 5%."""
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            arrays, sources = _gen_rows(ids, seed, avg_len)
+            lens = np.array([a.size for a in arrays], dtype=np.int32)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            flat = (np.concatenate(arrays) if arrays else np.zeros(0, np.int32))
+            tok = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           pa.array(flat, pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([f"doc{int(i):010d}" for i in ids], pa.string()),
+                    tok,
+                    pa.array(lens, pa.int32()),
+                    pa.array(sources, pa.string()),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return base.mapInArrow(gen, TOKENS_SCHEMA)
