@@ -357,3 +357,65 @@ def _subset_bytes(enc, enc_offsets, rows):
     idx = np.repeat(enc_offsets[:-1][rows], sub_sz) + (
         np.arange(int(sub_off[-1]), dtype=np.int64) - np.repeat(sub_off[:-1], sub_sz))
     return enc[idx], sub_off
+
+
+# ------------------------------------------------------------ batched validate
+
+def validate_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
+                  scheme0124: bool = False) -> np.ndarray:
+    """Per-row streamvbyte_validate_stream (src/streamvbyte_decode.c:89-136):
+    row is valid iff its control bytes' length sum matches its data length.
+    Returns bool[R]. Vectorized across all rows of the batch."""
+    enc = np.ascontiguousarray(enc, dtype=np.uint8)
+    enc_offsets = np.asarray(enc_offsets, dtype=np.int64)
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    sizes = enc_offsets[1:] - enc_offsets[:-1]
+    key_len = (n_toks + 3) // 4
+    # reference empty rules: inCount==0 or outCount==0 -> inCount == outCount
+    valid = np.zeros(n_toks.size, dtype=bool)
+    empty = (sizes == 0) | (n_toks == 0)
+    valid[empty] = (sizes[empty] == n_toks[empty])
+    check = np.flatnonzero(~empty & (sizes >= key_len))
+    if check.size:
+        sub_enc, sub_eoff = _subset_bytes(enc, enc_offsets, check)
+        sub_n = n_toks[check]
+        sub_key = key_len[check]
+        K = int(sub_key.sum())
+        ctrl_starts = np.concatenate([[0], np.cumsum(sub_key)])
+        ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], sub_key)
+        ctrl = sub_enc[np.repeat(sub_eoff[:-1], sub_key) + ctrl_intra]
+        codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
+        V = int(sub_n.sum())
+        sub_off = np.concatenate([[0], np.cumsum(sub_n)])
+        intra = np.arange(V, dtype=np.int64) - np.repeat(sub_off[:-1], sub_n)
+        codes = codes_padded[np.repeat(4 * ctrl_starts[:-1], sub_n) + intra]
+        lens = _LEN_0124[codes] if scheme0124 else codes.astype(np.int64) + 1
+        expected = sub_key + _seg_sum(lens, sub_off)
+        valid[check] = expected == sizes[check]
+    return valid
+
+
+# ----------------------------------------------------- signed (zigzag) streams
+
+def encode_signed_rows(flat_i32: np.ndarray, offsets: np.ndarray, delta: bool = False):
+    """int32 rows -> zigzag (optionally per-row delta, prev=0) -> svb 1234.
+
+    Codec names: 'svb_zigzag' / 'svb_zz_delta' (reference
+    src/streamvbyte_zigzag.c:8-38 semantics, batched)."""
+    u = np.ascontiguousarray(flat_i32, dtype=np.int32).view(np.uint32)
+    if delta:
+        u = _row_deltas(u, np.asarray(offsets, dtype=np.int64))
+    zz = core.zigzag_encode(u.view(np.int32))
+    return _svb_encode_rows(zz, np.asarray(offsets, dtype=np.int64), False)
+
+
+def decode_signed_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
+                       delta: bool = False):
+    """Inverse of encode_signed_rows; returns (flat int32, offsets)."""
+    vals, offsets = _svb_decode_rows(np.ascontiguousarray(enc, dtype=np.uint8),
+                                     np.asarray(enc_offsets, dtype=np.int64),
+                                     np.asarray(n_toks, dtype=np.int64), False)
+    u = core.zigzag_decode(vals).view(np.uint32)
+    if delta:
+        u = _segmented_cumsum_u32(u, offsets)
+    return u.view(np.int32), offsets

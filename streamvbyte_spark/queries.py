@@ -1,0 +1,281 @@
+"""Driver-contract query registry: Spark queries + exact DuckDB oracles.
+
+Every implemented operator from SURVEY.md §2 gets a ``(spark, sf_dir) ->
+DataFrame`` callable here and (where SQL-expressible) a DuckDB oracle string.
+Round-trip queries have identity oracles (decode(encode(x)) == x makes the
+oracle an exact ``SELECT``); size queries use the reference size formulas
+(/root/reference/src/streamvbyte_encode.c:74,85,91-108) rendered as DuckDB
+list lambdas; the auto-selector oracle is ``least()`` over every candidate's
+formula.  Column names are aliased identically on both sides (the driver's
+compare hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import batched
+from .functions.sqlpair import (
+    duckdb_size_svb,
+    duckdb_size_svb0124,
+    duckdb_tokens_expr,
+    spark_tokens_expr,
+)
+from .operators import decode_table, encode_table
+from .sources import posting_lists, tokens_from_documents
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (oracle side)
+# ---------------------------------------------------------------------------
+
+# documents-derived token table as a DuckDB subquery (identical to
+# sources.tokens_from_documents on the Spark side)
+DOC_TOKENS_SQL = (
+    "select cast(doc_id as varchar) as doc_id, "
+    f"{duckdb_tokens_expr('text')} as tokens, "
+    f"len({duckdb_tokens_expr('text')}) as n_tok, "
+    "source from documents"
+)
+
+# sorted posting lists per part (delta showcase)
+POSTING_SQL = (
+    "select cast(l_partkey as varchar) as doc_id, "
+    "list(l_orderkey order by l_orderkey) as tokens, "
+    "count(*) as n_tok, 'lineitem' as source "
+    "from lineitem group by l_partkey"
+)
+
+
+def _bits(expr: str) -> str:
+    """Exact bit_length in DuckDB (length of the binary string, no padding)."""
+    return f"(case when {expr} = 0 then 0 else length(bin(({expr})::uint32)) end)"
+
+
+def duckdb_size_bitpack(t: str, n: str) -> str:
+    w = _bits(f"list_max({t})")
+    return f"(case when {n} = 0 then 0 else 1 + ({n} * {w} + 7) // 8 end)::bigint"
+
+
+def duckdb_size_for(t: str, n: str) -> str:
+    w = _bits(f"list_max({t}) - list_min({t})")
+    return f"(case when {n} = 0 then 0 else 5 + ({n} * {w} + 7) // 8 end)::bigint"
+
+
+def duckdb_size_dict(t: str, n: str) -> str:
+    k = f"len(list_distinct({t}))"
+    w = _bits(f"({k} - 1)")
+    return (f"(case when {n} = 0 then 0 else "
+            f"4 + 4 * {k} + ({n} * {w} + 7) // 8 end)::bigint")
+
+
+def duckdb_size_svb_delta_wrap(t: str, n: str) -> str:
+    """Exact svb_delta (prev=0) size with uint32 wraparound differences:
+    d_i = (t[i] - t[i-1] + 2^32) % 2^32 in BIGINT (|diff| < 2^32 so one
+    modulus suffices) — matches src/streamvbytedelta_encode.c:54-55 for any
+    input, sorted or not."""
+    d = f"((cast({t}[i] as bigint) - cast(coalesce({t}[i-1], 0) as bigint) + 4294967296) % 4294967296)"
+    return (
+        f"case when {n} = 0 then 0 else "
+        f"cast(({n} + 3) // 4 as bigint) + "
+        f"cast(list_sum(list_transform(range(1, {n} + 1), i -> "
+        f"1 + ({d} > 255)::int + ({d} > 65535)::int + ({d} > 16777215)::int)) as bigint) end"
+    )
+
+
+def duckdb_size_rle(t: str, n: str) -> str:
+    """RLE layout cost: 8 + svb(run values) + svb(run lengths); runs via
+    list_filter on change points."""
+    starts = f"list_filter(range(1, {n} + 1), i -> i = 1 or {t}[i] != {t}[i-1])"
+    rv = f"list_transform({starts}, i -> {t}[i])"
+    nruns = f"len({starts})"
+    rl = (f"list_transform(range(1, {nruns} + 1), "
+          f"j -> coalesce(({starts})[j+1], {n} + 1) - ({starts})[j])")
+    return (f"case when {n} = 0 then 0 else "
+            f"8 + {duckdb_size_svb(rv, nruns)} + {duckdb_size_svb(rl, nruns)} end")
+
+
+def duckdb_size_auto(t: str, n: str) -> str:
+    """Auto-selector oracle: least over every vectorized candidate's exact
+    size formula (= argmin the batched selector computes)."""
+    return "least({})".format(", ".join([
+        duckdb_size_svb(t, n),
+        duckdb_size_svb0124(t, n),
+        duckdb_size_svb_delta_wrap(t, n),
+        duckdb_size_bitpack(t, n),
+        duckdb_size_for(t, n),
+        duckdb_size_dict(t, n),
+        duckdb_size_rle(t, n),
+    ]))
+
+
+# quantized-embedding signed token list (zigzag showcase); floor() semantics
+# match between Spark and DuckDB
+EMB_TOKENS_DUCK = "list_transform(embedding, x -> cast(floor(cast(x as double) * 10000) as int))"
+EMB_TOKENS_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 10000) as int))"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool) -> DataFrame:
+    """Encode int32 arrays as svb_zigzag / svb_zz_delta streams, decode back."""
+    codec = "svb_zz_delta" if delta else "svb_zigzag"
+
+    def run(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("tokens"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            off = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int32)
+            base = off[0]
+            flat, offsets = vals[base:off[-1]], off - base
+            enc, eoff = batched.encode_signed_rows(flat, offsets, delta=delta)
+            n_toks = offsets[1:] - offsets[:-1]
+            dec_flat, dec_off = batched.decode_signed_rows(enc, eoff, n_toks, delta=delta)
+            tok = pa.ListArray.from_arrays(pa.array(dec_off.astype(np.int32), pa.int32()),
+                                           pa.array(dec_flat, pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index(id_col)), tok],
+                names=[id_col, "tokens"])
+
+    return df.mapInArrow(run, f"{id_col} string, tokens array<int>")
+
+
+def _encoded(spark: SparkSession, sf_dir: str, codec: str,
+             source: str = "documents") -> DataFrame:
+    base = tokens_from_documents(spark, sf_dir) if source == "documents" \
+        else posting_lists(spark, sf_dir)
+    cands = batched.VECTOR_COST_CODECS
+    return encode_table(base, codec=codec, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable] = {}
+
+    # -- round-trips (operators 1-6 + zigzag 12 of SURVEY.md §2.1) -----------
+    def make_roundtrip(codec, src):
+        def run(spark, sf_dir):
+            dec = decode_table(encode_table(
+                tokens_from_documents(spark, sf_dir) if src == "documents"
+                else posting_lists(spark, sf_dir), codec=codec))
+            return dec.select("doc_id", "tokens", "n_tok", "source")
+        return run
+
+    q["svb_roundtrip"] = make_roundtrip("svb", "documents")
+    q["svb0124_roundtrip"] = make_roundtrip("svb0124", "documents")
+    q["delta_roundtrip_postings"] = make_roundtrip("svb_delta", "postings")
+    q["auto_roundtrip"] = make_roundtrip("auto", "documents")
+
+    def zigzag_roundtrip(spark, sf_dir, delta=False):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").cast("string").alias("vec_id"),
+            F.expr(EMB_TOKENS_SPARK).alias("tokens"))
+        return _signed_roundtrip(emb, "vec_id", delta)
+
+    q["zigzag_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, False)
+    q["zzdelta_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, True)
+
+    # -- exact sizes (operators 7-9 + companion cost models) -----------------
+    def make_size(codec, src):
+        def run(spark, sf_dir):
+            return _encoded(spark, sf_dir, codec, src).select(
+                "doc_id", F.col("out_bytes").alias("size_bytes"))
+        return run
+
+    q["svb_size"] = make_size("svb", "documents")
+    q["svb0124_size"] = make_size("svb0124", "documents")
+    q["delta_size_postings"] = make_size("svb_delta", "postings")
+    q["bitpack_size"] = make_size("bitpack", "documents")
+    q["for_size"] = make_size("for", "documents")
+    q["dict_size"] = make_size("dict", "documents")
+    q["rle_size"] = make_size("rle", "documents")
+    q["auto_size"] = make_size("auto", "documents")
+
+    # -- validate (operators 10-11) ------------------------------------------
+    def validate_query(spark, sf_dir):
+        enc = _encoded(spark, sf_dir, "svb")
+
+        def run(batches):
+            for batch in batches:
+                col = batch.column(batch.schema.get_field_index("encoded"))
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                bufs = col.buffers()
+                off_all = np.frombuffer(bufs[1], dtype=np.int32)
+                eoff = off_all[col.offset:col.offset + len(col) + 1].astype(np.int64)
+                ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+                base = eoff[0]
+                n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")),
+                                    dtype=np.int64)
+                ok = batched.validate_rows(ebuf[base:eoff[-1]], eoff - base, n_toks)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(batch.schema.get_field_index("doc_id")),
+                     pa.array(ok, pa.bool_())],
+                    names=["doc_id", "is_valid"])
+
+        return enc.mapInArrow(run, "doc_id string, is_valid boolean")
+
+    q["validate_stream"] = validate_query
+
+    # -- compression metrics aggregation (SURVEY.md §2.2 aggregations) -------
+    def metrics_by_source(spark, sf_dir):
+        enc = _encoded(spark, sf_dir, "auto")
+        return (enc.groupBy("source")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("in_bytes").alias("sum_in_bytes"),
+                     F.sum("out_bytes").alias("sum_out_bytes"))
+                )
+
+    q["metrics_by_source"] = metrics_by_source
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    t, n = "tokens", "n_tok"
+    doc = DOC_TOKENS_SQL
+    post = POSTING_SQL
+    identity_doc = f"select doc_id, tokens, n_tok, source from ({doc})"
+    o = {
+        "svb_roundtrip": identity_doc,
+        "svb0124_roundtrip": identity_doc,
+        "delta_roundtrip_postings":
+            f"select doc_id, tokens, cast(n_tok as int) as n_tok, source from ({post})",
+        "auto_roundtrip": identity_doc,
+        "zigzag_roundtrip_embeddings":
+            f"select cast(vec_id as varchar) as vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings",
+        "zzdelta_roundtrip_embeddings":
+            f"select cast(vec_id as varchar) as vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings",
+        "svb_size":
+            f"select doc_id, {duckdb_size_svb(t, n)} as size_bytes from ({doc})",
+        "svb0124_size":
+            f"select doc_id, {duckdb_size_svb0124(t, n)} as size_bytes from ({doc})",
+        "delta_size_postings":
+            f"select doc_id, {duckdb_size_svb_delta_wrap(t, n)} as size_bytes from ({post})",
+        "bitpack_size":
+            f"select doc_id, {duckdb_size_bitpack(t, n)} as size_bytes from ({doc})",
+        "for_size":
+            f"select doc_id, {duckdb_size_for(t, n)} as size_bytes from ({doc})",
+        "dict_size":
+            f"select doc_id, {duckdb_size_dict(t, n)} as size_bytes from ({doc})",
+        "rle_size":
+            f"select doc_id, {duckdb_size_rle(t, n)} as size_bytes from ({doc})",
+        "auto_size":
+            f"select doc_id, {duckdb_size_auto(t, n)} as size_bytes from ({doc})",
+        "validate_stream":
+            f"select doc_id, true as is_valid from ({doc})",
+        "metrics_by_source":
+            f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
+            f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",
+    }
+    return o
