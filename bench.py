@@ -1,0 +1,110 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  The throughput job mirrors the reference perf
+harness's framing (/root/reference/tests/perf.c:38-91: uints/sec over a
+1/2/3/4-byte value mix) scaled up: a deterministic synthetic token table
+(FIXTURES.md families) is encoded with the auto-selector and decoded back,
+reporting encode+decode tokens/sec and compressed bytes/token.
+
+Set SPARK_GRAFT_BENCH_SCALING=1 to also run the same job at local[8] vs
+local[32] and report scaling efficiency (tools/bench_scaling.py does this
+standalone and writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streamvbyte_spark.operators import decode_table, encode_table  # noqa: E402
+from streamvbyte_spark.session import get_spark  # noqa: E402
+from streamvbyte_spark.sources import synthetic_tokens  # noqa: E402
+import streamvbyte_spark.queries as Q  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+AVG_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_AVG_LEN", "512"))
+
+
+def throughput_job(spark, n_docs: int, partitions: int):
+    """Encode (auto) + decode the synthetic token table; returns metrics."""
+    tok = synthetic_tokens(spark, n_docs, avg_len=AVG_LEN, seed=42,
+                           partitions=partitions)
+    tok = tok.persist()
+    n_tokens, in_bytes = [
+        (r["nt"], r["ib"]) for r in
+        [tok.agg(F.sum("n_tok").alias("nt"), F.sum(F.lit(4) * F.col("n_tok")).alias("ib")).collect()[0]]
+    ][0]
+
+    t0 = time.perf_counter()
+    enc = encode_table(tok, codec="auto")
+    out_bytes = enc.agg(F.sum("out_bytes")).collect()[0][0]
+    t_enc = time.perf_counter() - t0
+
+    enc = encode_table(tok, codec="auto").persist()
+    enc.count()
+    t0 = time.perf_counter()
+    dec = decode_table(enc, verify_checksum=True)
+    dec_tokens = dec.agg(F.sum("n_tok")).collect()[0][0]
+    t_dec = time.perf_counter() - t0
+    assert dec_tokens == n_tokens
+    enc.unpersist()
+    tok.unpersist()
+    return {
+        "tokens": int(n_tokens),
+        "encode_sec": t_enc,
+        "decode_sec": t_dec,
+        "encode_tok_per_sec": n_tokens / t_enc,
+        "decode_tok_per_sec": n_tokens / t_dec,
+        "bytes_per_token": out_bytes / n_tokens,
+        "ratio": out_bytes / in_bytes,
+    }
+
+
+def main():
+    timings: dict[str, float] = {}
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # headline operator queries at SF_DIR
+    queries = Q.build_queries()
+    headline = ["auto_roundtrip", "auto_size", "delta_roundtrip_postings",
+                "svb_size", "metrics_by_source"]
+    for name in headline:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # throughput job (perf.c framing)
+    tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2)
+    timings["throughput_encode"] = round(tp["encode_sec"], 3)
+    timings["throughput_decode"] = round(tp["decode_sec"], 3)
+
+    total = sum(timings.values())
+    result = {
+        "metric": "encode+decode tokens/sec (auto codec) + headline query wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "tokens": tp["tokens"],
+        "encode_tok_per_sec": round(tp["encode_tok_per_sec"]),
+        "decode_tok_per_sec": round(tp["decode_tok_per_sec"]),
+        "bytes_per_token": round(tp["bytes_per_token"], 4),
+        "compression_ratio": round(tp["ratio"], 4),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
