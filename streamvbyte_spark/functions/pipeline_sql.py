@@ -1,0 +1,332 @@
+"""Training-data-pipeline queries as dialect-paired SQL (Spark SQL + DuckDB).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+near-dup), similarity search (integer-exact dot-product top-k), and text
+analysis (language-ID heuristic, quality scoring, token counting, rolling-hash
+fingerprinting) — each written once against a tiny dialect table so the Spark
+query and its DuckDB oracle are the same algorithm by construction.
+
+Numeric discipline for cross-engine equality: similarity math uses integer
+token / quantized-embedding values and BIGINT arithmetic (exact in both
+engines); doubles appear only in final rounded outputs or thresholds computed
+from identical integer inputs.
+"""
+
+from __future__ import annotations
+
+from .sqlpair import duckdb_tokens_expr, spark_tokens_expr
+
+# deterministic MinHash parameters (textbook scheme: h(x) = (a*x + b) mod p)
+MINHASH_P = 2147483647
+N_HASHES = 16
+N_BANDS = 2  # -> 8 rows per band (tuned: 4-row bands over-collide on the
+             # small shared vocabulary of the test corpus)
+_A = [709, 1049, 2707, 3733, 4391, 5519, 6229, 7177,
+      8521, 9473, 10627, 11699, 12763, 13829, 14897, 15973]
+_B = [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
+      90123, 13579, 24680, 35791, 46802, 57913, 68024, 79135]
+
+SIMHASH_A = 2654435761
+SIMHASH_B = 104729
+SIMHASH_BITS = 32
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+}
+
+
+class Dialect:
+    """The handful of function-name/syntax differences between the engines."""
+
+    def __init__(self, kind: str):
+        assert kind in ("spark", "duckdb")
+        self.kind = kind
+
+    def split(self, s: str) -> str:
+        return f"split({s}, ' ')" if self.kind == "spark" else f"string_split({s}, ' ')"
+
+    def alen(self, x: str) -> str:
+        return f"size({x})" if self.kind == "spark" else f"len({x})"
+
+    def transform(self, x: str, lam: str) -> str:
+        fn = "transform" if self.kind == "spark" else "list_transform"
+        return f"{fn}({x}, {lam})"
+
+    def afilter(self, x: str, lam: str) -> str:
+        fn = "filter" if self.kind == "spark" else "list_filter"
+        return f"{fn}({x}, {lam})"
+
+    def amin(self, x: str) -> str:
+        return f"array_min({x})" if self.kind == "spark" else f"list_min({x})"
+
+    def adistinct(self, x: str) -> str:
+        return f"array_distinct({x})" if self.kind == "spark" else f"list_distinct({x})"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"({a} div {b})" if self.kind == "spark" else f"({a} // {b})"
+
+    def fold0(self, x: str, acc_t: str) -> str:
+        """Left fold with BIGINT 0 seed: acc, t -> expression in acc_t."""
+        if self.kind == "spark":
+            return f"aggregate({x}, cast(0 as bigint), (acc, t) -> {acc_t})"
+        return (f"list_reduce(list_prepend(cast(0 as bigint), "
+                f"{self.transform(x, 't -> cast(t as bigint)')}), (acc, t) -> {acc_t})")
+
+    def explode(self, inner_select: str, arr_alias: str, out_alias: str,
+                other_cols: str) -> str:
+        if self.kind == "spark":
+            return (f"select {other_cols}, {out_alias} from ({inner_select}) "
+                    f"lateral view explode({arr_alias}) _t as {out_alias}")
+        return (f"select {other_cols}, unnest({arr_alias}) as {out_alias} "
+                f"from ({inner_select})")
+
+    def tokens(self, text: str = "text") -> str:
+        return spark_tokens_expr(text) if self.kind == "spark" else duckdb_tokens_expr(text)
+
+    def elem(self, arr: str, i: str) -> str:
+        """1-based list element."""
+        return f"element_at({arr}, {i})" if self.kind == "spark" else f"{arr}[{i}]"
+
+    def seq1(self, n: str) -> str:
+        """[1..n] as a list; empty when n < 1."""
+        if self.kind == "spark":
+            return f"(case when {n} < 1 then array() else sequence(1, {n}) end)"
+        return f"(case when {n} < 1 then [] else range(1, {n} + 1) end)"
+
+
+def _words(d: Dialect) -> str:
+    return d.split("text")
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(d: Dialect) -> str:
+    """Exact dedup by content hash (hash-groupBy — the 100 TB shape: group on
+    md5(text), keep min doc_id). md5 is identical in both engines."""
+    return (
+        "select md5(text) as text_hash, "
+        "min(cast(doc_id as string)) as keeper_doc_id, "
+        "count(*) as dup_count "
+        "from documents group by md5(text)"
+    )
+
+
+def _minhash_exprs(d: Dialect) -> list[str]:
+    out = []
+    for a, b in zip(_A, _B):
+        lam = f"t -> (cast({a} as bigint) * t + {b}) % {MINHASH_P}"
+        out.append(d.amin(d.transform("tokens", lam)))
+    return out
+
+
+def q_minhash_bands(d: Dialect) -> str:
+    """MinHash signature -> LSH band keys (N_BANDS bands x 4 hashes).
+
+    Scale path: at 10^12 docs the band table is shuffled once on
+    (band_id, band_key) and duplicate buckets join within partitions."""
+    mh = _minhash_exprs(d)
+    rows_per = N_HASHES // N_BANDS
+    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
+    sig = ", ".join(f"{e} as mh{j}" for j, e in enumerate(mh))
+    bands = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"mh{b * rows_per + r}" for r in range(rows_per))
+        bands.append(
+            f"select doc_id, {b} as band_id, concat_ws('_', {cols}) as band_key "
+            f"from sig")
+    return (f"with tok as ({tok}), sig as (select doc_id, {sig} from tok) "
+            + " union all ".join(bands))
+
+
+def q_dedup_minhash_pairs(d: Dialect) -> str:
+    """LSH candidate pairs: docs sharing any band bucket."""
+    return (
+        f"with bands as ({q_minhash_bands(d)}) "
+        "select a.doc_id as doc_a, b.doc_id as doc_b "
+        "from bands a join bands b "
+        "on a.band_id = b.band_id and a.band_key = b.band_key "
+        "and a.doc_id < b.doc_id "
+        "group by a.doc_id, b.doc_id"
+    )
+
+
+def q_dedup_simhash(d: Dialect) -> str:
+    """32-bit SimHash over hashed token ids; near-dups share the value.
+
+    bit_k(doc) = 1 iff sum over tokens of (2*bit_k(h(t)) - 1) > 0, with
+    h(t) = (A*t + B) mod p. All BIGINT; identical in both engines."""
+    h = f"(cast({SIMHASH_A} as bigint) * t + {SIMHASH_B}) % {MINHASH_P}"
+    bit_terms = []
+    for k in range(SIMHASH_BITS):
+        bit = f"({d.idiv(f'({h})', str(1 << k))} % 2)"
+        lam_sum = d.fold0("tokens", f"acc + 2 * ({bit}) - 1")
+        bit_terms.append(f"(case when {lam_sum} > 0 then cast({1 << k} as bigint) else 0 end)")
+    simhash = " + ".join(bit_terms)
+    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
+    return f"with tok as ({tok}) select doc_id, ({simhash}) as simhash from tok"
+
+
+def q_dedup_ngram_jaccard(d: Dialect) -> str:
+    """3-gram (word) shingle Jaccard for candidate pairs >= 0.5 within the
+    same source. Explode -> equi-join on shingle -> count ratio: the
+    shuffle-once shape that scales (vs O(n^2) pairwise)."""
+    w = _words(d)
+    n = d.alen(w)
+    sh = d.transform(
+        d.seq1(f"{n} - 2"),
+        f"i -> concat_ws(' ', {d.elem(w, 'i')}, {d.elem(w, 'i + 1')}, {d.elem(w, 'i + 2')})")
+    base = (f"select cast(doc_id as string) as doc_id, source, "
+            f"{d.adistinct(sh)} as shingles from documents")
+    exploded = d.explode(base, "shingles", "shingle", "doc_id, source")
+    return (
+        f"with e as ({exploded}), "
+        "cnt as (select doc_id, count(*) as n from e group by doc_id), "
+        "common as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c "
+        " from e a join e b on a.shingle = b.shingle and a.source = b.source "
+        " and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) "
+        "select doc_a, doc_b, "
+        "round(cast(c as double) / (ca.n + cb.n - c), 4) as jaccard "
+        "from common join cnt ca on common.doc_a = ca.doc_id "
+        "join cnt cb on common.doc_b = cb.doc_id "
+        "where cast(c as double) / (ca.n + cb.n - c) >= 0.5"
+    )
+
+
+QEMB = "list_transform(embedding, x -> cast(floor(cast(x as double) * 10000) as int))"
+QEMB_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 10000) as int))"
+
+
+def _qemb(d: Dialect) -> str:
+    return QEMB_SPARK if d.kind == "spark" else QEMB
+
+
+def _dot(d: Dialect, a: str, b: str, dim: int = 64) -> str:
+    """Exact BIGINT dot product of two int lists."""
+    if d.kind == "spark":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y), "
+                f"cast(0 as bigint), (acc, v) -> acc + v)")
+    return (f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> cast({a}[i] as bigint) * {b}[i]))::bigint")
+
+
+def q_ann_topk(d: Dialect) -> str:
+    """Brute-force exact top-5 neighbors (integer dot product) for the first
+    10 vectors. Scale path: broadcast the small query side; candidates stay
+    partitioned — O(Q x N) map-side, no shuffle of the big side."""
+    q = f"select vec_id as qid, {_qemb(d)} as qv from embeddings where vec_id < 10"
+    c = f"select vec_id as cid, {_qemb(d)} as cv from embeddings"
+    dot = _dot(d, "qv", "cv")
+    return (
+        f"with q as ({q}), c as ({c}), "
+        f"scored as (select qid, cid, {dot} as dot from q join c on qid != cid), "
+        "ranked as (select qid, cid, dot, "
+        " row_number() over (partition by qid order by dot desc, cid) as rnk from scored) "
+        "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
+        "dot as dot_sim, rnk as rank from ranked where rnk <= 5"
+    )
+
+
+def q_embedding_neardup(d: Dialect) -> str:
+    """Top-50 most-similar embedding pairs by cosine over exact-int dots
+    (deterministic total order: dot desc, then ids)."""
+    e = f"select vec_id, {_qemb(d)} as v from embeddings"
+    dot = _dot(d, "a.v", "b.v")
+    norm = _dot(d, "a.v", "a.v")
+    normb = _dot(d, "b.v", "b.v")
+    return (
+        f"with e as ({e}), "
+        f"pairs as (select a.vec_id as id_a, b.vec_id as id_b, {dot} as dot, "
+        f" {norm} as na, {normb} as nb "
+        " from e a join e b on a.vec_id < b.vec_id), "
+        "ranked as (select id_a, id_b, dot, "
+        " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) as cos_sim, "
+        " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "
+        "select cast(id_a as string) as id_a, cast(id_b as string) as id_b, "
+        "cos_sim, rnk as rank from ranked where rnk <= 50"
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_token_count(d: Dialect) -> str:
+    w = _words(d)
+    return (
+        f"select cast(doc_id as string) as doc_id, "
+        f"{d.alen(w)} as n_words, "
+        f"{d.alen(d.adistinct(w))} as n_distinct_words, "
+        f"length(text) as n_chars "
+        "from documents"
+    )
+
+
+def q_quality_score(d: Dialect) -> str:
+    """Length/stopword/diversity heuristics (the classic pre-training quality
+    gates), all integer-ratio math rounded at the end."""
+    w = _words(d)
+    n = d.alen(w)
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stops = d.alen(d.afilter(w, f"x -> x in ({stop_in})"))
+    distinct = d.alen(d.adistinct(w))
+    return (
+        f"select cast(doc_id as string) as doc_id, "
+        f"{n} as n_words, "
+        f"round(cast(length(text) - {n} + 1 as double) / {n}, 4) as avg_word_len, "
+        f"round(cast({stops} as double) / {n}, 4) as stopword_ratio, "
+        f"round(cast({distinct} as double) / {n}, 4) as distinct_ratio "
+        "from documents"
+    )
+
+
+def q_lang_id(d: Dialect) -> str:
+    """N-gram/stopword language-ID heuristic: argmax of per-language marker
+    hits with a fixed tie order (en > es > de > fr > unknown)."""
+    w = _words(d)
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        hits[lang] = d.alen(d.afilter(w, f"x -> x in ({marker_in})"))
+    cases = (
+        f"case when {hits['en']} >= {hits['es']} and {hits['en']} >= {hits['de']} "
+        f" and {hits['en']} >= {hits['fr']} and {hits['en']} > 0 then 'en' "
+        f"when {hits['es']} >= {hits['de']} and {hits['es']} >= {hits['fr']} "
+        f" and {hits['es']} > 0 then 'es' "
+        f"when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de' "
+        f"when {hits['fr']} > 0 then 'fr' else 'unknown' end"
+    )
+    return (f"select cast(doc_id as string) as doc_id, {cases} as lang_pred, "
+            "lang as lang_true from documents")
+
+
+def q_fingerprint(d: Dialect) -> str:
+    """Rolling polynomial hash over token ids (document fingerprint):
+    fold acc = (acc * 31 + t) mod 1e9+7 — exact BIGINT in both engines."""
+    fp = d.fold0("tokens", "(acc * 31 + t) % 1000000007")
+    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
+    return f"with tok as ({tok}) select doc_id, {fp} as fingerprint from tok"
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}
+
+
+def spark_sql(name: str) -> str:
+    return PIPELINE_QUERIES[name](Dialect("spark"))
+
+
+def duckdb_sql(name: str) -> str:
+    return PIPELINE_QUERIES[name](Dialect("duckdb"))

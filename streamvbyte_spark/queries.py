@@ -238,6 +238,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
 
     q["metrics_by_source"] = metrics_by_source
+
+    # -- training-pipeline ops (dedup / similarity / text analysis) ----------
+    from .functions import pipeline_sql
+
+    def make_pipeline(name):
+        def run(spark, sf_dir):
+            spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
+            return spark.sql(pipeline_sql.spark_sql(name))
+        return run
+
+    for name in pipeline_sql.PIPELINE_QUERIES:
+        q[name] = make_pipeline(name)
     return q
 
 
@@ -278,4 +291,7 @@ def build_oracles() -> dict[str, str]:
             f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
             f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",
     }
+    from .functions import pipeline_sql
+    for name in pipeline_sql.PIPELINE_QUERIES:
+        o[name] = pipeline_sql.duckdb_sql(name)
     return o
