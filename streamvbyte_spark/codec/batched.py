@@ -419,3 +419,34 @@ def decode_signed_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndar
     if delta:
         u = _segmented_cumsum_u32(u, offsets)
     return u.view(np.int32), offsets
+
+
+# --------------------------------------------- delta streams with prev chains
+
+def encode_delta_rows_prev(flat: np.ndarray, offsets: np.ndarray,
+                           prev: np.ndarray):
+    """svb_delta with a per-row prev seed (chunked sequences): row r encodes
+    diffs vs prev[r] (uint32 wraparound), matching streamvbyte_delta_encode's
+    out-of-band prev (include/streamvbytedelta.h:17-19)."""
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    prev = np.asarray(prev).astype(np.int64).astype(np.uint32)
+    d = np.empty_like(flat)
+    if flat.size:
+        d[1:] = flat[1:] - flat[:-1]
+        nr = offsets[1:] - offsets[:-1]
+        starts = offsets[:-1][nr > 0]
+        d[starts] = flat[starts] - prev[nr > 0]
+    return _svb_encode_rows(d, offsets, False)
+
+
+def decode_delta_rows_prev(enc: np.ndarray, enc_offsets: np.ndarray,
+                           n_toks: np.ndarray, prev: np.ndarray):
+    """Inverse: decode then per-row prefix sum seeded at prev[r]."""
+    vals, offsets = _svb_decode_rows(np.ascontiguousarray(enc, dtype=np.uint8),
+                                     np.asarray(enc_offsets, dtype=np.int64),
+                                     np.asarray(n_toks, dtype=np.int64), False)
+    out = _segmented_cumsum_u32(vals, offsets)
+    nr = offsets[1:] - offsets[:-1]
+    out += np.repeat(np.asarray(prev).astype(np.int64).astype(np.uint32), nr)
+    return out, offsets

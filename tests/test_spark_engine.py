@@ -1,0 +1,142 @@
+"""Spark-layer integration tests: encode/decode operators, chunked delta with
+prev chaining, checkpoint-resume lineage, multimodal plumbing, disk round-trip
+(the writeseq analog, /root/reference/tests/writeseq.c)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamvbyte_spark.codec import core
+from streamvbyte_spark.operators import decode_table, encode_table, verify_roundtrip
+from streamvbyte_spark.operators.chunking import (
+    chunk_tokens, decode_chunked_delta, encode_chunked_delta, reassemble)
+from streamvbyte_spark.operators.lineage import (
+    encode_with_checkpoint, lineage_metrics, read_encoded)
+from streamvbyte_spark.operators.multimodal import extract_features, synth_media_table
+from streamvbyte_spark.session import get_spark
+from streamvbyte_spark.sources import synthetic_tokens, tokens_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def tok(spark):
+    return tokens_from_documents(spark, SF).cache()
+
+
+def test_roundtrip_all_codecs(spark, tok):
+    for codec in ["svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "auto"]:
+        dec = decode_table(encode_table(tok, codec=codec))
+        assert verify_roundtrip(tok, dec) == 0, codec
+
+
+def test_size_never_exceeds_reference(spark, tok):
+    """north rule: compressed size <= reference streamvbyte_encode output."""
+    enc = encode_table(tok, codec="auto")
+    rows = enc.select("doc_id", "out_bytes").collect()
+    toks = {r.doc_id: r.tokens for r in tok.collect()}
+    for r in rows:
+        ref = core.compressed_size(np.array(toks[r.doc_id], dtype=np.int64))
+        assert r.out_bytes <= ref
+
+
+def test_chunked_delta_prev_chaining(spark):
+    syn = synthetic_tokens(spark, 50, avg_len=300, seed=7, partitions=2)
+    # sorted arrays exercise the delta path hardest
+    sorted_tok = syn.select(
+        "doc_id", F.array_sort("tokens").alias("tokens"),
+        "n_tok", "source").cache()
+    chunked = chunk_tokens(sorted_tok, chunk_size=64)
+    enc = encode_chunked_delta(chunked)
+    dec = decode_chunked_delta(enc)
+    back = reassemble(dec)
+    orig = sorted_tok.select("doc_id", F.col("tokens").alias("t0"))
+    got = back.select("doc_id", F.col("tokens").alias("t1"))
+    bad = orig.join(got, "doc_id", "full_outer").where(
+        ~(F.col("t0") == F.col("t1")) | F.col("t0").isNull() | F.col("t1").isNull())
+    assert bad.count() == 0
+    # chunk seams: prev of chunk k must equal the last token of chunk k-1
+    a = dec.select("doc_id", "chunk_id", F.element_at("chunk", -1).cast("long").alias("last_tok"))
+    b = enc.select("doc_id", (F.col("chunk_id") - 1).alias("chunk_id"), "prev")
+    bad_seams = a.join(b, ["doc_id", "chunk_id"]).where(
+        F.col("prev") != F.col("last_tok")).count()
+    assert bad_seams == 0
+
+
+def test_checkpoint_resume(spark, tok):
+    path = tempfile.mkdtemp(prefix="svb_ckpt_")
+    try:
+        r1 = encode_with_checkpoint(tok, path, n_buckets=8, fail_after_buckets=3)
+        assert r1["encoded_buckets"] == 3
+        r2 = encode_with_checkpoint(tok, path, n_buckets=8)
+        assert r2["encoded_buckets"] == 5
+        r3 = encode_with_checkpoint(tok, path, n_buckets=8)
+        assert r3.get("skipped")  # nothing left to do
+        enc = read_encoded(spark, path)
+        assert enc.count() == tok.count()
+        assert verify_roundtrip(tok, decode_table(enc.drop("bucket"))) == 0
+        lin = lineage_metrics(spark, path)
+        assert lin.select("bucket").distinct().count() == 8
+        # lineage checksums match the data
+        agg = enc.groupBy("bucket").agg(F.sum("checksum").alias("cs"))
+        j = lin.join(agg, "bucket").where(F.col("cs") != F.col("checksum_sum"))
+        assert j.count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_disk_roundtrip_writeseq(spark, tok):
+    """Encoded streams survive a parquet write/read cycle byte-identically
+    (the tests/writeseq.c analog)."""
+    path = tempfile.mkdtemp(prefix="svb_disk_")
+    try:
+        enc = encode_table(tok, codec="auto")
+        enc.write.mode("overwrite").parquet(path + "/enc")
+        back = spark.read.parquet(path + "/enc")
+        assert verify_roundtrip(tok, decode_table(back)) == 0
+        # byte identity of the binary column itself
+        a = {r.doc_id: bytes(r.encoded) for r in enc.collect()}
+        b = {r.doc_id: bytes(r.encoded) for r in back.collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = synth_media_table(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    texts = {str(r.doc_id): r.text for r in docs.collect()}
+    for r in feats[:20]:
+        raw = texts[r.doc_id].encode()
+        assert r.n_bytes == len(raw)
+        assert r.byte_sum == sum(raw)
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-3
+
+
+def test_decode_stub_gated(spark):
+    from streamvbyte_spark.operators.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_salted_and_range_partitioning(spark, tok):
+    enc_r = encode_table(tok, codec="svb", range_partitions=4)
+    enc_s = encode_table(tok, codec="svb", salt_partitions=4)
+    assert enc_r.count() == enc_s.count() == tok.count()
+    assert verify_roundtrip(tok, decode_table(enc_r)) == 0
