@@ -239,6 +239,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_by_source"] = metrics_by_source
 
+    # -- time-windowed aggregation over events (batch analog of the
+    # streaming window; SURVEY.md §2.2 grouping/windows) ---------------------
+    def events_hourly(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer cents: exact cross-engine sums (double-sum order differs)
+        cents = F.expr("cast(round(value * 100) as bigint)")
+        return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+                .agg(F.count("*").alias("events"),
+                     F.sum(cents).alias("sum_value_cents")))
+
+    q["events_hourly"] = events_hourly
+
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
@@ -291,6 +303,11 @@ def build_oracles() -> dict[str, str]:
             f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
             f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",
     }
+    o["events_hourly"] = (
+        "select date_trunc('hour', ts) as hour, event_type, "
+        "count(*) as events, "
+        "sum(cast(round(value * 100) as bigint))::bigint as sum_value_cents "
+        "from events group by 1, 2")
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)

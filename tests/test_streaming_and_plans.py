@@ -1,0 +1,92 @@
+"""Structured-streaming encode path + physical-plan shape assertions."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamvbyte_spark.operators import decode_table, verify_roundtrip
+from streamvbyte_spark.operators.lineage import completed_buckets
+from streamvbyte_spark.plans import assert_broadcast_join, count_exchanges, plan_string
+from streamvbyte_spark.plans.explain import scan_read_schema
+from streamvbyte_spark.session import get_spark
+from streamvbyte_spark.sources import synthetic_tokens, tokens_from_documents
+from streamvbyte_spark.streaming import encode_token_stream, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="stream-tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_streaming_encode_availablenow(spark):
+    tmp = tempfile.mkdtemp(prefix="svb_stream_")
+    try:
+        tok = synthetic_tokens(spark, 200, avg_len=64, seed=3, partitions=2)
+        tok.write.mode("overwrite").parquet(tmp + "/in")
+        enc_stream = encode_token_stream(spark, tmp + "/in", codec="auto")
+        assert enc_stream.isStreaming
+        (enc_stream.writeStream.format("parquet")
+         .option("path", tmp + "/out")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start().awaitTermination(120))
+        enc = spark.read.parquet(tmp + "/out")
+        assert enc.count() == 200
+        orig = spark.read.parquet(tmp + "/in")
+        assert verify_roundtrip(orig, decode_table(enc)) == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_windowed_watermark(spark):
+    tmp = tempfile.mkdtemp(prefix="svb_stream_ev_")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.write.mode("overwrite").parquet(tmp + "/in")
+        stream = (spark.readStream.schema(ev.schema).parquet(tmp + "/in"))
+        agg = windowed_event_counts(stream)
+        assert agg.isStreaming
+        (agg.writeStream.format("memory").queryName("ev_counts")
+         .outputMode("append").trigger(availableNow=True).start().awaitTermination(120))
+        got = spark.sql("select sum(events) as n from ev_counts").collect()[0].n
+        # append mode emits only windows closed by the watermark;
+        # everything except the final watermark horizon must be out
+        assert got is not None and got > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_resume_join_broadcasts_lineage(spark):
+    tok = tokens_from_documents(spark, SF)
+    done = spark.createDataFrame([(1,), (2,)], "bucket int")
+    work = tok.withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(8))).join(
+        F.broadcast(done), "bucket", "left_anti")
+    assert_broadcast_join(work)
+
+
+def test_encode_adds_no_shuffle(spark):
+    from streamvbyte_spark.operators import encode_table
+    tok = tokens_from_documents(spark, SF)
+    enc = encode_table(tok, codec="auto")  # no repartition requested
+    assert count_exchanges(enc) == 0  # map-only pipeline: scan -> UDF
+
+
+def test_size_query_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rs = scan_read_schema(docs)
+    assert "lang" not in rs and "n_chars" not in rs, rs
+
+
+def test_plan_has_pushed_filter(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").where(F.col("source") == "src1")
+    plan = plan_string(df, "formatted")
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" in plan or \
+           "EqualTo(source,src1)" in plan, plan
