@@ -40,6 +40,31 @@ CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
 VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+_ARANGES: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Process-lifetime scratch buffer (Spark reuses Python workers, so the
+    page-fault cost of large transient allocations is paid once, not per
+    batch — a real lever on hosts with slow first-touch memory)."""
+    a = _SCRATCH.get(name)
+    if a is None or a.size < size or a.dtype != np.dtype(dtype):
+        a = np.empty(int(size * 5 // 4) + 16, dtype=dtype)
+        _SCRATCH[name] = a
+    return a[:size]
+
+
+def _cached_arange(n: int, dtype) -> np.ndarray:
+    """Read-only 0..n-1 view (grown on demand, never refilled)."""
+    key = np.dtype(dtype).str
+    a = _ARANGES.get(key)
+    if a is None or a.size < n:
+        a = np.arange(max(int(n * 5 // 4) + 16, 1024), dtype=dtype)
+        _ARANGES[key] = a
+    return a[:n]
+
+
 def _seg_sum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row sums of x (len V) for rows bounded by offsets (len R+1)."""
     c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
@@ -99,19 +124,27 @@ def _svb_encode_rows(flat: np.ndarray, offsets: np.ndarray, scheme0124: bool):
         return np.zeros(total_out, dtype=np.uint8), out_offsets
 
     out = np.zeros(total_out + 4, dtype=np.uint8)  # +4: surplus of final value (0124 zero has len 0)
-    intra = np.arange(V, dtype=np.int64)
-    intra -= np.repeat(offsets[:-1], nr)
-    # data bytes: per-value start positions within out
-    ends = np.cumsum(lens)
-    starts_g = ends - lens
-    row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
-    dest_val_start = starts_g - np.repeat(row_data_base - out_offsets[:-1] - key_len, nr)
-    idx4 = (dest_val_start[:, None] + np.arange(4, dtype=np.int64)).ravel()
+    # index math in int32 (half the memory traffic) unless the batch is huge
+    idt = np.int32 if total_out + 4 < 2**31 and V * 4 < 2**31 else np.int64
+    ends = np.cumsum(lens, dtype=np.int64)
+    # data bytes: per-value destination = global byte start minus the row's
+    # data base plus the row's (out offset + control length)
+    dest = _scratch("enc_dest", V, idt)
+    np.subtract(ends, lens, out=dest, casting="unsafe")
+    row_adj = (np.concatenate([[0], ends])[offsets[:-1]]
+               - out_offsets[:-1] - key_len).astype(idt)
+    dest -= np.repeat(row_adj, nr)
+    idx4 = _scratch("enc_idx4", V * 4, idt)
+    np.add(dest[:, None], _cached_arange(4, idt), out=idx4.reshape(V, 4))
     out[idx4] = flat.view(np.uint8)  # ordered overwrite scatter
     # control bytes: per-row zero-padded code quads, packed LSB-first
+    intra = _scratch("enc_intra", V, idt)
+    np.subtract(_cached_arange(V, idt), np.repeat(offsets[:-1].astype(idt), nr),
+                out=intra)
     pad_starts = np.concatenate([[0], np.cumsum(4 * key_len)])
-    padded = np.zeros(int(pad_starts[-1]), dtype=np.uint8)
-    padded[np.repeat(pad_starts[:-1], nr) + intra] = codes
+    padded = _scratch("enc_padded", int(pad_starts[-1]), np.uint8)
+    padded[:] = 0
+    padded[np.repeat(pad_starts[:-1].astype(idt), nr) + intra] = codes
     q = padded.reshape(-1, 4)
     ctrl = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6))
     K = ctrl.size
@@ -137,24 +170,35 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
     ctrl = enc[np.repeat(enc_offsets[:-1], key_len) + ctrl_intra]
     codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
-    intra = np.arange(V, dtype=np.int64)
-    intra -= np.repeat(offsets[:-1], nr)
-    codes = codes_padded[np.repeat(4 * ctrl_starts[:-1], nr) + intra]
+    idt = np.int32 if enc.size + 4 < 2**31 and V * 4 < 2**31 else np.int64
+    intra = _scratch("dec_intra", V, idt)
+    np.subtract(_cached_arange(V, idt), np.repeat(offsets[:-1].astype(idt), nr),
+                out=intra)
+    codes = codes_padded[np.repeat((4 * ctrl_starts[:-1]).astype(idt), nr) + intra]
     lens = _LEN_0124[codes] if scheme0124 else codes.astype(np.int64) + 1
     ends = np.cumsum(lens)
-    starts_g = ends - lens
     row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
-    src = starts_g - np.repeat(row_data_base - enc_offsets[:-1] - key_len, nr)
+    src = _scratch("dec_src", V, idt)
+    np.subtract(ends, lens, out=src, casting="unsafe")
+    src -= np.repeat((row_data_base - enc_offsets[:-1] - key_len).astype(idt), nr)
     # 4 flat gathers from a 4-byte-padded buffer + per-code mask LUT:
     # the NumPy analog of the reference's unconditional 16B SIMD load +
     # shuffle-mask (src/streamvbyte_x64_decode.c:10-26); pad 4 because a
     # 0124 zero (len 0) at stream end has src == enc.size
-    enc_p = np.zeros(enc.size + 4, dtype=np.uint8)
+    enc_p = _scratch("dec_encp", enc.size + 4, np.uint8)
     enc_p[:enc.size] = enc
-    vals = enc_p[src].astype(np.uint32)
-    vals |= enc_p[src + 1].astype(np.uint32) << np.uint32(8)
-    vals |= enc_p[src + 2].astype(np.uint32) << np.uint32(16)
-    vals |= enc_p[src + 3].astype(np.uint32) << np.uint32(24)
+    enc_p[enc.size:] = 0
+    b = _scratch("dec_b", V, np.uint8)
+    tmp = _scratch("dec_tmp", V, np.uint32)
+    vals = np.empty(V, dtype=np.uint32)
+    np.take(enc_p, src, out=b)
+    vals[:] = b
+    for shift in (8, 16, 24):
+        src += 1
+        np.take(enc_p, src, out=b)
+        tmp[:] = b        # widen u8 -> u32 (scalar-shift in u8 would be 0)
+        tmp <<= shift
+        vals |= tmp
     vals &= _MASK_BY_LEN[lens]
     return vals, offsets
 
@@ -267,9 +311,20 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
     else:
         codec_ids = np.full(R, CODEC_ID[codec], dtype=np.int32)
 
+    unique_cids = np.unique(codec_ids)
+    # fast path: homogeneous batch -> no subset, no reassembly copy
+    if unique_cids.size == 1:
+        name = CODEC_NAMES[unique_cids[0]]
+        if name in ("svb", "svb0124"):
+            out, ooff = _svb_encode_rows(flat, offsets, name == "svb0124")
+            return out, ooff, codec_ids
+        if name == "svb_delta":
+            out, ooff = _svb_encode_rows(_row_deltas(flat, offsets), offsets, False)
+            return out, ooff, codec_ids
+
     groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     sizes = np.zeros(R, dtype=np.int64)
-    for cid in np.unique(codec_ids):
+    for cid in unique_cids:
         rows = np.flatnonzero(codec_ids == cid)
         name = CODEC_NAMES[cid]
         if rows.size == R:
@@ -305,9 +360,16 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
     n_toks = np.asarray(n_toks, dtype=np.int64)
     codec_ids = np.asarray(codec_ids, dtype=np.int32)
     R = n_toks.size
+    unique_cids = np.unique(codec_ids)
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] in ("svb", "svb0124", "svb_delta"):
+        name = CODEC_NAMES[unique_cids[0]]
+        vals, offsets = _svb_decode_rows(enc, enc_offsets, n_toks, name == "svb0124")
+        if name == "svb_delta":
+            vals = _segmented_cumsum_u32(vals, offsets)
+        return vals, offsets
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
-    for cid in np.unique(codec_ids):
+    for cid in unique_cids:
         rows = np.flatnonzero(codec_ids == cid)
         name = CODEC_NAMES[cid]
         if rows.size == R:

@@ -55,21 +55,25 @@ def _as_u32(values) -> np.ndarray:
 
 
 def _lens_1234(v: np.ndarray) -> np.ndarray:
-    """Per-value data-byte counts, scheme 1234 (1..4)."""
+    """Per-value data-byte counts, scheme 1234 (1..4), as uint8.
+
+    Bool arrays are uint8 under the hood, so .view(np.uint8) makes the whole
+    classification allocation-light (no int64 upcasts); callers needing sums
+    pass dtype=int64 to cumsum/sum."""
     return (
-        1
-        + (v > np.uint32(0xFF)).astype(np.int64)
-        + (v > np.uint32(0xFFFF)).astype(np.int64)
-        + (v > np.uint32(0xFFFFFF)).astype(np.int64)
+        np.uint8(1)
+        + (v > np.uint32(0xFF)).view(np.uint8)
+        + (v > np.uint32(0xFFFF)).view(np.uint8)
+        + (v > np.uint32(0xFFFFFF)).view(np.uint8)
     )
 
 
 def _lens_0124(v: np.ndarray) -> np.ndarray:
-    """Per-value data-byte counts, scheme 0124 (0,1,2,4)."""
+    """Per-value data-byte counts, scheme 0124 (0,1,2,4), as uint8."""
     return (
-        (v > np.uint32(0)).astype(np.int64)
-        + (v > np.uint32(0xFF)).astype(np.int64)
-        + 2 * (v > np.uint32(0xFFFF)).astype(np.int64)
+        (v > np.uint32(0)).view(np.uint8)
+        + (v > np.uint32(0xFF)).view(np.uint8)
+        + np.uint8(2) * (v > np.uint32(0xFFFF)).view(np.uint8)
     )
 
 
@@ -92,7 +96,7 @@ def _unpack_codes(ctrl: np.ndarray, n: int) -> np.ndarray:
 def _scatter_data(v: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather the low `lens[i]` little-endian bytes of each value, concatenated."""
     n = v.size
-    ends = np.cumsum(lens)
+    ends = np.cumsum(lens, dtype=np.int64)
     total = int(ends[-1]) if n else 0
     starts = ends - lens
     val_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -150,7 +154,7 @@ def compressed_size(values) -> int:
     n = v.size
     if n == 0:
         return 0
-    return (n + 3) // 4 + int(_lens_1234(v).sum())
+    return (n + 3) // 4 + int(_lens_1234(v).sum(dtype=np.int64))
 
 
 def max_compressed_size(n: int) -> int:
@@ -197,7 +201,7 @@ def compressed_size_0124(values) -> int:
     n = v.size
     if n == 0:
         return 0
-    return (n + 3) // 4 + int(_lens_0124(v).sum())
+    return (n + 3) // 4 + int(_lens_0124(v).sum(dtype=np.int64))
 
 
 def validate_0124(buf, n: int) -> bool:
