@@ -34,38 +34,43 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 AVG_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_AVG_LEN", "512"))
 
 
-def throughput_job(spark, n_docs: int, partitions: int):
-    """Encode (auto) + decode the synthetic token table; returns metrics."""
-    tok = synthetic_tokens(spark, n_docs, avg_len=AVG_LEN, seed=42,
-                           partitions=partitions)
-    tok = tok.persist()
-    n_tokens, in_bytes = [
-        (r["nt"], r["ib"]) for r in
-        [tok.agg(F.sum("n_tok").alias("nt"), F.sum(F.lit(4) * F.col("n_tok")).alias("ib")).collect()[0]]
-    ][0]
+def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
+    """Encode (auto) + decode the synthetic token table; returns best-of-reps
+    metrics (first pass doubles as warm-up when reps > 1).
 
-    t0 = time.perf_counter()
-    enc = encode_table(tok, codec="auto")
-    out_bytes = enc.agg(F.sum("out_bytes")).collect()[0][0]
-    t_enc = time.perf_counter() - t0
+    The input table is generated+cached once (generation is not timed).  All
+    encode reps run BEFORE the encoded table is persisted — Spark's cache
+    manager substitutes cached data into any plan-identical query, which would
+    turn later encode passes into cache reads."""
+    tok = synthetic_tokens(spark, n_docs, avg_len=AVG_LEN, seed=42,
+                           partitions=partitions).persist()
+    n_tokens = int(tok.agg(F.sum("n_tok")).collect()[0][0])
+
+    enc_times, out_bytes = [], None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out_bytes = encode_table(tok, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
+        enc_times.append(time.perf_counter() - t0)
 
     enc = encode_table(tok, codec="auto").persist()
     enc.count()
-    t0 = time.perf_counter()
-    dec = decode_table(enc, verify_checksum=True)
-    dec_tokens = dec.agg(F.sum("n_tok")).collect()[0][0]
-    t_dec = time.perf_counter() - t0
-    assert dec_tokens == n_tokens
+    dec_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dec_tokens = decode_table(enc, verify_checksum=True).agg(F.sum("n_tok")).collect()[0][0]
+        dec_times.append(time.perf_counter() - t0)
+        assert dec_tokens == n_tokens
     enc.unpersist()
     tok.unpersist()
+    t_enc, t_dec = min(enc_times), min(dec_times)
     return {
-        "tokens": int(n_tokens),
+        "tokens": n_tokens,
         "encode_sec": t_enc,
         "decode_sec": t_dec,
         "encode_tok_per_sec": n_tokens / t_enc,
         "decode_tok_per_sec": n_tokens / t_dec,
         "bytes_per_token": out_bytes / n_tokens,
-        "ratio": out_bytes / in_bytes,
+        "ratio": out_bytes / (4 * n_tokens),
     }
 
 

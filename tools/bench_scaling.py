@@ -30,11 +30,8 @@ def run_level(cores: int, n_docs: int, partitions: int) -> dict:
     spark = get_spark(app=f"scaling-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    bench.throughput_job(spark, max(n_docs // 10, 1000), partitions=partitions)
-    reps = [bench.throughput_job(spark, n_docs, partitions=partitions)
-            for _ in range(2)]
+    best = bench.throughput_job(spark, n_docs, partitions=partitions, reps=4)
     spark.stop()
-    best = min(reps, key=lambda m: m["encode_sec"] + m["decode_sec"])
     return best
 
 
@@ -70,10 +67,13 @@ def _write_md(r: dict):
 
 Same encode(auto)+decode job, same deterministic synthetic token table
 ({r['n_docs']} docs, {r['tokens']:,} tokens, FIXTURES.md families), same
-partition count, run at two parallelism levels — local[{r['n_cores']}] (N) vs
-local[{r['n4_cores']}] (4N), the sandbox stand-in for N vs 4N executors.
-Warm-up pass then best of 2 measured passes per level (cold-page memory on
-this sandbox is noisy). Reproduce: `python tools/bench_scaling.py {r['n_cores']} {r['n_docs']}`.
+partition count (= task granularity), run at two parallelism levels —
+local[{r['n_cores']}] (N) vs local[{r['n4_cores']}] (4N), the sandbox stand-in
+for N vs 4N executors. Input generated+cached once per level (generation not
+timed); best of 4 measured passes per direction (this sandbox's page-fault
+cost is noisy); all encode passes run before the encoded table is ever
+persisted, so Spark's plan-cache substitution cannot turn encode into a cache
+read. Reproduce: `python tools/bench_scaling.py {r['n_cores']} {r['n_docs']}`.
 
 | metric | N = {r['n_cores']} cores | 4N = {r['n4_cores']} cores | efficiency = T(4N)/(4*T(N)) |
 |---|---|---|---|
