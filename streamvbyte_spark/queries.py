@@ -176,6 +176,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["svb0124_roundtrip"] = make_roundtrip("svb0124", "documents")
     q["delta_roundtrip_postings"] = make_roundtrip("svb_delta", "postings")
     q["auto_roundtrip"] = make_roundtrip("auto", "documents")
+    # FSST-style symbol-table codec: per-row symbol table is not
+    # SQL-expressible, but decode(encode(x)) == x gives an exact identity
+    # oracle, so fsst gets full value-level verification anyway
+    q["fsst_roundtrip"] = make_roundtrip("fsst", "documents")
 
     def zigzag_roundtrip(spark, sf_dir, delta=False):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -277,6 +281,7 @@ def build_oracles() -> dict[str, str]:
         "delta_roundtrip_postings":
             f"select doc_id, tokens, cast(n_tok as int) as n_tok, source from ({post})",
         "auto_roundtrip": identity_doc,
+        "fsst_roundtrip": identity_doc,
         "zigzag_roundtrip_embeddings":
             f"select cast(vec_id as varchar) as vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings",
         "zzdelta_roundtrip_embeddings":
