@@ -280,6 +280,8 @@ def zigzag_decode(values) -> np.ndarray:
 def zigzag_delta_encode(values, prev: int = 0) -> np.ndarray:
     """Diff-then-zigzag composition (src/streamvbyte_zigzag.c:13-18)."""
     v = np.ascontiguousarray(np.asarray(values, dtype=np.int32))
+    if v.size == 0:
+        return np.zeros(0, dtype=np.uint32)
     u = v.view(np.uint32)
     shifted = np.empty_like(u)
     shifted[0] = np.uint32(prev & 0xFFFFFFFF)

@@ -1,0 +1,73 @@
+"""Hypothesis property tests: the codec contracts hold for arbitrary inputs,
+not just the fixture families."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from streamvbyte_spark.codec import batched, core, select
+
+u32_arrays = arrays(np.uint32, st.integers(0, 300),
+                    elements=st.integers(0, 2**32 - 1))
+i32_arrays = arrays(np.int32, st.integers(0, 300),
+                    elements=st.integers(-(2**31), 2**31 - 1))
+
+
+@settings(max_examples=150, deadline=None)
+@given(u32_arrays)
+def test_every_codec_roundtrips_and_costs_exactly(v):
+    for name, codec in select.REGISTRY.items():
+        buf = codec.encode(v)
+        assert len(buf) == codec.cost(v), name
+        np.testing.assert_array_equal(codec.decode(buf, v.size), v, err_msg=name)
+
+
+@settings(max_examples=150, deadline=None)
+@given(u32_arrays)
+def test_selector_never_beaten_by_reference(v):
+    name, cost = select.choose(v)
+    assert cost <= core.compressed_size(v)
+    assert len(select.REGISTRY[name].encode(v)) == cost
+
+
+@settings(max_examples=150, deadline=None)
+@given(u32_arrays, st.integers(0, 2**32 - 1))
+def test_delta_roundtrip_any_prev(v, prev):
+    buf = core.delta_encode(v, prev=prev)
+    np.testing.assert_array_equal(core.delta_decode(buf, v.size, prev=prev), v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(i32_arrays, st.integers(-(2**31), 2**31 - 1))
+def test_zigzag_streams(v, prev):
+    np.testing.assert_array_equal(
+        core.decode_zigzag_stream(core.encode_zigzag_stream(v), v.size), v)
+    np.testing.assert_array_equal(
+        core.decode_zzdelta_stream(core.encode_zzdelta_stream(v, prev), v.size, prev), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(u32_arrays, min_size=0, max_size=12))
+def test_batched_matches_core_per_row(rows):
+    flat = (np.concatenate(rows) if rows else np.zeros(0, np.uint32)).astype(np.uint32)
+    offsets = np.concatenate([[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    n_toks = np.array([r.size for r in rows], dtype=np.int64)
+    for i, r in enumerate(rows):
+        name = batched.CODEC_NAMES[cids[i]]
+        assert out[ooff[i]:ooff[i + 1]].tobytes() == select.REGISTRY[name].encode(r)
+    vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+    np.testing.assert_array_equal(vflat, flat)
+
+
+@settings(max_examples=100, deadline=None)
+@given(u32_arrays)
+def test_validate_accepts_exact_rejects_perturbed(v):
+    buf = core.encode(v)
+    assert core.validate(buf, v.size)
+    if v.size:
+        assert not core.validate(buf + b"\x01", v.size)
+        assert not core.validate(buf[:-1] if len(buf) > (v.size + 3) // 4 else b"", v.size)

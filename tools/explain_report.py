@@ -1,0 +1,62 @@
+"""Dump .explain('formatted') for the headline queries into PLANS.md so the
+plan shapes are reviewable (and diffable round over round).
+
+Run: python tools/explain_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from streamvbyte_spark.plans.explain import count_exchanges, plan_string
+from streamvbyte_spark.session import get_spark
+
+HEADLINE = [
+    "auto_roundtrip", "auto_size", "delta_roundtrip_postings",
+    "metrics_by_source", "dedup_minhash_pairs", "ann_topk", "events_hourly",
+]
+
+NOTES = {
+    "auto_roundtrip": "Expected: scan -> ArrowEvalPython/MapInArrow x2, ZERO "
+                      "shuffle Exchanges (map-only encode+decode pipeline).",
+    "auto_size": "Expected: map-only; ReadSchema pruned to the columns the "
+                 "tokenizer needs (doc_id, text, source).",
+    "delta_roundtrip_postings": "One Exchange for the groupBy(l_partkey) "
+                                "posting-list build; encode/decode add none.",
+    "metrics_by_source": "Partial (map-side) HashAggregate before the "
+                         "Exchange, final after — sums combine map-side.",
+    "dedup_minhash_pairs": "Band build is map-only; ONE shuffle on the "
+                           "band-key equi-join + one for the group-by.",
+    "ann_topk": "Small query side should broadcast (BroadcastHashJoin / "
+                "BroadcastNestedLoopJoin on qid != cid).",
+    "events_hourly": "Partial agg + single Exchange on (hour, event_type).",
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = ["# PLANS — physical plans of headline queries (auto-generated)\n",
+           f"`python tools/explain_report.py {sf_dir}`\n"]
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        n_ex = count_exchanges(df)
+        plan = plan_string(df, "formatted")
+        # keep reports readable: formatted header section only
+        head = plan.split("\n\n")[0]
+        out.append(f"\n## {name}\n\n{NOTES.get(name, '')}\n"
+                   f"\nShuffle exchanges: **{n_ex}**\n\n```\n{head}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
