@@ -251,6 +251,40 @@ def q_embedding_neardup(d: Dialect) -> str:
     )
 
 
+def q_ann_lsh(d: Dialect) -> str:
+    """LSH-bucketed ANN — the scale path for similarity search: random-
+    hyperplane signs bucket the vectors; candidates are same-bucket only, so
+    at 10^12 vectors the join shuffles each side once on a small bucket key
+    instead of a cross join.  Hyperplane k component i = ((a_k*(i+1)+b_k) mod 7)
+    - 3 (deterministic integers -> exact BIGINT dots -> exact oracle)."""
+    planes = [(13 + 6 * k, 5 + 11 * k) for k in range(4)]
+    v = _qemb(d)
+    bits = []
+    for k, (a, b) in enumerate(planes):
+        if d.kind == "spark":
+            dot = (f"aggregate(zip_with(v, sequence(1, 64), (x, i) -> "
+                   f"cast(x as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)), "
+                   f"cast(0 as bigint), (acc, y) -> acc + y)")
+        else:
+            dot = (f"list_sum(list_transform(range(1, 65), i -> "
+                   f"cast(v[i] as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)))")
+        bits.append(f"(case when ({dot}) >= 0 then {1 << k} else 0 end)")
+    bucket = " + ".join(bits)
+    e = f"select vec_id, {v} as v from embeddings"
+    dot_qc = _dot(d, "q.v", "c.v")
+    return (
+        f"with e as ({e}), "
+        f"b as (select vec_id, v, ({bucket}) as bucket from e), "
+        "q as (select * from b where vec_id < 10), "
+        f"scored as (select q.vec_id as qid, c.vec_id as cid, {dot_qc} as dot "
+        " from q join b c on q.bucket = c.bucket and q.vec_id != c.vec_id), "
+        "ranked as (select qid, cid, dot, row_number() over "
+        " (partition by qid order by dot desc, cid) as rnk from scored) "
+        "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
+        "dot as dot_sim, rnk as rank from ranked where rnk <= 5"
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_token_count(d: Dialect) -> str:
@@ -316,6 +350,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
     "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
