@@ -321,6 +321,9 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if name == "svb_delta":
             out, ooff = _svb_encode_rows(_row_deltas(flat, offsets), offsets, False)
             return out, ooff, codec_ids
+        if name == "rle":
+            out, ooff = _rle_encode_rows(flat, offsets)
+            return out, ooff, codec_ids
 
     groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     sizes = np.zeros(R, dtype=np.int64)
@@ -335,6 +338,8 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
             enc, eoff = _svb_encode_rows(sub_flat, sub_offsets, name == "svb0124")
         elif name == "svb_delta":
             enc, eoff = _svb_encode_rows(_row_deltas(sub_flat, sub_offsets), sub_offsets, False)
+        elif name == "rle":
+            enc, eoff = _rle_encode_rows(sub_flat, sub_offsets)
         else:
             fn = select.REGISTRY[name].encode
             bufs = [fn(sub_flat[sub_offsets[i]:sub_offsets[i + 1]]) for i in range(rows.size)]
@@ -367,6 +372,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         if name == "svb_delta":
             vals = _segmented_cumsum_u32(vals, offsets)
         return vals, offsets
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "rle":
+        return _rle_decode_rows(enc, enc_offsets, n_toks)
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
     for cid in unique_cids:
@@ -381,6 +388,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
             vals, voff = _svb_decode_rows(sub_enc, sub_eoff, sub_n, name == "svb0124")
             if name == "svb_delta":
                 vals = _segmented_cumsum_u32(vals, voff)
+        elif name == "rle":
+            vals, voff = _rle_decode_rows(sub_enc, sub_eoff, sub_n)
         else:
             fn = select.REGISTRY[name].decode
             parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))
@@ -512,3 +521,104 @@ def decode_delta_rows_prev(enc: np.ndarray, enc_offsets: np.ndarray,
     nr = offsets[1:] - offsets[:-1]
     out += np.repeat(np.asarray(prev).astype(np.int64).astype(np.uint32), nr)
     return out, offsets
+
+
+# ----------------------------------------------------------------- batched rle
+
+def _rle_runs(flat: np.ndarray, offsets: np.ndarray):
+    """Global run extraction (runs never cross row boundaries)."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    is_start = np.ones(flat.size, dtype=bool)
+    is_start[1:] = flat[1:] != flat[:-1]
+    row_starts = offsets[:-1][nr > 0]
+    is_start[row_starts] = True
+    run_pos = np.flatnonzero(is_start)
+    run_vals = flat[run_pos]
+    run_ends = np.concatenate([run_pos[1:], [flat.size]])
+    run_lens = (run_ends - run_pos).astype(np.uint32)
+    runs_per_row = _seg_sum(is_start.astype(np.int64), offsets)
+    run_offsets = np.concatenate([[0], np.cumsum(runs_per_row)])
+    return run_vals, run_lens, runs_per_row, run_offsets
+
+
+def _place_segments(out, seg, seg_offsets, dest_starts):
+    """Copy per-row segments of `seg` into `out` at per-row dest_starts."""
+    sizes = seg_offsets[1:] - seg_offsets[:-1]
+    total = int(seg_offsets[-1])
+    if total == 0:
+        return
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg_offsets[:-1], sizes)
+    out[np.repeat(dest_starts, sizes) + intra] = seg[:total]
+
+
+def _rle_encode_rows(flat: np.ndarray, offsets: np.ndarray):
+    """Batched RLE (same byte layout as companions.rle_encode): per row
+    [nruns u32 LE][len(svb vals) u32 LE][svb(run values)][svb(run lengths)]."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(R + 1, dtype=np.int64)
+    run_vals, run_lens, runs_per_row, run_offsets = _rle_runs(flat, offsets)
+    sv, svo = _svb_encode_rows(run_vals, run_offsets, False)
+    sl, slo = _svb_encode_rows(run_lens, run_offsets, False)
+    svsz = svo[1:] - svo[:-1]
+    slsz = slo[1:] - slo[:-1]
+    sizes = np.where(nr > 0, 8 + svsz + slsz, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    live = nr > 0
+    hdr_idx = (out_offsets[:-1][live, None] + np.arange(4, dtype=np.int64))
+    out[hdr_idx] = runs_per_row[live].astype("<u4").view(np.uint8).reshape(-1, 4)
+    out[hdr_idx + 4] = svsz[live].astype("<u4").view(np.uint8).reshape(-1, 4)
+    _place_segments(out, sv, svo, out_offsets[:-1] + 8)
+    _place_segments(out, sl, slo, out_offsets[:-1] + 8 + svsz)
+    return out, out_offsets
+
+
+def _rle_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray):
+    """Inverse of _rle_encode_rows, whole-batch."""
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    live = np.flatnonzero(n_toks > 0)
+    if live.size == 0:
+        return flat, offsets
+    starts = enc_offsets[:-1][live]
+    nruns = enc[(starts[:, None] + np.arange(4, dtype=np.int64))].copy().view("<u4").ravel().astype(np.int64)
+    len_sv = enc[(starts[:, None] + 4 + np.arange(4, dtype=np.int64))].copy().view("<u4").ravel().astype(np.int64)
+    run_offsets = np.concatenate([[0], np.cumsum(nruns)])
+    # gather the two concatenated sub-streams
+    sv_off = np.concatenate([[0], np.cumsum(len_sv)])
+    sv_cat = np.empty(int(sv_off[-1]), dtype=np.uint8)
+    _gather_segments(sv_cat, enc, starts + 8, len_sv, sv_off)
+    row_sizes = enc_offsets[1:] - enc_offsets[:-1]
+    len_sl = row_sizes[live] - 8 - len_sv
+    sl_off = np.concatenate([[0], np.cumsum(len_sl)])
+    sl_cat = np.empty(int(sl_off[-1]), dtype=np.uint8)
+    _gather_segments(sl_cat, enc, starts + 8 + len_sv, len_sl, sl_off)
+    run_vals, _ = _svb_decode_rows(sv_cat, sv_off, nruns, False)
+    run_lens, _ = _svb_decode_rows(sl_cat, sl_off, nruns, False)
+    expanded = np.repeat(run_vals, run_lens.astype(np.int64))
+    # expanded is concatenated in live-row order == flat's live region order
+    exp_sizes = _seg_sum(run_lens.astype(np.int64), run_offsets)
+    exp_off = np.concatenate([[0], np.cumsum(exp_sizes)])
+    _place_segments_u32(flat, expanded, exp_off, offsets[:-1][live])
+    return flat, offsets
+
+
+def _gather_segments(dst, src, src_starts, sizes, dst_offsets):
+    total = int(dst_offsets[-1])
+    if total == 0:
+        return
+    intra = np.arange(total, dtype=np.int64) - np.repeat(dst_offsets[:-1], sizes)
+    dst[:] = src[np.repeat(src_starts, sizes) + intra]
+
+
+def _place_segments_u32(out, seg, seg_offsets, dest_starts):
+    sizes = seg_offsets[1:] - seg_offsets[:-1]
+    total = int(seg_offsets[-1])
+    if total == 0:
+        return
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg_offsets[:-1], sizes)
+    out[np.repeat(dest_starts, sizes) + intra] = seg[:total]
