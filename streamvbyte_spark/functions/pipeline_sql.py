@@ -50,7 +50,8 @@ class Dialect:
         return f"split({s}, ' ')" if self.kind == "spark" else f"string_split({s}, ' ')"
 
     def alen(self, x: str) -> str:
-        return f"size({x})" if self.kind == "spark" else f"len({x})"
+        # cast: DuckDB len() is BIGINT, Spark size() is INT — align schemas
+        return f"size({x})" if self.kind == "spark" else f"cast(len({x}) as int)"
 
     def transform(self, x: str, lam: str) -> str:
         fn = "transform" if self.kind == "spark" else "list_transform"
@@ -227,7 +228,7 @@ def q_ann_topk(d: Dialect) -> str:
         "ranked as (select qid, cid, dot, "
         " row_number() over (partition by qid order by dot desc, cid) as rnk from scored) "
         "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
-        "dot as dot_sim, rnk as rank from ranked where rnk <= 5"
+        "dot as dot_sim, cast(rnk as int) as rank from ranked where rnk <= 5"
     )
 
 
@@ -247,7 +248,7 @@ def q_embedding_neardup(d: Dialect) -> str:
         " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) as cos_sim, "
         " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "
         "select cast(id_a as string) as id_a, cast(id_b as string) as id_b, "
-        "cos_sim, rnk as rank from ranked where rnk <= 50"
+        "cos_sim, cast(rnk as int) as rank from ranked where rnk <= 50"
     )
 
 
@@ -281,7 +282,7 @@ def q_ann_lsh(d: Dialect) -> str:
         "ranked as (select qid, cid, dot, row_number() over "
         " (partition by qid order by dot desc, cid) as rnk from scored) "
         "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
-        "dot as dot_sim, rnk as rank from ranked where rnk <= 5"
+        "dot as dot_sim, cast(rnk as int) as rank from ranked where rnk <= 5"
     )
 
 

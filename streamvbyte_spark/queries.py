@@ -38,7 +38,7 @@ from .sources import posting_lists, tokens_from_documents
 DOC_TOKENS_SQL = (
     "select cast(doc_id as varchar) as doc_id, "
     f"{duckdb_tokens_expr('text')} as tokens, "
-    f"len({duckdb_tokens_expr('text')}) as n_tok, "
+    f"cast(len({duckdb_tokens_expr('text')}) as int) as n_tok, "
     "source from documents"
 )
 
@@ -46,7 +46,7 @@ DOC_TOKENS_SQL = (
 POSTING_SQL = (
     "select cast(l_partkey as varchar) as doc_id, "
     "list(l_orderkey order by l_orderkey) as tokens, "
-    "count(*) as n_tok, 'lineitem' as source "
+    "cast(count(*) as int) as n_tok, 'lineitem' as source "
     "from lineitem group by l_partkey"
 )
 
