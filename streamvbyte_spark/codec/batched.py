@@ -324,6 +324,12 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if name == "rle":
             out, ooff = _rle_encode_rows(flat, offsets)
             return out, ooff, codec_ids
+        if name in ("bitpack", "for"):
+            out, ooff = _bitpack_encode_rows(flat, offsets, name == "for")
+            return out, ooff, codec_ids
+        if name == "dict":
+            out, ooff = _dict_encode_rows(flat, offsets)
+            return out, ooff, codec_ids
 
     groups: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     sizes = np.zeros(R, dtype=np.int64)
@@ -340,6 +346,10 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
             enc, eoff = _svb_encode_rows(_row_deltas(sub_flat, sub_offsets), sub_offsets, False)
         elif name == "rle":
             enc, eoff = _rle_encode_rows(sub_flat, sub_offsets)
+        elif name in ("bitpack", "for"):
+            enc, eoff = _bitpack_encode_rows(sub_flat, sub_offsets, name == "for")
+        elif name == "dict":
+            enc, eoff = _dict_encode_rows(sub_flat, sub_offsets)
         else:
             fn = select.REGISTRY[name].encode
             bufs = [fn(sub_flat[sub_offsets[i]:sub_offsets[i + 1]]) for i in range(rows.size)]
@@ -374,6 +384,11 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         return vals, offsets
     if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "rle":
         return _rle_decode_rows(enc, enc_offsets, n_toks)
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] in ("bitpack", "for"):
+        return _bitpack_decode_rows(enc, enc_offsets, n_toks,
+                                    CODEC_NAMES[unique_cids[0]] == "for")
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "dict":
+        return _dict_decode_rows(enc, enc_offsets, n_toks)
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
     for cid in unique_cids:
@@ -390,6 +405,10 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
                 vals = _segmented_cumsum_u32(vals, voff)
         elif name == "rle":
             vals, voff = _rle_decode_rows(sub_enc, sub_eoff, sub_n)
+        elif name in ("bitpack", "for"):
+            vals, voff = _bitpack_decode_rows(sub_enc, sub_eoff, sub_n, name == "for")
+        elif name == "dict":
+            vals, voff = _dict_decode_rows(sub_enc, sub_eoff, sub_n)
         else:
             fn = select.REGISTRY[name].decode
             parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))
@@ -622,3 +641,170 @@ def _place_segments_u32(out, seg, seg_offsets, dest_starts):
         return
     intra = np.arange(total, dtype=np.int64) - np.repeat(seg_offsets[:-1], sizes)
     out[np.repeat(dest_starts, sizes) + intra] = seg[:total]
+
+
+# ----------------------------------------- batched bit-pack / FOR / dictionary
+
+def _pack_bits_rows(codes: np.ndarray, offsets: np.ndarray, widths: np.ndarray):
+    """Per-row LSB-first bit packing with per-row widths; each row's section
+    starts byte-aligned. Returns (packed bytes, byte offsets per row)."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    cb = (nr * widths + 7) // 8
+    byte_off = np.concatenate([[0], np.cumsum(cb)])
+    total_bits = int(byte_off[-1]) * 8
+    if total_bits == 0:
+        return np.zeros(0, np.uint8), byte_off
+    dense = np.zeros(total_bits, dtype=np.uint8)
+    w_per_val = np.repeat(widths, nr)
+    intra = np.arange(int(nr.sum()), dtype=np.int64) - np.repeat(offsets[:-1], nr)
+    val_bit_start = np.repeat(8 * byte_off[:-1], nr) + intra * w_per_val
+    total_val_bits = int(w_per_val.sum())
+    if total_val_bits:
+        bit_ends = np.cumsum(w_per_val)
+        ramp = np.arange(total_val_bits, dtype=np.int64) - np.repeat(bit_ends - w_per_val, w_per_val)
+        pos = np.repeat(val_bit_start, w_per_val) + ramp
+        bits = (np.repeat(codes.astype(np.uint64), w_per_val) >> ramp.astype(np.uint64)) & np.uint64(1)
+        dense[pos] = bits.astype(np.uint8)
+    return np.packbits(dense, bitorder="little"), byte_off
+
+
+def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
+                      widths: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_bits_rows; returns per-value codes (concatenated)."""
+    V = int(nr.sum())
+    if V == 0:
+        return np.zeros(0, np.uint32)
+    dense = np.unpackbits(packed, bitorder="little")
+    offsets = np.concatenate([[0], np.cumsum(nr)])
+    w_per_val = np.repeat(widths, nr)
+    intra = np.arange(V, dtype=np.int64) - np.repeat(offsets[:-1], nr)
+    val_bit_start = np.repeat(8 * byte_off[:-1], nr) + intra * w_per_val
+    codes = np.zeros(V, dtype=np.uint64)
+    total_val_bits = int(w_per_val.sum())
+    if total_val_bits:
+        bit_ends = np.cumsum(w_per_val)
+        ramp = np.arange(total_val_bits, dtype=np.int64) - np.repeat(bit_ends - w_per_val, w_per_val)
+        pos = np.repeat(val_bit_start, w_per_val) + ramp
+        contrib = dense[pos].astype(np.uint64) << ramp.astype(np.uint64)
+        c = np.concatenate([[0], np.cumsum(contrib)])
+        vb_off = np.concatenate([[0], bit_ends])
+        codes = (c[vb_off[1:]] - c[vb_off[:-1]]).astype(np.uint64)
+    return codes.astype(np.uint32)
+
+
+def _bitpack_encode_rows(flat, offsets, frame_of_ref: bool):
+    """Batched bitpack (header 1B width [+4B base for FOR]) per row."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(R + 1, dtype=np.int64)
+    mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+    if frame_of_ref:
+        mn = _seg_reduce(np.minimum, flat, offsets).astype(np.int64)
+        base = mn.astype(np.uint32)
+        shifted = flat - np.repeat(base, nr)
+        widths = _exact_width(mx - mn)
+        hdr = 5
+    else:
+        shifted = flat
+        widths = _exact_width(mx)
+        hdr = 1
+    codes = shifted
+    packed, pb_off = _pack_bits_rows(codes, offsets, widths)
+    pb = pb_off[1:] - pb_off[:-1]
+    sizes = np.where(nr > 0, hdr + pb, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    live = nr > 0
+    out[out_offsets[:-1][live]] = widths[live].astype(np.uint8)
+    if frame_of_ref:
+        idx = out_offsets[:-1][live, None] + 1 + np.arange(4, dtype=np.int64)
+        out[idx] = base[live].astype("<u4").view(np.uint8).reshape(-1, 4)
+    _place_segments(out, packed, pb_off, out_offsets[:-1] + hdr)
+    return out, out_offsets
+
+
+def _bitpack_decode_rows(enc, enc_offsets, n_toks, frame_of_ref: bool):
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    live = np.flatnonzero(n_toks > 0)
+    if live.size == 0:
+        return flat, offsets
+    starts = enc_offsets[:-1][live]
+    widths = enc[starts].astype(np.int64)
+    hdr = 5 if frame_of_ref else 1
+    nr = n_toks[live]
+    cb = (nr * widths + 7) // 8
+    pb_off = np.concatenate([[0], np.cumsum(cb)])
+    packed = np.empty(int(pb_off[-1]), dtype=np.uint8)
+    _gather_segments(packed, enc, starts + hdr, cb, pb_off)
+    codes = _unpack_bits_rows(packed, pb_off, nr, widths)
+    if frame_of_ref:
+        base = enc[(starts[:, None] + 1 + np.arange(4, dtype=np.int64))].copy().view("<u4").ravel()
+        codes = codes + np.repeat(base, nr)
+    exp_off = np.concatenate([[0], np.cumsum(nr)])
+    _place_segments_u32(flat, codes, exp_off, offsets[:-1][live])
+    return flat, offsets
+
+
+def _dict_encode_rows(flat, offsets):
+    """Batched dictionary codec (header 4B k + 4k B sorted uniques + packed
+    codes). Per-row uniques via one global composite-key sort; per-element
+    codes via one global searchsorted on the (row<<32 | value) key space."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(R + 1, dtype=np.int64)
+    row_ids = np.repeat(np.arange(R, dtype=np.uint64), nr)
+    key = (row_ids << np.uint64(32)) | flat.astype(np.uint64)
+    skey = np.sort(key)
+    new = np.ones(skey.size, dtype=bool)
+    new[1:] = skey[1:] != skey[:-1]
+    uniq_keys = skey[new]
+    uniq_vals = (uniq_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k_per_row = _seg_sum(new.astype(np.int64), offsets)
+    uniq_off = np.concatenate([[0], np.cumsum(k_per_row)])
+    pos = np.searchsorted(uniq_keys, key)
+    codes = (pos - np.repeat(uniq_off[:-1], nr)).astype(np.uint32)
+    widths = _exact_width(np.maximum(k_per_row - 1, 0))
+    packed, pb_off = _pack_bits_rows(codes, offsets, widths)
+    pb = pb_off[1:] - pb_off[:-1]
+    sizes = np.where(nr > 0, 4 + 4 * k_per_row + pb, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    live = nr > 0
+    hdr_idx = out_offsets[:-1][live, None] + np.arange(4, dtype=np.int64)
+    out[hdr_idx] = k_per_row[live].astype("<u4").view(np.uint8).reshape(-1, 4)
+    ub_off = 4 * uniq_off
+    _place_segments(out, uniq_vals.view(np.uint8), ub_off, out_offsets[:-1] + 4)
+    _place_segments(out, packed, pb_off, out_offsets[:-1] + 4 + 4 * k_per_row)
+    return out, out_offsets
+
+
+def _dict_decode_rows(enc, enc_offsets, n_toks):
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    live = np.flatnonzero(n_toks > 0)
+    if live.size == 0:
+        return flat, offsets
+    starts = enc_offsets[:-1][live]
+    k = enc[(starts[:, None] + np.arange(4, dtype=np.int64))].copy().view("<u4").ravel().astype(np.int64)
+    uniq_off = np.concatenate([[0], np.cumsum(k)])
+    uniq_bytes = np.empty(int(uniq_off[-1]) * 4, dtype=np.uint8)
+    _gather_segments(uniq_bytes, enc, starts + 4, 4 * k, 4 * uniq_off)
+    uniq_vals = uniq_bytes.view("<u4")
+    widths = _exact_width(np.maximum(k - 1, 0))
+    nr = n_toks[live]
+    cb = (nr * widths + 7) // 8
+    pb_off = np.concatenate([[0], np.cumsum(cb)])
+    packed = np.empty(int(pb_off[-1]), dtype=np.uint8)
+    _gather_segments(packed, enc, starts + 4 + 4 * k, cb, pb_off)
+    codes = _unpack_bits_rows(packed, pb_off, nr, widths)
+    vals = uniq_vals[np.repeat(uniq_off[:-1], nr) + codes]
+    exp_off = np.concatenate([[0], np.cumsum(nr)])
+    _place_segments_u32(flat, vals, exp_off, offsets[:-1][live])
+    return flat, offsets
