@@ -212,21 +212,31 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
     R = nr.size
     key_len = (nr + 3) // 4
     cols = []
-    lens1234 = core._lens_1234(flat) if flat.size else np.zeros(0, np.int64)
+    # shared single-pass classifications (b1/b2 feed both svb schemes;
+    # max/min feed both bitpack and for)
+    if flat.size:
+        b1 = (flat > np.uint32(0xFF)).view(np.uint8)
+        b2 = (flat > np.uint32(0xFFFF)).view(np.uint8)
+        lens1234 = np.uint8(1) + b1 + b2 + (flat > np.uint32(0xFFFFFF)).view(np.uint8)
+        lens0124 = ((flat > np.uint32(0)).view(np.uint8) + b1 + np.uint8(2) * b2
+                    ) if any(n == "svb0124" for n in candidates) else None
+    else:
+        lens1234 = lens0124 = np.zeros(0, np.uint8)
+    mx = mn = None
     for name in candidates:
         if name == "svb":
             c = key_len + _seg_sum(lens1234, offsets)
         elif name == "svb0124":
-            c = key_len + _seg_sum(core._lens_0124(flat), offsets)
+            c = key_len + _seg_sum(lens0124, offsets)
         elif name == "svb_delta":
             d = _row_deltas(flat, offsets)
             c = key_len + _seg_sum(core._lens_1234(d), offsets)
         elif name == "bitpack":
-            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64) if mx is None else mx
             w = _exact_width(mx)
             c = 1 + (nr * w + 7) // 8
         elif name == "for":
-            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+            mx = _seg_reduce(np.maximum, flat, offsets).astype(np.int64) if mx is None else mx
             mn = _seg_reduce(np.minimum, flat, offsets).astype(np.int64)
             w = _exact_width(mx - mn)
             c = 5 + (nr * w + 7) // 8

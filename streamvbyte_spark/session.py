@@ -34,7 +34,10 @@ def get_spark(app: str = "streamvbyte-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k docs x ~512 tokens ~ 8M values/batch: python-side peak (values +
+        # index scratch) stays ~300-400 MB per worker — safe on 4-8 GB/core
+        # executors while keeping per-batch Python overhead negligible
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
