@@ -67,8 +67,12 @@ def encode_table(df: DataFrame, codec: str = "auto",
     if range_partitions:
         df = df.repartitionByRange(range_partitions, "doc_id")
     elif salt_partitions:
-        df = df.repartition(salt_partitions, F.col("source"),
-                            F.pmod(F.hash("doc_id"), F.lit(salt_partitions)))
+        # salt = pmod(hash(doc_id), S); range-partition on the salt so each
+        # of the S buckets maps to exactly one task (hash-repartitioning the
+        # salt again would re-collide buckets, balls-in-bins)
+        df = (df.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(salt_partitions)))
+              .repartitionByRange(salt_partitions, "_salt")
+              .drop("_salt"))
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

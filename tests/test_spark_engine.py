@@ -140,3 +140,23 @@ def test_salted_and_range_partitioning(spark, tok):
     enc_s = encode_table(tok, codec="svb", salt_partitions=4)
     assert enc_r.count() == enc_s.count() == tok.count()
     assert verify_roundtrip(tok, decode_table(enc_r)) == 0
+
+
+def test_salting_evens_skewed_source(spark):
+    """80% of docs share source='web'; without salting a source-partitioned
+    stage puts them on one task. Salted repartition must spread them."""
+    syn = synthetic_tokens(spark, 2000, avg_len=32, seed=11, partitions=4)
+    salted = encode_table(syn, codec="svb", salt_partitions=8)
+    sizes = [r.n for r in
+             salted.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 6  # range sampler may merge adjacent salt values
+    assert max(sizes) < 2 * (sum(sizes) / len(sizes))  # no partition >2x mean
+
+
+def test_public_api_facade(spark):
+    import streamvbyte_spark as svb
+    assert set(svb.codecs) >= {"svb", "svb0124", "svb_delta", "bitpack",
+                               "for", "dict", "rle", "fsst"}
+    tok = tokens_from_documents(spark, SF)
+    assert svb.verify_roundtrip(tok, svb.decode_table(svb.encode_table(tok))) == 0
