@@ -1,0 +1,46 @@
+"""Runnable walkthrough — the Spark-first analog of the reference's
+examples/example.c (encode -> validate -> decode -> assert), plus the
+table-level pipeline a user of the reference would migrate to.
+
+Run: python examples/example.py
+"""
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# --- array level: the 12-function API surface --------------------------------
+from streamvbyte_spark.codec import core
+
+data = np.arange(0, 800, 100, dtype=np.uint32)         # README.md worked example
+buf = core.encode(data)                                 # streamvbyte_encode
+assert len(buf) == core.compressed_size(data)           # streamvbyte_compressedbytes
+assert core.validate(buf, data.size)                    # streamvbyte_validate_stream
+out = core.decode(buf, data.size)                       # streamvbyte_decode
+np.testing.assert_array_equal(out, data)
+print(f"svb: {data.size} ints -> {len(buf)} bytes, round-trip OK")
+
+signed = np.array([0, -1, 1, -2, 2**31 - 1, -(2**31)], dtype=np.int32)
+zz = core.encode_zigzag_stream(signed)                  # zigzag variants
+np.testing.assert_array_equal(core.decode_zigzag_stream(zz, signed.size), signed)
+print("zigzag: round-trip OK")
+
+sorted_vals = np.cumsum(np.ones(1000, np.uint32) * 3)
+d = core.delta_encode(sorted_vals, prev=0)              # streamvbyte_delta_encode
+np.testing.assert_array_equal(core.delta_decode(d, 1000, prev=0), sorted_vals)
+print(f"delta: 1000 sorted ints -> {len(d)} bytes ({len(d)/1000:.2f} B/int)")
+
+# --- table level: the distributed pipeline ------------------------------------
+from streamvbyte_spark import decode_table, encode_table, get_spark, verify_roundtrip
+from streamvbyte_spark.sources import synthetic_tokens
+
+spark = get_spark(app="example", master="local[4]")
+spark.sparkContext.setLogLevel("ERROR")
+tok = synthetic_tokens(spark, 1000, avg_len=128)
+enc = encode_table(tok, codec="auto")                   # cost-model auto-select
+mix = {r["codec"]: r["count"] for r in enc.groupBy("codec").count().collect()}
+mismatches = verify_roundtrip(tok, decode_table(enc))
+print(f"table: 1000 docs, codec mix {mix}, mismatches={mismatches}")
+assert mismatches == 0
+spark.stop()

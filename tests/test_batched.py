@@ -90,3 +90,20 @@ def test_big_batch_roundtrip():
                                       np.array([a.size for a in arrays], np.int64), cids)
     np.testing.assert_array_equal(vflat, flat)
     np.testing.assert_array_equal(voff, offsets)
+
+
+def test_aqrit_exhaustive_full_domain_batched():
+    """All 2^16 arrangements of 16 bytes in {0,1} as 4-value rows
+    (tests/unit.c:187-252) — the batched kernel makes the FULL exhaustive
+    domain cheap: one 65536-row call per scheme."""
+    i = np.arange(1 << 16, dtype=np.uint32)
+    bits = ((i[:, None] >> np.arange(16)) & 1).astype(np.uint8)
+    flat = np.ascontiguousarray(bits).view(np.uint32).reshape(-1)
+    offsets = np.arange(0, flat.size + 4, 4, dtype=np.int64)
+    n_toks = np.full(1 << 16, 4, dtype=np.int64)
+    for codec in ["svb", "svb0124"]:
+        out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec)
+        vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+        np.testing.assert_array_equal(vflat, flat)
+        ok = batched.validate_rows(out, ooff, n_toks, scheme0124=(codec == "svb0124"))
+        assert ok.all()
