@@ -90,3 +90,47 @@ def test_plan_has_pushed_filter(spark):
     plan = plan_string(df, "formatted")
     assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" in plan or \
            "EqualTo(source,src1)" in plan, plan
+
+
+def test_stateful_delta_chain_across_microbatches(spark):
+    """Chunks of the same doc arriving in different micro-batches must encode
+    into one continuous delta chain (prev carried in streaming state)."""
+    import numpy as np
+    from streamvbyte_spark.codec import core
+    from streamvbyte_spark.streaming.stateful_delta import stateful_delta_encode
+
+    tmp = tempfile.mkdtemp(prefix="svb_state_")
+    try:
+        rng = np.random.default_rng(5)
+        docs = {f"d{j}": np.cumsum(rng.integers(0, 9, 400)).astype(np.int64)
+                for j in range(6)}
+        # chunk 100-wide; chunks 0-1 land in file batch 0, chunks 2-3 in batch 1
+        for b in range(2):
+            rows = [(d, c, v[c * 100:(c + 1) * 100].tolist())
+                    for d, v in docs.items() for c in (2 * b, 2 * b + 1)]
+            spark.createDataFrame(rows, "doc_id string, chunk_id int, chunk array<int>") \
+                .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b{b}")
+        stream = (spark.readStream
+                  .schema("doc_id string, chunk_id int, chunk array<int>")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(tmp + "/in/*"))
+        q = (stateful_delta_encode(stream).writeStream
+             .format("memory").queryName("enc_chunks").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("select * from enc_chunks").collect()
+        assert len(got) == 24  # 6 docs x 4 chunks
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r.chunk_id)
+            out = np.concatenate([
+                core.delta_decode(bytes(r.encoded), r.n_tok, prev=r.prev)
+                for r in chunks]).astype(np.int64)
+            np.testing.assert_array_equal(out, docs[d])
+            # prev of chunk k == last token of chunk k-1 (state survived)
+            for k in range(1, 4):
+                assert chunks[k].prev == int(docs[d][k * 100 - 1])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
