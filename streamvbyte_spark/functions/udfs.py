@@ -1,0 +1,104 @@
+"""Column-level UDF registry: the reference's 12-function C API as Spark
+expressions (SURVEY.md §2.2 "UDF/UDAF/UDTF surface").
+
+``mapInArrow`` (operators.encode) is the fast whole-batch path; these pandas
+UDFs are the *composable* path — usable inside any ``select``/SQL expression,
+registered for SQL via :func:`register_udfs`:
+
+    register_udfs(spark)
+    spark.sql("SELECT doc_id, svb_encode(tokens) AS enc, "
+              "svb_size(tokens) AS nbytes FROM tok")
+
+Arrow-batched Series in/out; per-batch work delegates to the same batched
+NumPy kernels, so even the UDF path never loops rows in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, IntegerType,
+                               LongType)
+
+from ..codec import batched
+
+
+def _series_to_flat(ser: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    arrays = [np.asarray(a, dtype=np.int64).astype(np.uint32) for a in ser]
+    lens = np.array([a.size for a in arrays], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.concatenate(arrays) if arrays else np.zeros(0, np.uint32)
+    return flat, offsets
+
+
+def _enc_series_to_flat(ser: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    bufs = [bytes(b) for b in ser]
+    sizes = np.array([len(b) for b in bufs], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return flat, offsets
+
+
+def make_encode_udf(codec: str = "svb"):
+    @pandas_udf(BinaryType())
+    def svb_encode(tokens: pd.Series) -> pd.Series:
+        flat, offsets = _series_to_flat(tokens)
+        out, ooff, _ = batched.encode_rows(flat, offsets, codec=codec)
+        return pd.Series([out[ooff[i]:ooff[i + 1]].tobytes()
+                          for i in range(len(tokens))])
+    return svb_encode
+
+
+def make_decode_udf(codec: str = "svb"):
+    cid = batched.CODEC_ID[codec]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def svb_decode(encoded: pd.Series, n_tok: pd.Series) -> pd.Series:
+        enc, eoff = _enc_series_to_flat(encoded)
+        n = n_tok.to_numpy(dtype=np.int64)
+        cids = np.full(n.size, cid, dtype=np.int32)
+        flat, offsets = batched.decode_rows(enc, eoff, n, cids)
+        signed = flat.view(np.int32)
+        return pd.Series([signed[offsets[i]:offsets[i + 1]].tolist()
+                          for i in range(n.size)])
+    return svb_decode
+
+
+@pandas_udf(LongType())
+def svb_size(tokens: pd.Series) -> pd.Series:
+    """streamvbyte_compressedbytes as a column expression."""
+    flat, offsets = _series_to_flat(tokens)
+    costs = batched.row_costs(flat, offsets, ("svb",))[:, 0]
+    return pd.Series(costs)
+
+
+@pandas_udf(LongType())
+def auto_size(tokens: pd.Series) -> pd.Series:
+    """Cost-model minimum over every vectorized candidate."""
+    flat, offsets = _series_to_flat(tokens)
+    costs = batched.row_costs(flat, offsets, batched.VECTOR_COST_CODECS)
+    return pd.Series(costs.min(axis=1))
+
+
+@pandas_udf(BooleanType())
+def svb_validate(encoded: pd.Series, n_tok: pd.Series) -> pd.Series:
+    """streamvbyte_validate_stream as a column expression."""
+    enc, eoff = _enc_series_to_flat(encoded)
+    ok = batched.validate_rows(enc, eoff, n_tok.to_numpy(dtype=np.int64))
+    return pd.Series(ok)
+
+
+def register_udfs(spark: SparkSession):
+    """Expose the codec API to SQL: svb_encode/svb_decode/svb_size/
+    svb_auto_size/svb_validate (+ per-codec encode variants svb0124_encode,
+    delta_encode, ...)."""
+    spark.udf.register("svb_encode", make_encode_udf("svb"))
+    spark.udf.register("svb_decode", make_decode_udf("svb"))
+    spark.udf.register("svb_size", svb_size)
+    spark.udf.register("svb_auto_size", auto_size)
+    spark.udf.register("svb_validate", svb_validate)
+    for codec in ("svb0124", "svb_delta", "bitpack", "for", "dict", "rle"):
+        spark.udf.register(f"{codec}_encode", make_encode_udf(codec))
+        spark.udf.register(f"{codec}_decode", make_decode_udf(codec))

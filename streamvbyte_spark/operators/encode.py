@@ -35,9 +35,16 @@ DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
 def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy (values, offsets) from an Arrow list array, slice-safe."""
+    """Zero-copy (values, offsets) from an Arrow list array, slice-safe.
+
+    Null token arrays are rejected explicitly: a null row has no defined
+    byte-identical round-trip (the reference API has no null notion either —
+    callers must filter or coalesce first)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("tokens column contains NULL arrays; "
+                         "filter or coalesce to empty arrays before encoding")
     off = np.asarray(col.offsets, dtype=np.int64)
     vals = np.asarray(col.values, dtype=np.int32)
     base = off[0]

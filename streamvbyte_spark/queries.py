@@ -243,6 +243,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_by_source"] = metrics_by_source
 
+    # pure-Catalyst size computation (no Python in the plan): the reference
+    # size formula (src/streamvbyte_encode.c:74,91-101) as JVM-side SQL —
+    # whole-stage-codegen'd, the "stay JVM-side" path for size-only scans
+    def svb_size_sql(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t = spark_tokens_expr("text")
+        return docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr(
+                f"cast((size({t}) + 3) div 4 as bigint) + "
+                f"aggregate({t}, cast(0 as bigint), (acc, x) -> acc + 1 + "
+                f"(case when x > 255 then 1 else 0 end) + "
+                f"(case when x > 65535 then 1 else 0 end) + "
+                f"(case when x > 16777215 then 1 else 0 end))"
+            ).alias("size_bytes"))
+
+    q["svb_size_sql"] = svb_size_sql
+
+    # per-codec aggregated metrics (who won how often, at what ratio)
+    def metrics_by_codec(spark, sf_dir):
+        enc = _encoded(spark, sf_dir, "auto")
+        return (enc.groupBy("codec")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("in_bytes").alias("sum_in_bytes"),
+                     F.sum("out_bytes").alias("sum_out_bytes")))
+
+    q["metrics_by_codec"] = metrics_by_codec
+
     # -- time-windowed aggregation over events (batch analog of the
     # streaming window; SURVEY.md §2.2 grouping/windows) ---------------------
     def events_hourly(spark, sf_dir):
@@ -308,6 +336,26 @@ def build_oracles() -> dict[str, str]:
             f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
             f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",
     }
+    o["svb_size_sql"] = o["svb_size"]
+    # winning codec per row: first minimum in candidate priority order
+    _formulas = [
+        ("svb", duckdb_size_svb(t, n)),
+        ("svb0124", duckdb_size_svb0124(t, n)),
+        ("svb_delta", duckdb_size_svb_delta_wrap(t, n)),
+        ("bitpack", duckdb_size_bitpack(t, n)),
+        ("for", duckdb_size_for(t, n)),
+        ("dict", duckdb_size_dict(t, n)),
+        ("rle", duckdb_size_rle(t, n)),
+    ]
+    _least = duckdb_size_auto(t, n)
+    _winner = "case " + " ".join(
+        f"when ({f}) <= ({_least}) then '{name}'" for name, f in _formulas
+    ) + " end"
+    o["metrics_by_codec"] = (
+        f"select {_winner} as codec, count(*) as docs, "
+        f"sum(4 * n_tok)::bigint as sum_in_bytes, "
+        f"sum({_least})::bigint as sum_out_bytes "
+        f"from ({doc}) group by 1")
     o["events_hourly"] = (
         "select date_trunc('hour', ts) as hour, event_type, "
         "count(*) as events, "

@@ -160,3 +160,30 @@ def test_public_api_facade(spark):
                                "for", "dict", "rle", "fsst"}
     tok = tokens_from_documents(spark, SF)
     assert svb.verify_roundtrip(tok, svb.decode_table(svb.encode_table(tok))) == 0
+
+
+def test_sql_udf_registry(spark, tok):
+    """SURVEY §2.2 UDF surface: codec API callable from SQL expressions."""
+    from streamvbyte_spark.functions.udfs import register_udfs
+    register_udfs(spark)
+    tok.createOrReplaceTempView("tok_udf")
+    rows = spark.sql("""
+        select doc_id,
+               svb_decode(svb_encode(tokens), n_tok) as back,
+               tokens,
+               svb_size(tokens) as sz,
+               svb_auto_size(tokens) as asz,
+               length(svb_encode(tokens)) as real_sz,
+               svb_validate(svb_encode(tokens), n_tok) as ok
+        from tok_udf
+    """).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.back == r.tokens
+        assert r.sz == r.real_sz
+        assert r.asz <= r.sz
+        assert r.ok
+    # per-codec variants round-trip too
+    r2 = spark.sql("select tokens, rle_decode(rle_encode(tokens), n_tok) as b "
+                   "from tok_udf limit 50").collect()
+    assert all(r.b == r.tokens for r in r2)
