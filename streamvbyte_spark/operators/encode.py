@@ -52,11 +52,12 @@ def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _binary_array(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
-    """Zero-copy Arrow binary array from flat bytes + int64 offsets."""
-    off32 = offsets.astype(np.int32)
+    """Zero-copy Arrow binary array from flat bytes + int64 offsets
+    (py_buffer wraps the NumPy buffers directly — no serialization copy)."""
+    off32 = np.ascontiguousarray(offsets, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(off32) - 1,
-        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(data.tobytes())],
+        [None, pa.py_buffer(off32), pa.py_buffer(np.ascontiguousarray(data))],
     )
 
 
