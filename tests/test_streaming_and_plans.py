@@ -134,3 +134,20 @@ def test_stateful_delta_chain_across_microbatches(spark):
                 assert chunks[k].prev == int(docs[d][k * 100 - 1])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_duplicates(spark):
+    from streamvbyte_spark.streaming.encode_stream import dedup_event_stream
+    tmp = tempfile.mkdtemp(prefix="svb_dedup_")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+        dup = ev.union(ev)  # every event twice
+        dup.write.mode("overwrite").parquet(tmp + "/in")
+        stream = spark.readStream.schema(ev.schema).parquet(tmp + "/in")
+        (dedup_event_stream(stream).writeStream
+         .format("memory").queryName("ev_dedup").outputMode("append")
+         .trigger(availableNow=True).start().awaitTermination(120))
+        got = spark.sql("select count(*) as n, count(distinct event_id) as d from ev_dedup").collect()[0]
+        assert got.n == got.d == 500
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
