@@ -293,6 +293,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_users_by_value"] = top_users_by_value
 
+    # rollup over (source, codec): grouping-sets coverage with subtotal rows
+    def metrics_rollup(spark, sf_dir):
+        enc = _encoded(spark, sf_dir, "auto")
+        return (enc.rollup("source", "codec")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("out_bytes").alias("sum_out_bytes")))
+
+    q["metrics_rollup"] = metrics_rollup
+
+    # set operation: users seen in BOTH event types (INTERSECT)
+    def users_intersect(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select("user_id")
+        errors = ev.where(F.col("event_type") == "error").select("user_id")
+        return clicks.intersect(errors)
+
+    q["users_intersect"] = users_intersect
+
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
@@ -366,6 +384,15 @@ def build_oracles() -> dict[str, str]:
         f"sum(4 * n_tok)::bigint as sum_in_bytes, "
         f"sum({_least})::bigint as sum_out_bytes "
         f"from ({doc}) group by 1")
+    o["metrics_rollup"] = (
+        f"select source, codec, count(*) as docs, "
+        f"sum(sz)::bigint as sum_out_bytes from "
+        f"(select source, {_winner} as codec, {_least} as sz from ({doc})) "
+        f"group by rollup(source, codec)")
+    o["users_intersect"] = (
+        "select user_id from events where event_type = 'click' "
+        "intersect "
+        "select user_id from events where event_type = 'error'")
     o["top_users_by_value"] = (
         "select user_id, sum(cast(round(value * 100) as bigint))::bigint as total_cents, "
         "count(*) as events from events group by user_id "
