@@ -187,3 +187,25 @@ def test_sql_udf_registry(spark, tok):
     r2 = spark.sql("select tokens, rle_decode(rle_encode(tokens), n_tok) as b "
                    "from tok_udf limit 50").collect()
     assert all(r.b == r.tokens for r in r2)
+
+
+def test_full_curation_pipeline(spark):
+    """End-to-end: dedup -> quality gate -> tokenize -> auto encode -> lineage
+    write; rerun is a no-op (resume sees all buckets committed)."""
+    from streamvbyte_spark.pipeline import curate_and_encode, curate_documents
+    from streamvbyte_spark.operators.lineage import read_encoded
+    path = tempfile.mkdtemp(prefix="svb_pipe_")
+    try:
+        r = curate_and_encode(spark, SF, path, n_buckets=8)
+        assert r["encoded_buckets"] == 8
+        assert 0 < r["ratio"] < 1
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        tok = curate_documents(docs)
+        assert r["docs"] == tok.count() <= docs.count()
+        # encoded output decodes bit-identically to the curated token table
+        enc = read_encoded(spark, path)
+        assert verify_roundtrip(tok, decode_table(enc.drop("bucket"))) == 0
+        # resume: nothing left
+        assert curate_and_encode(spark, SF, path, n_buckets=8).get("skipped")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
