@@ -94,6 +94,23 @@ picks a codec whose exact size is <= the svb formula, verified per-row by the
 
 North-rule criterion: scaling efficiency >= 0.8 from N to 4N — **met**
 (combined {r['scaling_efficiency']['combined']}).
+
+## Reference measured on THIS hardware (apples-to-apples context)
+
+The reference's own perf harness (`make perf && ./perf` against
+/root/reference, cc -O3, SSE4.1), run on this sandbox: **1.33e9 uints/s
+encode, 2.48e9 uints/s decode**, single core, 500K uints repeated 100x
+(fully L2-cache-resident). Our NumPy kernel under identical conditions:
+~21e6 encode / ~32e6 decode per core — a SIMD C library beats
+interpreter-orchestrated NumPy ~60-80x per core on a hot-cache microbench,
+as expected. The engine's claim is therefore NOT single-core kernel parity;
+it is (a) compressed size <= the reference always (verified per-row by
+oracle), (b) the codec set + cost-model auto-selection the reference lacks,
+and (c) linear scale-out: the whole-pipeline Spark path (storage -> Arrow ->
+kernel -> Arrow -> storage) sustains ~25e6 enc / ~34e6 dec tokens/s at
+local[32] (BENCH_r*.json) and scales at >=0.8 efficiency N->4N, which is the
+regime a 10^12-sequence corpus actually runs in — the reference has no
+distributed story at all.
 """)
 
 
