@@ -49,6 +49,88 @@ def decode_image(payload: bytes):
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
 
+def decode_audio(payload: bytes):
+    """Real audio decode — stubbed: soundfile/torchaudio not in container."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires soundfile; install it on the cluster image"
+        ) from e
+    raise NotImplementedError("wire soundfile.read(io.BytesIO(payload)) here")
+
+
+def resize_image(payload: bytes, w: int, h: int):
+    """Real image resize — stubbed behind the same optional dependency."""
+    decode_image(payload)
+
+
+def _flat_bytes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a pa binary array as (flat uint8 buffer, offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+    base = off[0]
+    return data[base:off[-1]], off - base
+
+
+FRAME_SCHEMA = ("doc_id string, frame_id int, frame_len int, "
+                "frame_sum bigint, frame binary")
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every: int = 2) -> DataFrame:
+    """Frame sampling over binary payloads (the video-frame-sample shape).
+
+    Deterministic fake framing: the payload is cut into consecutive
+    ``frame_bytes`` slices (partial tail kept) and every ``every``-th frame
+    is emitted — standing in for ffmpeg keyframe extraction, which isn't in
+    this container.  The plumbing is the real thing a video pipeline needs:
+    a 1:N explode of binary rows done entirely inside one Arrow batch with
+    vectorized gathers (no per-row Python), output offsets rebuilt exactly.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            nr = offsets[1:] - offsets[:-1]
+            nframes = (nr + frame_bytes - 1) // frame_bytes
+            counts = (nframes + every - 1) // every
+            total = int(counts.sum())
+            row_ids = np.repeat(np.arange(nr.size, dtype=np.int64), counts)
+            base = np.concatenate([[0], np.cumsum(counts)])
+            fid = (np.arange(total, dtype=np.int64) - base[row_ids]) * every
+            start = offsets[:-1][row_ids] + fid * frame_bytes
+            flen = np.minimum(frame_bytes, nr[row_ids] - fid * frame_bytes)
+            # segmented byte sums via one prefix sum over the whole batch
+            c = np.concatenate([[0], np.cumsum(flat, dtype=np.int64)])
+            fsum = c[start + flen] - c[start]
+            # gather frame bytes: out position -> source position
+            out_off = np.concatenate(
+                [[0], np.cumsum(flen)]).astype(np.int64)
+            idx = (np.repeat(start - out_off[:-1], flen)
+                   + np.arange(out_off[-1], dtype=np.int64))
+            frame_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(out_off.astype(np.int32)),
+                 pa.py_buffer(flat[idx])])
+            yield pa.RecordBatch.from_arrays(
+                [doc.take(pa.array(row_ids)),
+                 pa.array(fid.astype(np.int32), pa.int32()),
+                 pa.array(flen.astype(np.int32), pa.int32()),
+                 pa.array(fsum, pa.int64()),
+                 frame_arr],
+                names=["doc_id", "frame_id", "frame_len",
+                       "frame_sum", "frame"])
+
+    return media.mapInArrow(run, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

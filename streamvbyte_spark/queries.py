@@ -311,6 +311,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["users_intersect"] = users_intersect
 
+    # -- multimodal columns (binary payload + typed metadata) ----------------
+    # Deterministic fake media (payload = utf-8 bytes of text) exercises the
+    # REAL Spark plumbing — binary columns, Arrow batch shapes, 1:N frame
+    # explode — while the actual PIL/ffmpeg decode stays stubbed (operators/
+    # multimodal.py).  top_bin is the argmax of the 16-bin byte histogram,
+    # reconstructed to exact integers on both sides so no float crosses
+    # engines.
+    from .operators.multimodal import (extract_features, sample_frames,
+                                       synth_media_table)
+
+    def multimodal_features(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        feats = extract_features(synth_media_table(docs))
+        hist = ("transform(feature, x -> cast(round(cast(x as double) * "
+                "cast(greatest(n_bytes, 1) as double)) as bigint))")
+        return (feats
+                .withColumn("hist", F.expr(hist))
+                .select("doc_id", "n_bytes", "byte_sum",
+                        (F.expr("array_position(hist, array_max(hist))")
+                         .cast("int") - F.lit(1)).alias("top_bin")))
+
+    q["multimodal_features"] = multimodal_features
+
+    def multimodal_frames(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        frames = sample_frames(synth_media_table(docs),
+                               frame_bytes=64, every=2)
+        return frames.select("doc_id", "frame_id", "frame_len", "frame_sum")
+
+    q["multimodal_frames"] = multimodal_frames
+
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
@@ -402,6 +433,30 @@ def build_oracles() -> dict[str, str]:
         "count(*) as events, "
         "sum(cast(round(value * 100) as bigint))::bigint as sum_value_cents "
         "from events group by 1, 2")
+    # multimodal: byte-exact recompute of the fake-media features in DuckDB
+    # (hex(encode(text)) -> per-byte list; histogram argmax is integer-exact)
+    _mm_bytes = (
+        "with b as (select cast(doc_id as varchar) as doc_id, "
+        "hex(encode(text)) as h, octet_length(encode(text))::bigint as n "
+        "from documents), "
+        "e as (select doc_id, n, list_transform(range(0, n), "
+        "i -> ('0x' || substring(h, (2*i+1)::int, 2))::bigint) as bytes from b)")
+    o["multimodal_features"] = (
+        f"{_mm_bytes}, "
+        "f as (select doc_id, n, coalesce(list_sum(bytes), 0)::bigint as byte_sum, "
+        "list_transform(range(0, 16), g -> "
+        "len(list_filter(bytes, x -> x // 16 = g))) as hist from e) "
+        "select doc_id, n as n_bytes, byte_sum, "
+        "cast(list_position(hist, list_max(hist)) - 1 as int) as top_bin from f")
+    o["multimodal_frames"] = (
+        f"{_mm_bytes}, "
+        "fr as (select doc_id, n, bytes, unnest(list_filter(range(0, (n + 63) // 64), "
+        "i -> i % 2 = 0)) as frame_id from e where n > 0) "
+        "select doc_id, cast(frame_id as int) as frame_id, "
+        "cast(least(64, n - frame_id * 64) as int) as frame_len, "
+        "cast(list_sum(bytes[(frame_id * 64 + 1):"
+        "(frame_id * 64 + least(64, n - frame_id * 64))]) as bigint) as frame_sum "
+        "from fr")
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)

@@ -129,10 +129,32 @@ def test_multimodal_plumbing(spark):
         assert abs(sum(r.feature) - 1.0) < 1e-3
 
 
+def test_multimodal_frame_sampling(spark):
+    """sample_frames == pure-Python slicing reference (every 2nd 64-byte
+    frame, partial tail kept), including empty payloads producing no rows."""
+    from streamvbyte_spark.operators.multimodal import sample_frames
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = synth_media_table(docs)
+    got = {}
+    for r in sample_frames(media, frame_bytes=64, every=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.frame_id, r.frame_len, r.frame_sum, bytes(r.frame)))
+    texts = {str(r.doc_id): r.text.encode() for r in docs.collect()}
+    for doc_id, raw in texts.items():
+        exp = []
+        for fid in range(0, (len(raw) + 63) // 64, 2):
+            chunk = raw[fid * 64:(fid + 1) * 64]
+            exp.append((fid, len(chunk), sum(chunk), chunk))
+        assert sorted(got.get(doc_id, [])) == exp, doc_id
+
+
 def test_decode_stub_gated(spark):
-    from streamvbyte_spark.operators.multimodal import decode_image
+    from streamvbyte_spark.operators.multimodal import (decode_audio,
+                                                        decode_image)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
 
 
 def test_salted_and_range_partitioning(spark, tok):
