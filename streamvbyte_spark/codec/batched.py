@@ -31,6 +31,7 @@ from . import companions, core, select
 _PLACE16 = np.array([1, 4, 16, 64], dtype=np.uint16)
 _SHIFTS = np.array([0, 2, 4, 6], dtype=np.uint8)
 _LEN_0124 = np.array([0, 1, 2, 4], dtype=np.int64)
+_LEN_0124_U8 = np.array([0, 1, 2, 4], dtype=np.uint8)
 # value mask by data-byte length 0..4
 _MASK_BY_LEN = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], dtype=np.uint32)
 
@@ -66,9 +67,23 @@ def _cached_arange(n: int, dtype) -> np.ndarray:
 
 
 def _seg_sum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-row sums of x (len V) for rows bounded by offsets (len R+1)."""
-    c = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
-    return c[offsets[1:]] - c[offsets[:-1]]
+    """Per-row sums of x (len V) for rows bounded by offsets (len R+1).
+
+    np.add.reduceat over nonempty-row starts: empty rows contribute zero
+    elements, so summing from one nonempty start to the next spans exactly
+    one real row; 4-9x faster than a cumsum (whose full-length int64 temp
+    pays this sandbox's first-touch page-fault cost on every call)."""
+    n = offsets.size - 1
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if not x.size or not nonempty.any():
+        return np.zeros(n, dtype=np.int64)
+    seg = np.add.reduceat(x[:offsets[-1]], starts[nonempty], dtype=np.int64)
+    if nonempty.all():
+        return seg
+    out = np.zeros(n, dtype=np.int64)
+    out[nonempty] = seg
+    return out
 
 
 def _seg_reduce(ufunc, x: np.ndarray, offsets: np.ndarray, empty_val=0) -> np.ndarray:
@@ -175,30 +190,24 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     np.subtract(_cached_arange(V, idt), np.repeat(offsets[:-1].astype(idt), nr),
                 out=intra)
     codes = codes_padded[np.repeat((4 * ctrl_starts[:-1]).astype(idt), nr) + intra]
-    lens = _LEN_0124[codes] if scheme0124 else codes.astype(np.int64) + 1
-    ends = np.cumsum(lens)
+    lens = _LEN_0124_U8[codes] if scheme0124 else codes + np.uint8(1)
+    ends = np.cumsum(lens, dtype=np.int64)
     row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
     src = _scratch("dec_src", V, idt)
     np.subtract(ends, lens, out=src, casting="unsafe")
     src -= np.repeat((row_data_base - enc_offsets[:-1] - key_len).astype(idt), nr)
-    # 4 flat gathers from a 4-byte-padded buffer + per-code mask LUT:
-    # the NumPy analog of the reference's unconditional 16B SIMD load +
-    # shuffle-mask (src/streamvbyte_x64_decode.c:10-26); pad 4 because a
-    # 0124 zero (len 0) at stream end has src == enc.size
+    # ONE unconditional little-endian 4-byte load per value (a stride-1
+    # uint32 view over the padded buffer) + per-length mask LUT: the NumPy
+    # analog of the reference's unconditional 16B SIMD load + shuffle-mask
+    # (src/streamvbyte_x64_decode.c:10-26); pad 4 because a 0124 zero
+    # (len 0) at stream end has src == enc.size.  ~2x the 4-byte-gather
+    # + shift approach this replaces.
     enc_p = _scratch("dec_encp", enc.size + 4, np.uint8)
     enc_p[:enc.size] = enc
     enc_p[enc.size:] = 0
-    b = _scratch("dec_b", V, np.uint8)
-    tmp = _scratch("dec_tmp", V, np.uint32)
+    u32 = np.ndarray((enc_p.size - 3,), np.uint32, buffer=enc_p, strides=(1,))
     vals = np.empty(V, dtype=np.uint32)
-    np.take(enc_p, src, out=b)
-    vals[:] = b
-    for shift in (8, 16, 24):
-        src += 1
-        np.take(enc_p, src, out=b)
-        tmp[:] = b        # widen u8 -> u32 (scalar-shift in u8 would be 0)
-        tmp <<= shift
-        vals |= tmp
+    np.take(u32, src, out=vals)
     vals &= _MASK_BY_LEN[lens]
     return vals, offsets
 
@@ -245,7 +254,7 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             w = _exact_width(np.maximum(k - 1, 0))
             c = 4 + 4 * k + (nr * w + 7) // 8
         elif name == "rle":
-            c = _rle_costs(flat, offsets)
+            c = _rle_costs(flat, offsets, lens1234)
         else:
             raise ValueError(f"no vectorized cost for codec {name!r}")
         cols.append(np.where(nr > 0, c, 0))
@@ -268,34 +277,48 @@ def _row_distinct(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if flat.size == 0:
         return np.zeros(nr.size, dtype=np.int64)
     # composite key (row_id << 32 | value): one flat sort groups rows and
-    # orders values within each row — much faster than lexsort
-    row_ids = np.repeat(np.arange(nr.size, dtype=np.uint64), nr)
-    key = (row_ids << np.uint64(32)) | flat.astype(np.uint64)
+    # orders values within each row — much faster than lexsort.  Built
+    # in-place in scratch to avoid three 8B/value transient allocations.
+    key = _scratch("dist_key", flat.size, np.uint64)
+    np.copyto(key, flat, casting="unsafe")
+    rid = np.repeat(_cached_arange(nr.size, np.uint64), nr)
+    np.left_shift(rid, np.uint64(32), out=rid)
+    np.bitwise_or(key, rid, out=key)
     key.sort()
-    new = np.ones(key.size, dtype=np.int64)
-    new[1:] = key[1:] != key[:-1]
+    new = _scratch("dist_new", key.size, np.uint8)
+    new[0] = 1
+    np.not_equal(key[1:], key[:-1], out=new[1:].view(bool))
     return _seg_sum(new, offsets)  # sort preserves row segment boundaries
 
 
-def _rle_costs(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+def _rle_costs(flat: np.ndarray, offsets: np.ndarray,
+               lens1234: np.ndarray | None = None) -> np.ndarray:
     nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
     if flat.size == 0:
         return np.zeros(nr.size, dtype=np.int64)
-    is_start = np.ones(flat.size, dtype=bool)
-    is_start[1:] = flat[1:] != flat[:-1]
+    is_start = _scratch("rle_start", flat.size, np.uint8)
+    is_start[0] = 1
+    np.not_equal(flat[1:], flat[:-1], out=is_start[1:].view(bool))
     row_starts = offsets[:-1][nr > 0]
-    is_start[row_starts] = True
+    is_start[row_starts] = 1
+    if lens1234 is None:
+        lens1234 = core._lens_1234(flat)
+    # run-value byte lengths without gathering run_vals: a run's value is the
+    # element AT the run start, so masking lens1234 by is_start sums exactly
+    # the per-run value lengths
+    sz_val_data = _seg_sum(lens1234 * is_start, offsets)
+    runs_per_row = _seg_sum(is_start, offsets)
+    rkey = (runs_per_row + 3) // 4
     run_pos = np.flatnonzero(is_start)
-    run_vals = flat[run_pos]
     # run lengths: distance to next run start (within the global flat; row
     # boundaries always start runs so lengths never cross rows)
-    run_ends = np.concatenate([run_pos[1:], [flat.size]])
-    run_lens = (run_ends - run_pos).astype(np.uint32)
-    # per-row run-count boundaries
-    runs_per_row = _seg_sum(is_start.astype(np.int64), offsets)
+    run_lens = np.empty(run_pos.size, dtype=np.uint32)
+    if run_pos.size:
+        np.subtract(run_pos[1:], run_pos[:-1], out=run_lens[:-1],
+                    casting="unsafe")
+        run_lens[-1] = flat.size - run_pos[-1]
     run_offsets = np.concatenate([[0], np.cumsum(runs_per_row)])
-    rkey = (runs_per_row + 3) // 4
-    sz_vals = rkey + _seg_sum(core._lens_1234(run_vals), run_offsets)
+    sz_vals = rkey + sz_val_data
     sz_lens = rkey + _seg_sum(core._lens_1234(run_lens), run_offsets)
     return 8 + sz_vals + sz_lens
 
