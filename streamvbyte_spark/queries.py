@@ -342,6 +342,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    # -- composed curation pipeline (pipeline.curate_documents + auto encode)
+    def curate_metrics(spark, sf_dir):
+        from .pipeline import curate_documents
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        enc = encode_table(curate_documents(docs), codec="auto")
+        return (enc.groupBy("source")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("n_tok").alias("sum_tok"),
+                     F.sum("out_bytes").alias("sum_out_bytes")))
+
+    q["curate_metrics"] = curate_metrics
+
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
@@ -433,6 +445,25 @@ def build_oracles() -> dict[str, str]:
         "count(*) as events, "
         "sum(cast(round(value * 100) as bigint))::bigint as sum_value_cents "
         "from events group by 1, 2")
+    # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
+    # stopword-ratio gate (int/int double division with the same 0.9 literal
+    # on both engines -> identical IEEE outcome), tokenize, auto-codec size
+    _stops = "('the','a','of','and','to','in','is','on','for','with')"
+    _w = "string_split(text, ' ')"
+    o["curate_metrics"] = (
+        "with dd as (select doc_id, text, source from ("
+        "select doc_id, text, source, row_number() over "
+        "(partition by md5(text) order by doc_id) as rn from documents) "
+        "where rn = 1), "
+        f"gated as (select doc_id, text, source from dd "
+        f"where len({_w}) >= 8 and "
+        f"len(list_filter({_w}, w -> w in {_stops})) / len({_w}) <= 0.9), "
+        f"tok as (select {duckdb_tokens_expr('text')} as tokens, "
+        f"cast(len({duckdb_tokens_expr('text')}) as int) as n_tok, source "
+        "from gated) "
+        f"select source, count(*) as docs, sum(n_tok)::bigint as sum_tok, "
+        f"sum({duckdb_size_auto('tokens', 'n_tok')})::bigint as sum_out_bytes "
+        "from tok group by source")
     # multimodal: byte-exact recompute of the fake-media features in DuckDB
     # (hex(encode(text)) -> per-byte list; histogram argmax is integer-exact)
     _mm_bytes = (

@@ -18,6 +18,7 @@ from streamvbyte_spark.session import get_spark
 HEADLINE = [
     "auto_roundtrip", "auto_size", "delta_roundtrip_postings",
     "metrics_by_source", "dedup_minhash_pairs", "ann_topk", "events_hourly",
+    "curate_metrics", "multimodal_frames",
 ]
 
 NOTES = {
@@ -34,6 +35,11 @@ NOTES = {
     "ann_topk": "Small query side should broadcast (BroadcastHashJoin / "
                 "BroadcastNestedLoopJoin on qid != cid).",
     "events_hourly": "Partial agg + single Exchange on (hour, event_type).",
+    "curate_metrics": "Composed pipeline: one Exchange for the md5-dedup "
+                      "window, gate filter map-side, encode map-only, one "
+                      "Exchange for the final groupBy(source).",
+    "multimodal_frames": "Map-only 1:N frame explode inside a single "
+                         "MapInArrow; ZERO shuffles.",
 }
 
 
