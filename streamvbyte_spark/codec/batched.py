@@ -138,7 +138,12 @@ def _svb_encode_rows(flat: np.ndarray, offsets: np.ndarray, scheme0124: bool):
     if V == 0:
         return np.zeros(total_out, dtype=np.uint8), out_offsets
 
-    out = np.zeros(total_out + 4, dtype=np.uint8)  # +4: surplus of final value (0124 zero has len 0)
+    # np.empty, not zeros: every byte in [0, total_out) is written — each
+    # row is key_len ctrl bytes (ctrl scatter) + data bytes (each value's
+    # 4-byte store covers its own length; zero-len 0124 values share the
+    # next writer's dest) — so the memset would be pure overhead.  +4 pad:
+    # surplus of the final value lands past total_out and is sliced off.
+    out = np.empty(total_out + 4, dtype=np.uint8)
     # index math in int32 (half the memory traffic) unless the batch is huge
     idt = np.int32 if total_out + 4 < 2**31 and V * 4 < 2**31 else np.int64
     ends = np.cumsum(lens, dtype=np.int64)
