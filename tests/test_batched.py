@@ -107,3 +107,27 @@ def test_aqrit_exhaustive_full_domain_batched():
         np.testing.assert_array_equal(vflat, flat)
         ok = batched.validate_rows(out, ooff, n_toks, scheme0124=(codec == "svb0124"))
         assert ok.all()
+
+
+def test_encode_bytes_deterministic_under_scratch_pollution():
+    """Encode output buffers are np.empty (no memset): every byte must be
+    written by the data/ctrl scatters.  Uninitialized-memory leakage would
+    make bytes depend on what a previous call left in the reused scratch
+    pools — so encode A, pollute with differently-shaped B, encode A again
+    and require byte identity."""
+    rng = np.random.default_rng(11)
+    lens_a = rng.integers(1, 50, 300)
+    off_a = np.concatenate([[0], np.cumsum(lens_a)]).astype(np.int64)
+    flat_a = (rng.integers(0, 1 << 31, off_a[-1], dtype=np.int64)
+              >> rng.integers(0, 31, off_a[-1], dtype=np.int64)).astype(np.uint32)
+    # zero-heavy rows maximize 0124 len-0 surplus writes
+    flat_a[rng.random(flat_a.size) < 0.4] = 0
+    lens_b = rng.integers(200, 900, 500)
+    off_b = np.concatenate([[0], np.cumsum(lens_b)]).astype(np.int64)
+    flat_b = rng.integers(0, 1 << 16, off_b[-1], dtype=np.uint64).astype(np.uint32)
+    for codec in ["svb", "svb0124", "auto"]:
+        a1 = batched.encode_rows(flat_a, off_a, codec)[0].tobytes()
+        batched.encode_rows(flat_b, off_b, "auto")
+        batched.encode_rows(flat_b, off_b, "svb_delta")
+        a2 = batched.encode_rows(flat_a, off_a, codec)[0].tobytes()
+        assert a1 == a2, codec
