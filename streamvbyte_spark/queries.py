@@ -342,6 +342,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
+    # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
+    # reassemble; identity oracle proves the prev chain threads chunk seams
+    # exactly (reference delta contract, include/streamvbytedelta.h:17-29)
+    def chunked_roundtrip(spark, sf_dir):
+        from .operators.chunking import (chunk_tokens, decode_chunked_delta,
+                                         encode_chunked_delta, reassemble)
+        post = posting_lists(spark, sf_dir)
+        re = reassemble(decode_chunked_delta(
+            encode_chunked_delta(chunk_tokens(post, chunk_size=8))))
+        return re.select("doc_id", "tokens",
+                         F.col("n_tok").cast("int").alias("n_tok"))
+
+    q["chunked_roundtrip_postings"] = chunked_roundtrip
+
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
         from .pipeline import curate_documents
@@ -445,6 +460,10 @@ def build_oracles() -> dict[str, str]:
         "count(*) as events, "
         "sum(cast(round(value * 100) as bigint))::bigint as sum_value_cents "
         "from events group by 1, 2")
+    # chunked roundtrip: decode(encode(chunks)) reassembled == the original
+    # posting lists (identity; chunking must be lossless)
+    o["chunked_roundtrip_postings"] = (
+        f"select doc_id, tokens, cast(n_tok as int) as n_tok from ({post})")
     # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
     # stopword-ratio gate (int/int double division with the same 0.9 literal
     # on both engines -> identical IEEE outcome), tokenize, auto-codec size
