@@ -18,7 +18,7 @@ from streamvbyte_spark.session import get_spark
 HEADLINE = [
     "auto_roundtrip", "auto_size", "delta_roundtrip_postings",
     "metrics_by_source", "dedup_minhash_pairs", "ann_topk", "events_hourly",
-    "curate_metrics", "multimodal_frames",
+    "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
 ]
 
 NOTES = {
@@ -40,6 +40,9 @@ NOTES = {
                       "Exchange for the final groupBy(source).",
     "multimodal_frames": "Map-only 1:N frame explode inside a single "
                          "MapInArrow; ZERO shuffles.",
+    "chunked_roundtrip_postings": "Window lag (prev) and the reassembly "
+                                  "groupBy both hash-partition on doc_id; "
+                                  "encode/decode stages add no exchange.",
 }
 
 
