@@ -40,9 +40,14 @@ NOTES = {
                       "Exchange for the final groupBy(source).",
     "multimodal_frames": "Map-only 1:N frame explode inside a single "
                          "MapInArrow; ZERO shuffles.",
-    "chunked_roundtrip_postings": "Window lag (prev) and the reassembly "
-                                  "groupBy both hash-partition on doc_id; "
-                                  "encode/decode stages add no exchange.",
+    "chunked_roundtrip_postings": "THREE exchanges: postings build "
+                                  "(l_partkey), window lag for prev "
+                                  "(doc_id), reassembly groupBy (doc_id "
+                                  "again — mapInArrow drops the partitioning "
+                                  "guarantee, so Catalyst must re-shuffle; "
+                                  "at scale fuse decode+reassemble into one "
+                                  "applyInPandas, or write chunks as-is and "
+                                  "reassemble lazily at read time).",
 }
 
 
