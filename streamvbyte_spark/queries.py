@@ -357,6 +357,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunked_roundtrip_postings"] = chunked_roundtrip
 
+    # fused variant: decode AFTER the reassembly shuffle (applyInPandas), so
+    # the wire carries encoded bytes (~1.5 B/tok) instead of decoded tokens
+    # (4 B/tok) — the scale-correct plan
+    def chunked_fused_roundtrip(spark, sf_dir):
+        from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
+                                         encode_chunked_delta)
+        post = posting_lists(spark, sf_dir)
+        re = decode_reassemble_fused(
+            encode_chunked_delta(chunk_tokens(post, chunk_size=8)))
+        return re.select("doc_id", "tokens",
+                         F.col("n_tok").cast("int").alias("n_tok"))
+
+    q["chunked_fused_roundtrip"] = chunked_fused_roundtrip
+
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
         from .pipeline import curate_documents
@@ -464,6 +478,7 @@ def build_oracles() -> dict[str, str]:
     # posting lists (identity; chunking must be lossless)
     o["chunked_roundtrip_postings"] = (
         f"select doc_id, tokens, cast(n_tok as int) as n_tok from ({post})")
+    o["chunked_fused_roundtrip"] = o["chunked_roundtrip_postings"]
     # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
     # stopword-ratio gate (int/int double division with the same 0.9 literal
     # on both engines -> identical IEEE outcome), tokenize, auto-codec size

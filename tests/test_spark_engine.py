@@ -231,3 +231,18 @@ def test_full_curation_pipeline(spark):
         assert curate_and_encode(spark, SF, path, n_buckets=8).get("skipped")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_chunked_fused_matches_unfused(spark, tok):
+    """decode_reassemble_fused (applyInPandas, shuffles encoded bytes) must
+    agree with the chunk->decode->reassemble pipeline and the original."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_chunked_delta, decode_reassemble_fused,
+        encode_chunked_delta, reassemble)
+    enc = encode_chunked_delta(chunk_tokens(tok, chunk_size=16))
+    a = {r.doc_id: list(r.tokens) for r in
+         reassemble(decode_chunked_delta(enc)).collect()}
+    b = {r.doc_id: list(r.tokens) for r in
+         decode_reassemble_fused(enc).collect()}
+    orig = {r.doc_id: list(r.tokens) for r in tok.where("n_tok > 0").collect()}
+    assert a == b == orig

@@ -19,6 +19,7 @@ HEADLINE = [
     "auto_roundtrip", "auto_size", "delta_roundtrip_postings",
     "metrics_by_source", "dedup_minhash_pairs", "ann_topk", "events_hourly",
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
+    "chunked_fused_roundtrip",
 ]
 
 NOTES = {
@@ -48,6 +49,10 @@ NOTES = {
                                   "at scale fuse decode+reassemble into one "
                                   "applyInPandas, or write chunks as-is and "
                                   "reassemble lazily at read time).",
+    "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
+                               "Exchange feeds FlatMapGroupsInPandas with "
+                               "the ENCODED column — the shuffle carries "
+                               "~1.5 B/token instead of 4 B/token.",
 }
 
 
