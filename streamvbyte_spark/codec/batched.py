@@ -195,10 +195,13 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     ctrl = enc[np.repeat(enc_offsets[:-1], key_len) + ctrl_intra]
     codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
     idt = np.int32 if enc.size + 4 < 2**31 and V * 4 < 2**31 else np.int64
+    # per-value index into codes_padded, built in one scratch buffer:
+    # arange(V) - repeat(row_start) + repeat(4*ctrl_start) with the two
+    # repeats fused into one (their operand is combined per row first)
     intra = _scratch("dec_intra", V, idt)
-    np.subtract(_cached_arange(V, idt), np.repeat(offsets[:-1].astype(idt), nr),
-                out=intra)
-    codes = codes_padded[np.repeat((4 * ctrl_starts[:-1]).astype(idt), nr) + intra]
+    row_shift = (4 * ctrl_starts[:-1] - offsets[:-1]).astype(idt)
+    np.add(_cached_arange(V, idt), np.repeat(row_shift, nr), out=intra)
+    codes = codes_padded[intra]
     lens = _LEN_0124_U8[codes] if scheme0124 else codes + np.uint8(1)
     ends = np.cumsum(lens, dtype=np.int64)
     row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
