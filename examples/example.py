@@ -43,4 +43,19 @@ mix = {r["codec"]: r["count"] for r in enc.groupBy("codec").count().collect()}
 mismatches = verify_roundtrip(tok, decode_table(enc))
 print(f"table: 1000 docs, codec mix {mix}, mismatches={mismatches}")
 assert mismatches == 0
+
+# --- long sequences: chunk -> prev-chained delta -> fused reassembly ----------
+from pyspark.sql import functions as F
+from streamvbyte_spark.operators.chunking import (
+    chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+
+sorted_tok = tok.select("doc_id", F.array_sort("tokens").alias("tokens"),
+                        "n_tok", "source")
+chunks = encode_chunked_delta(chunk_tokens(sorted_tok, chunk_size=32))
+back = decode_reassemble_fused(chunks)   # shuffle carries ENCODED bytes
+bad = (back.alias("a").join(sorted_tok.alias("b"), "doc_id")
+       .where(F.expr("a.tokens <> b.tokens")).count())
+print(f"chunked: {chunks.count()} prev-chained chunks, fused reassembly, "
+      f"mismatches={bad}")
+assert bad == 0
 spark.stop()
