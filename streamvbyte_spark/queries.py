@@ -207,8 +207,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["auto_size"] = make_size("auto", "documents")
 
     # -- validate (operators 10-11) ------------------------------------------
-    def validate_query(spark, sf_dir):
-        enc = _encoded(spark, sf_dir, "svb")
+    def validate_query(spark, sf_dir, codec="svb"):
+        enc = _encoded(spark, sf_dir, codec)
+        scheme0124 = codec == "svb0124"
 
         def run(batches):
             for batch in batches:
@@ -222,7 +223,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 base = eoff[0]
                 n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")),
                                     dtype=np.int64)
-                ok = batched.validate_rows(ebuf[base:eoff[-1]], eoff - base, n_toks)
+                ok = batched.validate_rows(ebuf[base:eoff[-1]], eoff - base,
+                                           n_toks, scheme0124=scheme0124)
                 yield pa.RecordBatch.from_arrays(
                     [batch.column(batch.schema.get_field_index("doc_id")),
                      pa.array(ok, pa.bool_())],
@@ -231,6 +233,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return enc.mapInArrow(run, "doc_id string, is_valid boolean")
 
     q["validate_stream"] = validate_query
+    # operator 11 of SURVEY.md 2.1: the 0124 length map (len = (1<<code)>>1)
+    q["validate_stream_0124"] = lambda s, d: validate_query(s, d, "svb0124")
 
     # -- compression metrics aggregation (SURVEY.md §2.2 aggregations) -------
     def metrics_by_source(spark, sf_dir):
@@ -431,6 +435,8 @@ def build_oracles() -> dict[str, str]:
         "auto_size":
             f"select doc_id, {duckdb_size_auto(t, n)} as size_bytes from ({doc})",
         "validate_stream":
+            f"select doc_id, true as is_valid from ({doc})",
+        "validate_stream_0124":
             f"select doc_id, true as is_valid from ({doc})",
         "metrics_by_source":
             f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
