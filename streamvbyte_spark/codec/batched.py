@@ -87,13 +87,18 @@ def _seg_sum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def _seg_reduce(ufunc, x: np.ndarray, offsets: np.ndarray, empty_val=0) -> np.ndarray:
-    """Per-row ufunc.reduceat with empty-row safety."""
+    """Per-row ufunc.reduceat with empty-row safety.
+
+    Mirrors _seg_sum: reduceat only over NONEMPTY row starts — empty rows
+    contribute no elements, so consecutive nonempty starts bound exactly one
+    real row.  (Clamping empty trailing starts to x.size-1 instead would split
+    the preceding row's segment and steal its last element.)"""
     nr = offsets[1:] - offsets[:-1]
-    if x.size == 0:
-        return np.full(nr.size, empty_val, dtype=x.dtype)
-    starts = np.minimum(offsets[:-1], x.size - 1)
-    out = ufunc.reduceat(x, starts)
-    out[nr == 0] = empty_val
+    out = np.full(nr.size, empty_val, dtype=x.dtype)
+    nonempty = nr > 0
+    if x.size == 0 or not nonempty.any():
+        return out
+    out[nonempty] = ufunc.reduceat(x[:offsets[-1]], offsets[:-1][nonempty])
     return out
 
 

@@ -131,3 +131,40 @@ def test_encode_bytes_deterministic_under_scratch_pollution():
         batched.encode_rows(flat_b, off_b, "svb_delta")
         a2 = batched.encode_rows(flat_a, off_a, codec)[0].tobytes()
         assert a1 == a2, codec
+
+
+def test_trailing_empty_rows_extremum_last():
+    """Regression: a batch ending in empty rows must not let _seg_reduce's
+    reduceat segment steal the preceding row's LAST element (its extremum).
+    flat=[3,2,1,7], offsets=[0,4,4] decoded to [3,2,1,3] before the fix."""
+    flat = np.array([3, 2, 1, 7], dtype=np.uint32)
+    offsets = np.array([0, 4, 4], dtype=np.int64)
+    np.testing.assert_array_equal(
+        batched._seg_reduce(np.maximum, flat, offsets), [7, 0])
+    np.testing.assert_array_equal(
+        batched._seg_reduce(np.minimum, flat, offsets), [1, 0])
+    for codec in ("bitpack", "for", "dict", "rle", "auto"):
+        out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec)
+        vflat, voff = batched.decode_rows(out, ooff, np.array([4, 0]), cids)
+        np.testing.assert_array_equal(vflat[voff[0]:voff[1]], flat, err_msg=codec)
+        assert voff[1] == voff[2] == 4
+    # row_costs must stay exact with trailing empties (auto-selector input)
+    costs = batched.row_costs(flat, offsets, batched.VECTOR_COST_CODECS)
+    for j, name in enumerate(batched.VECTOR_COST_CODECS):
+        assert costs[0, j] == len(select.REGISTRY[name].encode(flat))
+        assert costs[1, j] == len(select.REGISTRY[name].encode(np.zeros(0, np.uint32)))
+
+
+def test_multiple_trailing_and_interior_empty_rows():
+    arrays, flat, offsets = make_rows([5, 0, 3, 0, 0], gen_mixed)
+    # force an extremum in last position of the final nonempty row
+    flat = flat.copy()
+    flat[-1] = np.uint32(2 ** 31 + 7)
+    arrays = [flat[offsets[i]:offsets[i + 1]] for i in range(5)]
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
+        _, want_size = select.choose(a, candidates=batched.VECTOR_COST_CODECS)
+        assert int(ooff[i + 1] - ooff[i]) == want_size
