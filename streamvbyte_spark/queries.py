@@ -120,6 +120,31 @@ EMB_TOKENS_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 100
 
 
 # ---------------------------------------------------------------------------
+# round-trip fingerprint (both dialects)
+#
+# The driver canonicalizes result rows with pandas sort/hash, so result
+# columns must be scalar (array<int> dies on `unhashable type: list`).
+# Round-trip identity is therefore proven through an exact BIGINT polynomial
+# fold over the token values — computed from the DECODED tokens on the Spark
+# side and the ORIGINAL tokens on the DuckDB side, alongside n_tok.  The fold
+# is normalized to [0, p) so signed (zigzag) token values hash identically in
+# both engines' remainder semantics.
+# ---------------------------------------------------------------------------
+
+_FP_BODY = "((acc * 31 + t) % 1000000007 + 1000000007) % 1000000007"
+
+
+def spark_fingerprint(col: str = "tokens") -> str:
+    return f"aggregate({col}, cast(0 as bigint), (acc, t) -> {_FP_BODY})"
+
+
+def duckdb_fingerprint(col: str = "tokens") -> str:
+    return (f"list_reduce(list_prepend(cast(0 as bigint), "
+            f"list_transform({col}, t -> cast(t as bigint))), "
+            f"(acc, t) -> {_FP_BODY})")
+
+
+# ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
 
@@ -164,12 +189,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
     # -- round-trips (operators 1-6 + zigzag 12 of SURVEY.md §2.1) -----------
+    # decode(encode(x)) == x proven via (n_tok, polynomial fingerprint) of the
+    # decoded tokens vs the oracle's fold over the ORIGINAL tokens; the
+    # full-array bitwise check lives in tests (verify_roundtrip), the driver
+    # gate needs scalar columns (see spark_fingerprint above).
     def make_roundtrip(codec, src):
         def run(spark, sf_dir):
             dec = decode_table(encode_table(
                 tokens_from_documents(spark, sf_dir) if src == "documents"
                 else posting_lists(spark, sf_dir), codec=codec))
-            return dec.select("doc_id", "tokens", "n_tok", "source")
+            return dec.select(
+                "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
+                F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
         return run
 
     q["svb_roundtrip"] = make_roundtrip("svb", "documents")
@@ -185,7 +216,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id").cast("string").alias("vec_id"),
             F.expr(EMB_TOKENS_SPARK).alias("tokens"))
-        return _signed_roundtrip(emb, "vec_id", delta)
+        rt = _signed_roundtrip(emb, "vec_id", delta)
+        return rt.select(
+            "vec_id", F.size("tokens").alias("n_tok"),
+            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
 
     q["zigzag_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, False)
     q["zzdelta_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, True)
@@ -356,22 +390,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         post = posting_lists(spark, sf_dir)
         re = reassemble(decode_chunked_delta(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8))))
-        return re.select("doc_id", "tokens",
-                         F.col("n_tok").cast("int").alias("n_tok"))
+        return re.select("doc_id",
+                         F.col("n_tok").cast("int").alias("n_tok"),
+                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
 
     q["chunked_roundtrip_postings"] = chunked_roundtrip
 
-    # fused variant: decode AFTER the reassembly shuffle (applyInPandas), so
-    # the wire carries encoded bytes (~1.5 B/tok) instead of decoded tokens
-    # (4 B/tok) — the scale-correct plan
+    # fused variant: decode AFTER the reassembly shuffle, so the wire carries
+    # encoded bytes (~1.5 B/tok) instead of decoded tokens (4 B/tok) — the
+    # scale-correct plan
     def chunked_fused_roundtrip(spark, sf_dir):
         from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
                                          encode_chunked_delta)
         post = posting_lists(spark, sf_dir)
         re = decode_reassemble_fused(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8)))
-        return re.select("doc_id", "tokens",
-                         F.col("n_tok").cast("int").alias("n_tok"))
+        return re.select("doc_id",
+                         F.col("n_tok").cast("int").alias("n_tok"),
+                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
 
     q["chunked_fused_roundtrip"] = chunked_fused_roundtrip
 
@@ -406,18 +442,21 @@ def build_oracles() -> dict[str, str]:
     t, n = "tokens", "n_tok"
     doc = DOC_TOKENS_SQL
     post = POSTING_SQL
-    identity_doc = f"select doc_id, tokens, n_tok, source from ({doc})"
+    fp = duckdb_fingerprint("tokens")
+    identity_doc = (f"select doc_id, n_tok, source, {fp} as fingerprint "
+                    f"from ({doc})")
+    emb_rt = (f"select cast(vec_id as varchar) as vec_id, "
+              f"cast(len(tokens) as int) as n_tok, {fp} as fingerprint from "
+              f"(select vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings)")
     o = {
         "svb_roundtrip": identity_doc,
         "svb0124_roundtrip": identity_doc,
         "delta_roundtrip_postings":
-            f"select doc_id, tokens, cast(n_tok as int) as n_tok, source from ({post})",
+            f"select doc_id, cast(n_tok as int) as n_tok, source, {fp} as fingerprint from ({post})",
         "auto_roundtrip": identity_doc,
         "fsst_roundtrip": identity_doc,
-        "zigzag_roundtrip_embeddings":
-            f"select cast(vec_id as varchar) as vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings",
-        "zzdelta_roundtrip_embeddings":
-            f"select cast(vec_id as varchar) as vec_id, {EMB_TOKENS_DUCK} as tokens from embeddings",
+        "zigzag_roundtrip_embeddings": emb_rt,
+        "zzdelta_roundtrip_embeddings": emb_rt,
         "svb_size":
             f"select doc_id, {duckdb_size_svb(t, n)} as size_bytes from ({doc})",
         "svb0124_size":
@@ -483,7 +522,8 @@ def build_oracles() -> dict[str, str]:
     # chunked roundtrip: decode(encode(chunks)) reassembled == the original
     # posting lists (identity; chunking must be lossless)
     o["chunked_roundtrip_postings"] = (
-        f"select doc_id, tokens, cast(n_tok as int) as n_tok from ({post})")
+        f"select doc_id, cast(n_tok as int) as n_tok, {fp} as fingerprint "
+        f"from ({post})")
     o["chunked_fused_roundtrip"] = o["chunked_roundtrip_postings"]
     # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
     # stopword-ratio gate (int/int double division with the same 0.9 literal

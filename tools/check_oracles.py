@@ -23,8 +23,15 @@ def normalize(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, list):
-                v = tuple(v)
+            if isinstance(v, (list, tuple)):
+                # driver parity: its pandas canonicalizer (sort_values/hash
+                # over all columns) dies on list cells with `unhashable type:
+                # 'list'` — fail here so array-typed result columns can never
+                # pass locally while erring at the driver (round-1 lesson)
+                raise TypeError(
+                    f"array-typed result column {cols[i]!r}: the driver "
+                    "canonicalizer cannot hash lists; emit scalar columns "
+                    "(e.g. n_tok + polynomial fingerprint) instead")
             if isinstance(v, float):
                 v = round(v, 6)
             vals.append(v)
