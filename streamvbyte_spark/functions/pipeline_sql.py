@@ -17,10 +17,13 @@ from __future__ import annotations
 from .sqlpair import duckdb_tokens_expr, spark_tokens_expr
 
 # deterministic MinHash parameters (textbook scheme: h(x) = (a*x + b) mod p)
+# over word-3-gram SHINGLE hashes: shingle sets are near-disjoint between
+# unrelated documents, so 4-row bands are selective (raw token ids over a
+# shared vocabulary made bands collide at 61% of all-pairs in round 1 —
+# effectively a cross join at scale).
 MINHASH_P = 2147483647
 N_HASHES = 16
-N_BANDS = 2  # -> 8 rows per band (tuned: 4-row bands over-collide on the
-             # small shared vocabulary of the test corpus)
+N_BANDS = 4  # -> 4 rows per band; collision prob per band = jaccard^4
 _A = [709, 1049, 2707, 3733, 4391, 5519, 6229, 7177,
       8521, 9473, 10627, 11699, 12763, 13829, 14897, 15973]
 _B = [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
@@ -98,6 +101,13 @@ class Dialect:
             return f"(case when {n} < 1 then array() else sequence(1, {n}) end)"
         return f"(case when {n} < 1 then [] else range(1, {n} + 1) end)"
 
+    def strhash(self, s: str) -> str:
+        """Deterministic 60-bit BIGINT hash of a string: first 15 hex digits
+        of md5 — identical output in both engines (verified parity)."""
+        if self.kind == "spark":
+            return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+        return f"('0x' || substring(md5({s}), 1, 15))::bigint"
+
 
 def _words(d: Dialect) -> str:
     return d.split("text")
@@ -117,22 +127,40 @@ def q_dedup_exact(d: Dialect) -> str:
     )
 
 
+def _shingle_list(d: Dialect) -> str:
+    """Distinct word-3-gram shingles of `text` (shared by MinHash and the
+    n-gram Jaccard query)."""
+    w = _words(d)
+    n = d.alen(w)
+    sh = d.transform(
+        d.seq1(f"{n} - 2"),
+        f"i -> concat_ws(' ', {d.elem(w, 'i')}, {d.elem(w, 'i + 1')}, {d.elem(w, 'i + 2')})")
+    return d.adistinct(sh)
+
+
 def _minhash_exprs(d: Dialect) -> list[str]:
+    # hs = shingle md5-hashes reduced mod p (so a*x'+b stays < 2^46, exact
+    # BIGINT in both engines); one min per hash function
     out = []
     for a, b in zip(_A, _B):
         lam = f"t -> (cast({a} as bigint) * t + {b}) % {MINHASH_P}"
-        out.append(d.amin(d.transform("tokens", lam)))
+        out.append(d.amin(d.transform("hs", lam)))
     return out
 
 
 def q_minhash_bands(d: Dialect) -> str:
-    """MinHash signature -> LSH band keys (N_BANDS bands x 4 hashes).
+    """MinHash signature over shingle hashes -> LSH band keys
+    (N_BANDS bands x N_HASHES/N_BANDS hashes).
 
     Scale path: at 10^12 docs the band table is shuffled once on
-    (band_id, band_key) and duplicate buckets join within partitions."""
+    (band_id, band_key) and duplicate buckets join within partitions.
+    Docs with < 3 words have no shingles and are excluded (an empty-shingle
+    band key would otherwise bucket ALL short docs together — a skew bomb)."""
     mh = _minhash_exprs(d)
     rows_per = N_HASHES // N_BANDS
-    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
+    hs = d.transform(_shingle_list(d), f"s -> {d.strhash('s')} % {MINHASH_P}")
+    tok = (f"select cast(doc_id as string) as doc_id, {hs} as hs "
+           f"from documents where {d.alen(_words(d))} >= 3")
     sig = ", ".join(f"{e} as mh{j}" for j, e in enumerate(mh))
     bands = []
     for b in range(N_BANDS):
@@ -176,13 +204,8 @@ def q_dedup_ngram_jaccard(d: Dialect) -> str:
     """3-gram (word) shingle Jaccard for candidate pairs >= 0.5 within the
     same source. Explode -> equi-join on shingle -> count ratio: the
     shuffle-once shape that scales (vs O(n^2) pairwise)."""
-    w = _words(d)
-    n = d.alen(w)
-    sh = d.transform(
-        d.seq1(f"{n} - 2"),
-        f"i -> concat_ws(' ', {d.elem(w, 'i')}, {d.elem(w, 'i + 1')}, {d.elem(w, 'i + 2')})")
     base = (f"select cast(doc_id as string) as doc_id, source, "
-            f"{d.adistinct(sh)} as shingles from documents")
+            f"{_shingle_list(d)} as shingles from documents")
     exploded = d.explode(base, "shingles", "shingle", "doc_id, source")
     return (
         f"with e as ({exploded}), "
@@ -232,18 +255,59 @@ def q_ann_topk(d: Dialect) -> str:
     )
 
 
+def _hyperplane_bucket(d: Dialect, planes: list[tuple[int, int]]) -> str:
+    """Sign-bit bucket of vector `v` under deterministic integer hyperplanes:
+    plane (a, b) component i = ((a*(i+1) + b) mod 7) - 3; exact BIGINT dots."""
+    bits = []
+    for k, (a, b) in enumerate(planes):
+        if d.kind == "spark":
+            dot = (f"aggregate(zip_with(v, sequence(1, 64), (x, i) -> "
+                   f"cast(x as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)), "
+                   f"cast(0 as bigint), (acc, y) -> acc + y)")
+        else:
+            dot = (f"list_sum(list_transform(range(1, 65), i -> "
+                   f"cast(v[i] as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)))")
+        bits.append(f"(case when ({dot}) >= 0 then {1 << k} else 0 end)")
+    return " + ".join(bits)
+
+
+NEARDUP_BANDS = 2
+NEARDUP_PLANES_PER_BAND = 4
+
+
 def q_embedding_neardup(d: Dialect) -> str:
-    """Top-50 most-similar embedding pairs by cosine over exact-int dots
-    (deterministic total order: dot desc, then ids)."""
+    """Top-50 most-similar embedding pairs by cosine over exact-int dots,
+    candidates restricted to LSH co-bucketed pairs (deterministic total
+    order: dot desc, then ids).
+
+    Scale path: NEARDUP_BANDS band tables of sign-bit buckets; candidate
+    pairs come from an EQUI-join on (band_id, bucket) — one shuffle on a
+    small key, never the O(n^2) cross join (round-1 version did
+    `a.vec_id < b.vec_id` over the full table, a cartesian at 10^9 vectors).
+    Recall is the standard banding trade-off: a near-dup pair collides in
+    at least one band unless it disagrees on some plane of EVERY band."""
     e = f"select vec_id, {_qemb(d)} as v from embeddings"
-    dot = _dot(d, "a.v", "b.v")
-    norm = _dot(d, "a.v", "a.v")
-    normb = _dot(d, "b.v", "b.v")
+    band_sqls = []
+    for bnd in range(NEARDUP_BANDS):
+        planes = [(13 + 6 * (NEARDUP_PLANES_PER_BAND * bnd + k),
+                   5 + 11 * (NEARDUP_PLANES_PER_BAND * bnd + k))
+                  for k in range(NEARDUP_PLANES_PER_BAND)]
+        band_sqls.append(f"select vec_id, {bnd} as band_id, "
+                         f"({_hyperplane_bucket(d, planes)}) as bucket from e")
+    bands = " union all ".join(band_sqls)
+    dot = _dot(d, "ea.v", "eb.v")
+    na = _dot(d, "ea.v", "ea.v")
+    nb = _dot(d, "eb.v", "eb.v")
     return (
         f"with e as ({e}), "
-        f"pairs as (select a.vec_id as id_a, b.vec_id as id_b, {dot} as dot, "
-        f" {norm} as na, {normb} as nb "
-        " from e a join e b on a.vec_id < b.vec_id), "
+        f"bands as ({bands}), "
+        "cand as (select a.vec_id as id_a, b.vec_id as id_b "
+        " from bands a join bands b on a.band_id = b.band_id "
+        " and a.bucket = b.bucket and a.vec_id < b.vec_id "
+        " group by a.vec_id, b.vec_id), "
+        f"pairs as (select id_a, id_b, {dot} as dot, {na} as na, {nb} as nb "
+        " from cand join e ea on cand.id_a = ea.vec_id "
+        " join e eb on cand.id_b = eb.vec_id), "
         "ranked as (select id_a, id_b, dot, "
         " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) as cos_sim, "
         " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "

@@ -17,10 +17,15 @@ from streamvbyte_spark.session import get_spark
 
 HEADLINE = [
     "auto_roundtrip", "auto_size", "delta_roundtrip_postings",
-    "metrics_by_source", "dedup_minhash_pairs", "ann_topk", "events_hourly",
+    "metrics_by_source", "dedup_minhash_pairs", "embedding_neardup",
+    "ann_topk", "events_hourly",
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
     "chunked_fused_roundtrip",
 ]
+
+# queries whose plans must never contain an all-pairs join (the 100 TB
+# scale contract): fail loudly if Catalyst planned one
+NO_CARTESIAN = {"embedding_neardup", "dedup_minhash_pairs"}
 
 NOTES = {
     "auto_roundtrip": "Expected: scan -> ArrowEvalPython/MapInArrow x2, ZERO "
@@ -31,8 +36,14 @@ NOTES = {
                                 "posting-list build; encode/decode add none.",
     "metrics_by_source": "Partial (map-side) HashAggregate before the "
                          "Exchange, final after — sums combine map-side.",
-    "dedup_minhash_pairs": "Band build is map-only; ONE shuffle on the "
-                           "band-key equi-join + one for the group-by.",
+    "dedup_minhash_pairs": "Band build is map-only (shingle-hash MinHash); "
+                           "ONE shuffle on the band-key equi-join + one for "
+                           "the group-by. Asserted: no cartesian in plan.",
+    "embedding_neardup": "Banded hyperplane LSH: bucket build map-only, "
+                         "candidates from an EQUI-join on (band_id, bucket), "
+                         "then two equi-joins back to vectors for exact dots. "
+                         "Asserted: no CartesianProduct / "
+                         "BroadcastNestedLoopJoin in the plan.",
     "ann_topk": "Small query side should broadcast (BroadcastHashJoin / "
                 "BroadcastNestedLoopJoin on qid != cid).",
     "events_hourly": "Partial agg + single Exchange on (hour, event_type).",
@@ -67,6 +78,9 @@ def main():
         df = qs[name](spark, sf_dir)
         n_ex = count_exchanges(df)
         plan = plan_string(df, "formatted")
+        if name in NO_CARTESIAN:
+            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+                assert bad not in plan, f"{name}: {bad} in physical plan"
         # keep reports readable: formatted header section only
         head = plan.split("\n\n")[0]
         out.append(f"\n## {name}\n\n{NOTES.get(name, '')}\n"
