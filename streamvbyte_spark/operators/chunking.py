@@ -98,7 +98,13 @@ def decode_chunked_delta(enc_df: DataFrame) -> DataFrame:
 
 
 def reassemble(decoded_chunks: DataFrame) -> DataFrame:
-    """Chunks -> whole token arrays (order restored by chunk_id)."""
+    """Chunks -> whole token arrays (order restored by chunk_id).
+
+    Materializes each document as ONE array row — a round-trip identity
+    check, not the scale consumer path: a 10^9-token doc would become a 4 GB
+    cell.  At scale the consumer-facing decode is ``decode_chunked_delta``
+    (order-preserved (doc_id, chunk_id, chunk) rows, chunks decode in
+    parallel) or the fused variant below."""
     return (decoded_chunks.groupBy("doc_id")
             .agg(F.flatten(F.array_sort(F.collect_list(
                 F.struct("chunk_id", "chunk"))).getField("chunk")).alias("tokens"))
@@ -106,32 +112,84 @@ def reassemble(decoded_chunks: DataFrame) -> DataFrame:
 
 
 def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
-    """Decode + reassemble in ONE grouped stage (applyInPandas).
+    """Decode + reassemble AFTER one hash shuffle, whole-batch (mapInArrow).
 
     The separate decode->reassemble pipeline must re-shuffle DECODED tokens
     (4 B/token) for the groupBy, because mapInArrow drops the partitioning
     guarantee.  Fusing moves the decode to AFTER the shuffle, so the wire
     carries the ENCODED bytes (~1.5 B/token at the auto codec's measured
     ratio) — ~2.6x less shuffle traffic, the difference that matters at
-    10^12 tokens.  Chunks of one doc arrive as one group; each decodes from
-    its stored prev (reference delta contract,
-    /root/reference/include/streamvbytedelta.h:17-29) and concatenates in
-    chunk_id order."""
-    import pandas as pd
+    10^12 tokens.
 
-    def fuse(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    Execution: ``repartition(doc_id) + sortWithinPartitions(doc_id,
+    chunk_id)`` makes each document a CONTIGUOUS ordered run inside its
+    partition; one mapInArrow stage then runs the segmented whole-batch
+    delta decode (codec.batched.decode_delta_rows_prev) over every complete
+    run in an Arrow batch — no per-group Python, no per-row pandas.  A run
+    can straddle Arrow batch boundaries, so the tail run of each batch is
+    carried into the next and flushed at iterator end.  Each chunk decodes
+    from its stored prev (reference delta contract,
+    /root/reference/include/streamvbytedelta.h:17-29) and lands in chunk_id
+    order by construction."""
+    part = (enc_df.select("doc_id", "chunk_id", "n_tok", "prev", "encoded")
+            .repartition("doc_id")
+            .sortWithinPartitions("doc_id", "chunk_id"))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..codec import batched
-        pdf = pdf.sort_values("chunk_id")
-        bufs = pdf["encoded"].tolist()
-        eoff = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in bufs], out=eoff[1:])
-        enc = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        flat, _ = batched.decode_delta_rows_prev(
-            enc, eoff, pdf["n_tok"].to_numpy(np.int64),
-            pdf["prev"].to_numpy(np.int64))
-        return pd.DataFrame({"doc_id": [key[0]],
-                             "tokens": [flat.view(np.int32)],
-                             "n_tok": [np.int32(flat.size)]})
 
-    return (enc_df.groupBy("doc_id")
-            .applyInPandas(fuse, "doc_id string, tokens array<int>, n_tok int"))
+        def extract(batch):
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("doc_id", "n_tok", "prev", "encoded")}
+            ids = batch.column(idx["doc_id"]).to_numpy(zero_copy_only=False)
+            n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
+            prev = np.asarray(batch.column(idx["prev"]), dtype=np.int64)
+            col = batch.column(idx["encoded"])
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            bufs = col.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32)[
+                col.offset:col.offset + len(col) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+            return ids, n_toks, prev, data[off[0]:off[-1]], off - off[0]
+
+        def decode_runs(ids, n_toks, prev, enc, eoff):
+            flat, offs = batched.decode_delta_rows_prev(enc, eoff, n_toks, prev)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+            doc_tok_off = offs[np.concatenate((starts, [ids.size]))]
+            if doc_tok_off[-1] > np.iinfo(np.int32).max:
+                raise ValueError("decoded batch exceeds int32 Arrow list "
+                                 "offsets; lower maxRecordsPerBatch")
+            tok = pa.ListArray.from_arrays(
+                pa.array(doc_tok_off.astype(np.int32), pa.int32()),
+                pa.array(flat.view(np.int32), pa.int32()))
+            return pa.RecordBatch.from_arrays(
+                [pa.array(ids[starts], pa.string()), tok,
+                 pa.array((doc_tok_off[1:] - doc_tok_off[:-1]).astype(np.int32),
+                          pa.int32())],
+                names=["doc_id", "tokens", "n_tok"])
+
+        pend = None  # tail run (last doc_id) carried across Arrow batches
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, n_toks, prev, enc, eoff = extract(batch)
+            if pend is not None:
+                pids, pn, pp, penc, peoff = pend
+                ids = np.concatenate((pids, ids))
+                n_toks = np.concatenate((pn, n_toks))
+                prev = np.concatenate((pp, prev))
+                enc = np.concatenate((penc, enc))
+                eoff = np.concatenate((peoff, peoff[-1] + eoff[1:]))
+            nz = np.flatnonzero(ids != ids[-1])
+            cut = int(nz[-1] + 1) if nz.size else 0
+            if cut:
+                yield decode_runs(ids[:cut], n_toks[:cut], prev[:cut],
+                                  enc[:eoff[cut]], eoff[:cut + 1])
+            pend = (ids[cut:], n_toks[cut:], prev[cut:],
+                    enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut])
+        if pend is not None and pend[0].size:
+            yield decode_runs(*pend)
+
+    return part.mapInArrow(run, "doc_id string, tokens array<int>, n_tok int")

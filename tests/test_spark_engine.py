@@ -246,3 +246,22 @@ def test_chunked_fused_matches_unfused(spark, tok):
          decode_reassemble_fused(enc).collect()}
     orig = {r.doc_id: list(r.tokens) for r in tok.where("n_tok > 0").collect()}
     assert a == b == orig
+
+
+def test_chunked_fused_run_straddles_arrow_batches(spark, tok):
+    """A document's chunk run must survive being split across Arrow batch
+    boundaries inside the fused decode's partition iterator (the carried
+    tail-run path): force 3-row batches so every multi-chunk doc straddles."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    enc = encode_chunked_delta(chunk_tokens(tok, chunk_size=4))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {r.doc_id: list(r.tokens) for r in
+               decode_reassemble_fused(enc).collect()}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    orig = {r.doc_id: list(r.tokens) for r in tok.where("n_tok > 0").collect()}
+    assert got == orig

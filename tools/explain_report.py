@@ -61,9 +61,12 @@ NOTES = {
                                   "applyInPandas, or write chunks as-is and "
                                   "reassemble lazily at read time).",
     "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
-                               "Exchange feeds FlatMapGroupsInPandas with "
-                               "the ENCODED column — the shuffle carries "
-                               "~1.5 B/token instead of 4 B/token.",
+                               "Exchange (repartition doc_id) + in-partition "
+                               "Sort feed ONE PythonMapInArrow running the "
+                               "segmented whole-batch decode — the shuffle "
+                               "carries the ENCODED column (~1.5 B/token "
+                               "instead of 4 B/token) and there is no "
+                               "per-group Python stage.",
 }
 
 
