@@ -192,3 +192,35 @@ def test_max_compressed_size_bound():
     for n in [0, 1, 4, 100]:
         v = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
         assert len(core.encode(v)) <= core.max_compressed_size(n)
+
+
+def test_issue42_golden_stream_verbatim():
+    """The reference's load-bearing regression asset, ported byte-for-byte:
+    the 36,494-byte svb stream embedded at /root/reference/tests/unit.c:310-2783
+    must decode to exactly 29,159 uint32s and re-encode to an identical
+    stream (the reference checks sizes; canonical svb encoding makes the
+    stronger byte-identity check hold too)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "issue42_stream.bin")
+    stream = open(path, "rb").read()
+    assert len(stream) == 36494
+    ORIG_SIZE = 29159
+    assert core.validate(stream, ORIG_SIZE)
+    vals = core.decode(stream, ORIG_SIZE)
+    assert vals.size == ORIG_SIZE
+    re_enc = core.encode(vals)
+    assert len(re_enc) == 36494            # unit.c: newcompsize == COMPRESSED_SIZE
+    assert re_enc == stream                # canonical-form byte identity
+    assert core.compressed_size(vals) == 36494
+    np.testing.assert_array_equal(core.decode(re_enc, ORIG_SIZE), vals)
+    # batched kernel parity on the same golden data
+    from streamvbyte_spark.codec import batched
+    offsets = np.array([0, ORIG_SIZE], dtype=np.int64)
+    out, ooff, cids = batched.encode_rows(vals, offsets, codec="svb")
+    assert out.tobytes() == stream
+    dec, doff = batched.decode_rows(
+        np.frombuffer(stream, dtype=np.uint8),
+        np.array([0, len(stream)], dtype=np.int64),
+        np.array([ORIG_SIZE], dtype=np.int64), cids)
+    np.testing.assert_array_equal(dec, vals)
