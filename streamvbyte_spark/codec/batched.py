@@ -500,6 +500,28 @@ def _subset_bytes(enc, enc_offsets, rows):
 
 # ------------------------------------------------------------ batched validate
 
+def max_compressed_bytes_rows(n_toks: np.ndarray) -> np.ndarray:
+    """Vectorized streamvbyte_max_compressedbytes
+    (/root/reference/include/streamvbyte.h:33-39, = core.max_compressed_size
+    per row): ceil(n/4) control bytes + 4n worst-case data + 16 decode pad."""
+    n = np.asarray(n_toks, dtype=np.int64)
+    return (n + 3) // 4 + 4 * n + 16
+
+
+def truncate_rows(enc: np.ndarray, enc_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop the LAST byte of every nonempty row segment (corrupt-stream test
+    harness: any valid nonzero-count stream becomes length-inconsistent)."""
+    enc = np.asarray(enc, dtype=np.uint8)
+    off = np.asarray(enc_offsets, dtype=np.int64)
+    lens = off[1:] - off[:-1]
+    keep = np.ones(enc.size, dtype=bool)
+    ends = off[1:][lens > 0]
+    keep[ends - 1] = False
+    new_off = np.zeros(off.size, dtype=np.int64)
+    np.cumsum(lens - (lens > 0), out=new_off[1:])
+    return enc[keep], new_off
+
+
 def validate_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
                   scheme0124: bool = False) -> np.ndarray:
     """Per-row streamvbyte_validate_stream (src/streamvbyte_decode.c:89-136):

@@ -241,7 +241,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["auto_size"] = make_size("auto", "documents")
 
     # -- validate (operators 10-11) ------------------------------------------
-    def validate_query(spark, sf_dir, codec="svb"):
+    def validate_query(spark, sf_dir, codec="svb", corrupt=False):
         enc = _encoded(spark, sf_dir, codec)
         scheme0124 = codec == "svb0124"
 
@@ -257,8 +257,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 base = eoff[0]
                 n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")),
                                     dtype=np.int64)
-                ok = batched.validate_rows(ebuf[base:eoff[-1]], eoff - base,
-                                           n_toks, scheme0124=scheme0124)
+                ebuf, eoff = ebuf[base:eoff[-1]], eoff - base
+                if corrupt:
+                    # truncate every nonempty stream by one byte in-flight:
+                    # validate must reject all of them (negative-path check —
+                    # the valid-input queries alone can never prove rejection)
+                    ebuf, eoff = batched.truncate_rows(ebuf, eoff)
+                ok = batched.validate_rows(ebuf, eoff, n_toks,
+                                           scheme0124=scheme0124)
                 yield pa.RecordBatch.from_arrays(
                     [batch.column(batch.schema.get_field_index("doc_id")),
                      pa.array(ok, pa.bool_())],
@@ -269,6 +275,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["validate_stream"] = validate_query
     # operator 11 of SURVEY.md 2.1: the 0124 length map (len = (1<<code)>>1)
     q["validate_stream_0124"] = lambda s, d: validate_query(s, d, "svb0124")
+    # negative path: truncated streams must validate false (reference
+    # contract: src/streamvbyte_decode.c:89-136 length-consistency check)
+    q["validate_stream_truncated"] = lambda s, d: validate_query(
+        s, d, "svb", corrupt=True)
+
+    # -- max_compressedbytes (operator 7): per-row worst-case bound, plus the
+    # proof that every actual svb encode respects it
+    def max_compressed_bound(spark, sf_dir):
+        enc = _encoded(spark, sf_dir, "svb")
+
+        def run(batches):
+            for batch in batches:
+                n_toks = np.asarray(
+                    batch.column(batch.schema.get_field_index("n_tok")),
+                    dtype=np.int64)
+                out_b = np.asarray(
+                    batch.column(batch.schema.get_field_index("out_bytes")),
+                    dtype=np.int64)
+                bound = batched.max_compressed_bytes_rows(n_toks)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(batch.schema.get_field_index("doc_id")),
+                     pa.array(bound, pa.int64()),
+                     pa.array(out_b <= bound, pa.bool_())],
+                    names=["doc_id", "max_bytes", "within_bound"])
+
+        return enc.mapInArrow(
+            run, "doc_id string, max_bytes bigint, within_bound boolean")
+
+    q["max_compressed_bound"] = max_compressed_bound
 
     # -- compression metrics aggregation (SURVEY.md §2.2 aggregations) -------
     def metrics_by_source(spark, sf_dir):
@@ -477,6 +512,14 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, true as is_valid from ({doc})",
         "validate_stream_0124":
             f"select doc_id, true as is_valid from ({doc})",
+        # truncating a nonempty stream always breaks the length consistency
+        # the validator checks; only the empty stream (n_tok = 0) survives
+        "validate_stream_truncated":
+            f"select doc_id, (n_tok = 0) as is_valid from ({doc})",
+        # reference bound formula, include/streamvbyte.h:33-39
+        "max_compressed_bound":
+            f"select doc_id, ((n_tok + 3) // 4 + 4 * n_tok + 16)::bigint "
+            f"as max_bytes, true as within_bound from ({doc})",
         "metrics_by_source":
             f"select source, count(*) as docs, sum(4 * n_tok)::bigint as sum_in_bytes, "
             f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",

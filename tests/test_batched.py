@@ -168,3 +168,23 @@ def test_multiple_trailing_and_interior_empty_rows():
         np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
         _, want_size = select.choose(a, candidates=batched.VECTOR_COST_CODECS)
         assert int(ooff[i + 1] - ooff[i]) == want_size
+
+
+def test_max_compressed_bytes_rows_matches_core():
+    n = np.array([0, 1, 4, 5, 100, 29159], dtype=np.int64)
+    got = batched.max_compressed_bytes_rows(n)
+    for i, k in enumerate(n):
+        assert got[i] == core.max_compressed_size(int(k))
+    # bound actually holds for worst-case values
+    v = np.full(100, 0xFFFFFFFF, dtype=np.uint32)
+    assert len(core.encode(v)) <= batched.max_compressed_bytes_rows([100])[0]
+
+
+def test_truncate_rows_invalidates_all_nonempty():
+    arrays, flat, offsets = make_rows([0, 1, 4, 7, 0, 33], gen_mixed)
+    out, ooff, _ = batched.encode_rows(flat, offsets, codec="svb")
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    assert batched.validate_rows(out, ooff, n_toks).all()
+    t_out, t_ooff = batched.truncate_rows(out, ooff)
+    ok = batched.validate_rows(t_out, t_ooff, n_toks)
+    np.testing.assert_array_equal(ok, n_toks == 0)
