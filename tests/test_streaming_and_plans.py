@@ -151,3 +151,27 @@ def test_streaming_dedup_drops_duplicates(spark):
         assert got.n == got.d == 500
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_delta_rejects_gapped_chunks(spark):
+    """A gap in chunk ids must fail loudly (silently chaining prev from the
+    wrong chunk, or silently dropping a late chunk, loses data)."""
+    import numpy as np
+    from streamvbyte_spark.streaming.stateful_delta import stateful_delta_encode
+
+    tmp = tempfile.mkdtemp(prefix="svb_state_gap_")
+    try:
+        rows = [("d0", 0, list(range(10))), ("d0", 2, list(range(20, 30)))]
+        spark.createDataFrame(rows, "doc_id string, chunk_id int, chunk array<int>") \
+            .coalesce(1).write.mode("overwrite").parquet(tmp + "/in")
+        stream = (spark.readStream
+                  .schema("doc_id string, chunk_id int, chunk array<int>")
+                  .parquet(tmp + "/in"))
+        q = (stateful_delta_encode(stream).writeStream
+             .format("memory").queryName("enc_gap").outputMode("update")
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception) as ei:
+            q.awaitTermination(120)
+        assert "non-contiguous" in str(ei.value)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
