@@ -85,8 +85,9 @@ def decode_chunked_delta(enc_df: DataFrame) -> DataFrame:
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
             flat, offsets = batched.decode_delta_rows_prev(
                 data[base:off[-1]], off - base, n_toks, prev)
+            from .encode import _i32_offsets
             tok = pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(_i32_offsets(offsets), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),
@@ -158,11 +159,9 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
             starts = np.concatenate(
                 ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             doc_tok_off = offs[np.concatenate((starts, [ids.size]))]
-            if doc_tok_off[-1] > np.iinfo(np.int32).max:
-                raise ValueError("decoded batch exceeds int32 Arrow list "
-                                 "offsets; lower maxRecordsPerBatch")
+            from .encode import _i32_offsets
             tok = pa.ListArray.from_arrays(
-                pa.array(doc_tok_off.astype(np.int32), pa.int32()),
+                pa.array(_i32_offsets(doc_tok_off), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()))
             return pa.RecordBatch.from_arrays(
                 [pa.array(ids[starts], pa.string()), tok,

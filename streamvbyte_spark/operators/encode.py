@@ -51,10 +51,23 @@ def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return vals[base:off[-1]].view(np.uint32), off - base
 
 
+def _i32_offsets(offsets: np.ndarray) -> np.ndarray:
+    """int64 -> int32 Arrow offsets with an overflow guard: an Arrow batch
+    whose flat payload exceeds 2^31-1 bytes/elements would otherwise WRAP
+    silently and corrupt the column (maxRecordsPerBatch bounds rows, not
+    bytes — very long rows can still blow the 2 GiB offset budget)."""
+    offsets = np.asarray(offsets)
+    if offsets.size and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"Arrow batch payload {int(offsets[-1])} exceeds int32 offsets "
+            "(2^31-1); lower spark.sql.execution.arrow.maxRecordsPerBatch")
+    return np.ascontiguousarray(offsets, dtype=np.int32)
+
+
 def _binary_array(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Zero-copy Arrow binary array from flat bytes + int64 offsets
     (py_buffer wraps the NumPy buffers directly — no serialization copy)."""
-    off32 = np.ascontiguousarray(offsets, dtype=np.int32)
+    off32 = _i32_offsets(offsets)
     return pa.Array.from_buffers(
         pa.binary(), len(off32) - 1,
         [None, pa.py_buffer(off32), pa.py_buffer(np.ascontiguousarray(data))],
@@ -137,7 +150,7 @@ def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
                     doc = batch.column(cols["doc_id"])[int(bad[0])]
                     raise ValueError(f"checksum mismatch decoding doc_id={doc}")
             tok = pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(_i32_offsets(offsets), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()),
             )
             yield pa.RecordBatch.from_arrays(

@@ -60,8 +60,14 @@ def encode_with_checkpoint(tok_df: DataFrame, out_path: str,
     run_id = uuid.uuid4().hex[:12]
     enc = encode_table(work.drop("bucket"), codec=codec)
     enc = enc.withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(n_buckets)))
-    enc.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(out_path, "data"))
+    # idempotent per bucket: dynamic partition overwrite replaces exactly the
+    # bucket partitions this run produces, so a rerun after a crash in the
+    # data-write/lineage-commit gap REPLACES the uncommitted buckets instead
+    # of appending duplicate rows (exactly-once resume)
+    (enc.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket")
+     .parquet(os.path.join(out_path, "data")))
 
     # commit: lineage rows are written only after the data write succeeded
     lineage = (spark.read.parquet(os.path.join(out_path, "data"))

@@ -164,7 +164,8 @@ def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool) -> DataFrame:
             enc, eoff = batched.encode_signed_rows(flat, offsets, delta=delta)
             n_toks = offsets[1:] - offsets[:-1]
             dec_flat, dec_off = batched.decode_signed_rows(enc, eoff, n_toks, delta=delta)
-            tok = pa.ListArray.from_arrays(pa.array(dec_off.astype(np.int32), pa.int32()),
+            from .operators.encode import _i32_offsets
+            tok = pa.ListArray.from_arrays(pa.array(_i32_offsets(dec_off), pa.int32()),
                                            pa.array(dec_flat, pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index(id_col)), tok],

@@ -90,10 +90,11 @@ def synthetic_tokens(spark: SparkSession, n_docs: int, avg_len: int = 256,
         for batch in batches:
             ids = batch.column("id").to_numpy()
             arrays, sources = _gen_rows(ids, seed, avg_len)
-            lens = np.array([a.size for a in arrays], dtype=np.int32)
-            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            from ..operators.encode import _i32_offsets
+            lens = np.array([a.size for a in arrays], dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(lens)])
             flat = (np.concatenate(arrays) if arrays else np.zeros(0, np.int32))
-            tok = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+            tok = pa.ListArray.from_arrays(pa.array(_i32_offsets(offsets), pa.int32()),
                                            pa.array(flat, pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 [

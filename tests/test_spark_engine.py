@@ -265,3 +265,28 @@ def test_chunked_fused_run_straddles_arrow_batches(spark, tok):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     orig = {r.doc_id: list(r.tokens) for r in tok.where("n_tok > 0").collect()}
     assert got == orig
+
+
+def test_checkpoint_resume_idempotent_across_commit_gap(spark, tok):
+    """Crash between the data write and the lineage commit must not
+    duplicate rows on rerun: dynamic partition overwrite REPLACES the
+    uncommitted bucket partitions instead of appending to them."""
+    import os
+    path = tempfile.mkdtemp(prefix="svb_ckpt_gap_")
+    try:
+        encode_with_checkpoint(tok, path, n_buckets=8)
+        n = read_encoded(spark, path).count()
+        assert n == tok.count()
+        # simulate the gap crash: data committed, lineage rows lost
+        shutil.rmtree(os.path.join(path, "_lineage"))
+        r = encode_with_checkpoint(tok, path, n_buckets=8)
+        assert r["encoded_buckets"] == 8  # rerun believed nothing committed
+        enc = read_encoded(spark, path)
+        assert enc.count() == n  # no duplicates
+        assert verify_roundtrip(tok, decode_table(enc.drop("bucket"))) == 0
+        lin = lineage_metrics(spark, path)
+        agg = enc.groupBy("bucket").agg(F.sum("checksum").alias("cs"))
+        assert lin.join(agg, "bucket").where(
+            F.col("cs") != F.col("checksum_sum")).count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
