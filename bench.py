@@ -83,9 +83,14 @@ def main():
     # JVM JIT + python worker pool + allocator pools on this noisy sandbox)
     queries = Q.build_queries()
     headline = ["auto_roundtrip", "auto_size", "delta_roundtrip_postings",
-                "svb_size", "metrics_by_source"]
-    queries["auto_roundtrip"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                "svb_size", "metrics_by_source",
+                # pipeline operators (round-over-round perf coverage beyond
+                # the codec): shingle-hash MinHash LSH dedup + bucketed ANN
+                "dedup_minhash_pairs", "ann_lsh"]
     for name in headline:
+        # per-query warm-up pass: JIT of each query's codegen'd pipeline +
+        # python worker pools swing first measurements 3x on this sandbox
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

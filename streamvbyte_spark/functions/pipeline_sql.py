@@ -14,7 +14,17 @@ from identical integer inputs.
 
 from __future__ import annotations
 
+import os
+
 from .sqlpair import duckdb_tokens_expr, spark_tokens_expr
+
+# explicit fan-out for CPU-heavy map stages over possibly-single-row-group
+# test files: a count-less REPARTITION hint lets AQE coalesce the exchange
+# back to 1 partition (its advisory is byte-based, and hash/shingle work is
+# CPU-bound on small bytes).  On a real multi-file 100 TB table the scan
+# itself provides the parallelism and this pinned count is a no-op cap per
+# executor wave.
+_SCAN_FANOUT = max(8, os.cpu_count() or 8)
 
 # deterministic MinHash parameters (textbook scheme: h(x) = (a*x + b) mod p)
 # over word-3-gram SHINGLE hashes: shingle sets are near-disjoint between
@@ -127,10 +137,16 @@ def q_dedup_exact(d: Dialect) -> str:
     )
 
 
-def _shingle_list(d: Dialect) -> str:
-    """Distinct word-3-gram shingles of `text` (shared by MinHash and the
-    n-gram Jaccard query)."""
-    w = _words(d)
+def _shingle_list(d: Dialect, w: str = None) -> str:
+    """Distinct word-3-gram shingles (shared by MinHash and the n-gram
+    Jaccard query).
+
+    Pass ``w`` = a COLUMN holding the pre-split word array whenever the
+    surrounding query can provide one: inlining split(text) here makes every
+    element_at re-split the text — O(n_words^2) string work per document
+    (measured 8s -> 0.9s on the sf0.1 MinHash query when materialized)."""
+    if w is None:
+        w = _words(d)
     n = d.alen(w)
     sh = d.transform(
         d.seq1(f"{n} - 2"),
@@ -138,38 +154,72 @@ def _shingle_list(d: Dialect) -> str:
     return d.adistinct(sh)
 
 
-def _minhash_exprs(d: Dialect) -> list[str]:
-    # hs = shingle md5-hashes reduced mod p (so a*x'+b stays < 2^46, exact
-    # BIGINT in both engines); one min per hash function
-    out = []
-    for a, b in zip(_A, _B):
-        lam = f"t -> (cast({a} as bigint) * t + {b}) % {MINHASH_P}"
-        out.append(d.amin(d.transform("hs", lam)))
-    return out
-
-
 def q_minhash_bands(d: Dialect) -> str:
     """MinHash signature over shingle hashes -> LSH band keys
     (N_BANDS bands x N_HASHES/N_BANDS hashes).
 
-    Scale path: at 10^12 docs the band table is shuffled once on
-    (band_id, band_key) and duplicate buckets join within partitions.
+    Shape: explode shingle hashes -> ONE groupBy(doc_id) computing all
+    N_HASHES mins as aggregates.  This hashes each shingle (md5) exactly
+    once — a projected-CTE formulation gets inlined by both optimizers and
+    recomputes the md5 list per hash function (16x) — and at 10^12 docs it
+    is partial map-side min-agg + a single shuffle on doc_id, then one
+    shuffle on (band_id, band_key) for the bucket join.
     Docs with < 3 words have no shingles and are excluded (an empty-shingle
     band key would otherwise bucket ALL short docs together — a skew bomb)."""
-    mh = _minhash_exprs(d)
     rows_per = N_HASHES // N_BANDS
-    hs = d.transform(_shingle_list(d), f"s -> {d.strhash('s')} % {MINHASH_P}")
-    tok = (f"select cast(doc_id as string) as doc_id, {hs} as hs "
-           f"from documents where {d.alen(_words(d))} >= 3")
-    sig = ", ".join(f"{e} as mh{j}" for j, e in enumerate(mh))
-    bands = []
-    for b in range(N_BANDS):
-        cols = ", ".join(f"mh{b * rows_per + r}" for r in range(rows_per))
-        bands.append(
-            f"select doc_id, {b} as band_id, concat_ws('_', {cols}) as band_key "
-            f"from sig")
-    return (f"with tok as ({tok}), sig as (select doc_id, {sig} from tok) "
-            + " union all ".join(bands))
+    # Execution shape (both engines, but chosen for Spark):
+    # words explode -> window LEADs build the 3-gram -> distinct -> hash ->
+    # 16 min-aggregates.  Spark's array higher-order functions (transform/
+    # element_at lambdas) are CodegenFallback — interpreted per element, ~10x
+    # slower than this fully-codegen'd explode+window form (measured 5.4s ->
+    # sub-second on the sf0.1 corpus).  REPARTITION(doc_id) on the raw scan
+    # fans a single-row-group test file out AND pre-clusters every later
+    # doc_id grouping, so the whole pipeline plans exactly one shuffle.
+    # (Spark hint comment; DuckDB parses it as a block comment.)
+    raw = (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+           "cast(doc_id as string) as doc_id, text from documents")
+    if d.kind == "spark":
+        word_rows = (f"select doc_id, pos + 1 as pos, word from ({raw}) "
+                     f"lateral view posexplode({_words(d)}) _t as pos, word")
+    else:
+        word_rows = (
+            "select doc_id, u.pos as pos, u.word as word from "
+            f"(select doc_id, unnest(list_transform(range(1, len(w) + 1), "
+            f"i -> {{'pos': i, 'word': w[i]}})) as u from "
+            f"(select doc_id, {_words(d)} as w from ({raw})))")
+    shingled = (
+        "select doc_id, concat_ws(' ', word, "
+        "lead(word, 1) over win, lead(word, 2) over win) as shingle, "
+        "pos, count(*) over (partition by doc_id) as n "
+        f"from wr window win as (partition by doc_id order by pos)")
+    tok = (f"select distinct doc_id, {d.strhash('shingle')} % {MINHASH_P} as h "
+           "from sh where pos + 2 <= n")
+    mins = ", ".join(
+        f"min((cast({a} as bigint) * h + {b}) % {MINHASH_P}) as mh{j}"
+        for j, (a, b) in enumerate(zip(_A, _B)))
+    # ONE pass over sig, bands exploded from an inline struct array: a
+    # per-band `select ... from sig UNION ALL ...` gets its CTE inlined by
+    # Catalyst and recomputes the whole scan+shingle+agg pipeline once PER
+    # BAND (4 scans, 8 aggregates in the executed plan)
+    keys = [(b, ", ".join(f"mh{b * rows_per + r}" for r in range(rows_per)))
+            for b in range(N_BANDS)]
+    if d.kind == "spark":
+        structs = ", ".join(
+            f"struct({b} as band_id, concat_ws('_', {cols}) as band_key)"
+            for b, cols in keys)
+        bands = (f"select doc_id, band.band_id as band_id, "
+                 f"band.band_key as band_key from "
+                 f"(select doc_id, explode(array({structs})) as band from sig)")
+    else:
+        structs = ", ".join(
+            f"{{'band_id': {b}, 'band_key': concat_ws('_', {cols})}}"
+            for b, cols in keys)
+        bands = (f"select doc_id, u.band_id as band_id, "
+                 f"u.band_key as band_key from "
+                 f"(select doc_id, unnest([{structs}]) as u from sig)")
+    return (f"with wr as ({word_rows}), sh as ({shingled}), e as ({tok}), "
+            f"sig as (select doc_id, {mins} from e group by doc_id) "
+            + bands)
 
 
 def q_dedup_minhash_pairs(d: Dialect) -> str:
