@@ -137,63 +137,58 @@ def q_dedup_exact(d: Dialect) -> str:
     )
 
 
-def _shingle_list(d: Dialect, w: str = None) -> str:
-    """Distinct word-3-gram shingles (shared by MinHash and the n-gram
-    Jaccard query).
+def _shingle_rows(d: Dialect, extra_cols: str = "") -> str:
+    """SQL producing one row per DISTINCT word-3-gram shingle per document:
+    ``(doc_id[, extra_cols], shingle)`` — shared by MinHash and the n-gram
+    Jaccard query.
 
-    Pass ``w`` = a COLUMN holding the pre-split word array whenever the
-    surrounding query can provide one: inlining split(text) here makes every
-    element_at re-split the text — O(n_words^2) string work per document
-    (measured 8s -> 0.9s on the sf0.1 MinHash query when materialized)."""
-    if w is None:
-        w = _words(d)
-    n = d.alen(w)
-    sh = d.transform(
-        d.seq1(f"{n} - 2"),
-        f"i -> concat_ws(' ', {d.elem(w, 'i')}, {d.elem(w, 'i + 1')}, {d.elem(w, 'i + 2')})")
-    return d.adistinct(sh)
+    Shape: posexplode words -> window lead(1)/lead(2) builds the 3-gram ->
+    distinct.  Spark's array higher-order functions (transform/element_at
+    lambdas) are CodegenFallback — interpreted per element — so building
+    shingles from per-row arrays costs ~10x this fully-codegen'd
+    explode+window form (and an inline split(text) per element access is
+    O(n_words^2) on top).  REPARTITION(doc_id) on the raw scan fans a
+    single-row-group test file out and pre-clusters the window + distinct
+    (one shuffle total; a count-less hint gets AQE-coalesced to 1 task
+    because its advisory is byte-based while this stage is CPU-bound)."""
+    ec = f", {extra_cols}" if extra_cols else ""
+    raw = (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+           f"cast(doc_id as string) as doc_id{ec}, text from documents")
+    if d.kind == "spark":
+        word_rows = (f"select doc_id{ec}, pos + 1 as pos, word from ({raw}) "
+                     f"lateral view posexplode({_words(d)}) _t as pos, word")
+    else:
+        word_rows = (
+            f"select doc_id{ec}, u.pos as pos, u.word as word from "
+            f"(select doc_id{ec}, unnest(list_transform(range(1, len(w) + 1), "
+            f"i -> {{'pos': i, 'word': w[i]}})) as u from "
+            f"(select doc_id{ec}, {_words(d)} as w from ({raw})))")
+    shingled = (
+        f"select doc_id{ec}, concat_ws(' ', word, "
+        "lead(word, 1) over win, lead(word, 2) over win) as shingle, "
+        "pos, count(*) over (partition by doc_id) as n "
+        f"from ({word_rows}) window win as (partition by doc_id order by pos)")
+    return (f"select distinct doc_id{ec}, shingle from ({shingled}) "
+            "where pos + 2 <= n")
 
 
 def q_minhash_bands(d: Dialect) -> str:
     """MinHash signature over shingle hashes -> LSH band keys
     (N_BANDS bands x N_HASHES/N_BANDS hashes).
 
-    Shape: explode shingle hashes -> ONE groupBy(doc_id) computing all
-    N_HASHES mins as aggregates.  This hashes each shingle (md5) exactly
-    once — a projected-CTE formulation gets inlined by both optimizers and
-    recomputes the md5 list per hash function (16x) — and at 10^12 docs it
-    is partial map-side min-agg + a single shuffle on doc_id, then one
+    Shape: shingle rows (_shingle_rows, codegen'd explode+window) -> md5
+    hash once per shingle -> ONE groupBy(doc_id) computing all N_HASHES mins
+    as aggregates (a projected-CTE formulation gets inlined by both
+    optimizers and recomputes the hash list per hash function, 16x; a
+    per-band UNION ALL re-runs the whole pipeline per band).  At 10^12 docs
+    this is partial map-side min-agg + a single shuffle on doc_id, then one
     shuffle on (band_id, band_key) for the bucket join.
-    Docs with < 3 words have no shingles and are excluded (an empty-shingle
-    band key would otherwise bucket ALL short docs together — a skew bomb)."""
+    Docs with < 3 words have no shingles and drop out naturally (an
+    empty-shingle band key would otherwise bucket ALL short docs together —
+    a skew bomb)."""
     rows_per = N_HASHES // N_BANDS
-    # Execution shape (both engines, but chosen for Spark):
-    # words explode -> window LEADs build the 3-gram -> distinct -> hash ->
-    # 16 min-aggregates.  Spark's array higher-order functions (transform/
-    # element_at lambdas) are CodegenFallback — interpreted per element, ~10x
-    # slower than this fully-codegen'd explode+window form (measured 5.4s ->
-    # sub-second on the sf0.1 corpus).  REPARTITION(doc_id) on the raw scan
-    # fans a single-row-group test file out AND pre-clusters every later
-    # doc_id grouping, so the whole pipeline plans exactly one shuffle.
-    # (Spark hint comment; DuckDB parses it as a block comment.)
-    raw = (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
-           "cast(doc_id as string) as doc_id, text from documents")
-    if d.kind == "spark":
-        word_rows = (f"select doc_id, pos + 1 as pos, word from ({raw}) "
-                     f"lateral view posexplode({_words(d)}) _t as pos, word")
-    else:
-        word_rows = (
-            "select doc_id, u.pos as pos, u.word as word from "
-            f"(select doc_id, unnest(list_transform(range(1, len(w) + 1), "
-            f"i -> {{'pos': i, 'word': w[i]}})) as u from "
-            f"(select doc_id, {_words(d)} as w from ({raw})))")
-    shingled = (
-        "select doc_id, concat_ws(' ', word, "
-        "lead(word, 1) over win, lead(word, 2) over win) as shingle, "
-        "pos, count(*) over (partition by doc_id) as n "
-        f"from wr window win as (partition by doc_id order by pos)")
-    tok = (f"select distinct doc_id, {d.strhash('shingle')} % {MINHASH_P} as h "
-           "from sh where pos + 2 <= n")
+    tok = (f"select doc_id, {d.strhash('shingle')} % {MINHASH_P} as h "
+           f"from ({_shingle_rows(d)})")
     mins = ", ".join(
         f"min((cast({a} as bigint) * h + {b}) % {MINHASH_P}) as mh{j}"
         for j, (a, b) in enumerate(zip(_A, _B)))
@@ -217,7 +212,7 @@ def q_minhash_bands(d: Dialect) -> str:
         bands = (f"select doc_id, u.band_id as band_id, "
                  f"u.band_key as band_key from "
                  f"(select doc_id, unnest([{structs}]) as u from sig)")
-    return (f"with wr as ({word_rows}), sh as ({shingled}), e as ({tok}), "
+    return (f"with e as ({tok}), "
             f"sig as (select doc_id, {mins} from e group by doc_id) "
             + bands)
 
@@ -250,18 +245,28 @@ def q_dedup_simhash(d: Dialect) -> str:
     return f"with tok as ({tok}) select doc_id, ({simhash}) as simhash from tok"
 
 
+NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
+
+
 def q_dedup_ngram_jaccard(d: Dialect) -> str:
     """3-gram (word) shingle Jaccard for candidate pairs >= 0.5 within the
     same source. Explode -> equi-join on shingle -> count ratio: the
-    shuffle-once shape that scales (vs O(n^2) pairwise)."""
-    base = (f"select cast(doc_id as string) as doc_id, source, "
-            f"{_shingle_list(d)} as shingles from documents")
-    exploded = d.explode(base, "shingles", "shingle", "doc_id, source")
+    shuffle-once shape that scales (vs O(n^2) pairwise).
+
+    Skew guard: shingles appearing in more than NGRAM_MAX_DF documents are
+    excluded from the JOIN side (a ubiquitous shingle — boilerplate, format
+    headers — would produce df^2 join rows on one key at 10^12 docs).  The
+    per-doc shingle count for the Jaccard denominator still counts ALL
+    shingles, so a capped pair's jaccard is a lower bound that cannot
+    create false positives."""
     return (
-        f"with e as ({exploded}), "
+        f"with e as ({_shingle_rows(d, 'source')}), "
         "cnt as (select doc_id, count(*) as n from e group by doc_id), "
+        "df as (select shingle, count(*) as df from e group by shingle), "
+        f"j as (select e.doc_id, e.source, e.shingle from e "
+        f" join df on e.shingle = df.shingle where df.df <= {NGRAM_MAX_DF}), "
         "common as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c "
-        " from e a join e b on a.shingle = b.shingle and a.source = b.source "
+        " from j a join j b on a.shingle = b.shingle and a.source = b.source "
         " and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) "
         "select doc_a, doc_b, "
         "round(cast(c as double) / (ca.n + cb.n - c), 4) as jaccard "

@@ -61,7 +61,9 @@ def make_decode_udf(codec: str = "svb"):
         cids = np.full(n.size, cid, dtype=np.int32)
         flat, offsets = batched.decode_rows(enc, eoff, n, cids)
         signed = flat.view(np.int32)
-        return pd.Series([signed[offsets[i]:offsets[i + 1]].tolist()
+        # ndarray VIEWS per row, not .tolist(): Arrow serializes the views
+        # directly, skipping a per-element Python-object materialization
+        return pd.Series([signed[offsets[i]:offsets[i + 1]]
                           for i in range(n.size)])
     return svb_decode
 
