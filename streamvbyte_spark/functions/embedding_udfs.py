@@ -1,0 +1,96 @@
+"""Arrow-vectorized integer embedding math for the similarity queries.
+
+The similarity queries (ann_topk / ann_lsh / embedding_neardup) need exact
+BIGINT dot products over quantized embeddings so the Spark result can be
+compared value-exactly against the DuckDB oracle.  Spark's array
+higher-order functions (`aggregate(zip_with(...))`) are CodegenFallback —
+interpreted per element — which makes a 64-dim dot cost ~64 interpreted
+lambda calls per pair (measured: 4.5-7s for ~1.5M candidate pairs at
+sf0.1).  These pandas UDFs compute the identical integers as one numpy
+einsum per Arrow batch.
+
+Quantization matches the SQL on both engines bit-exactly:
+``floor(cast(x as double) * 10000)`` == ``np.floor(float64(x) * 10000)``
+(same IEEE double ops in the same order).
+
+Hyperplane construction mirrors functions/pipeline_sql._hyperplane_bucket:
+plane m, component i (1-based) = ((a_m * (i+1) + b_m) mod 7) - 3 with
+a_m = 13 + 6m, b_m = 5 + 11m.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+QSCALE = 10000
+EMB_DIM = 64
+
+
+def _quantize(ser: pd.Series) -> np.ndarray:
+    """Series of float arrays -> 2D int64 of quantized values."""
+    if not len(ser):
+        return np.zeros((0, EMB_DIM), dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in ser])
+    return np.floor(m * QSCALE).astype(np.int64)
+
+
+def _planes(first: int, count: int) -> np.ndarray:
+    """[count, EMB_DIM] integer hyperplanes, plane index m starts at `first`."""
+    m = np.arange(first, first + count, dtype=np.int64)[:, None]
+    i = np.arange(1, EMB_DIM + 1, dtype=np.int64)[None, :]
+    return ((13 + 6 * m) * (i + 1) + (5 + 11 * m)) % 7 - 3
+
+
+@pandas_udf(LongType())
+def emb_dot_q(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact BIGINT dot of two quantized embeddings."""
+    return pd.Series(np.einsum("ij,ij->i", _quantize(a), _quantize(b)))
+
+
+@pandas_udf(LongType())
+def emb_norm_q(a: pd.Series) -> pd.Series:
+    """Exact BIGINT self-dot (squared norm) of a quantized embedding."""
+    q = _quantize(a)
+    return pd.Series(np.einsum("ij,ij->i", q, q))
+
+
+def make_bucket_udf(first_plane: int, n_planes: int):
+    """Sign-bit bucket under planes [first_plane, first_plane + n_planes)."""
+    pl = _planes(first_plane, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(IntegerType())
+    def bucket(a: pd.Series) -> pd.Series:
+        s = _quantize(a) @ pl.T  # [n, n_planes]
+        return pd.Series(((s >= 0) @ weights).astype(np.int32))
+
+    return bucket
+
+
+def make_band_buckets_udf(n_bands: int, planes_per_band: int):
+    """All band buckets in one pass: array<int> of length n_bands."""
+    pl = _planes(0, n_bands * planes_per_band)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def buckets(a: pd.Series) -> pd.Series:
+        s = _quantize(a) @ pl.T  # [n, n_bands * planes_per_band]
+        bits = (s >= 0).reshape(len(s), n_bands, planes_per_band)
+        out = (bits @ weights).astype(np.int32)  # [n, n_bands]
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def register_embedding_udfs(spark: SparkSession, n_bands: int,
+                            planes_per_band: int) -> None:
+    """Register the similarity-query UDFs under stable SQL names."""
+    spark.udf.register("emb_dot_q", emb_dot_q)
+    spark.udf.register("emb_norm_q", emb_norm_q)
+    spark.udf.register("emb_lsh_bucket", make_bucket_udf(0, 4))
+    spark.udf.register("emb_band_buckets",
+                       make_band_buckets_udf(n_bands, planes_per_band))

@@ -296,10 +296,19 @@ def _dot(d: Dialect, a: str, b: str, dim: int = 64) -> str:
 def q_ann_topk(d: Dialect) -> str:
     """Brute-force exact top-5 neighbors (integer dot product) for the first
     10 vectors. Scale path: broadcast the small query side; candidates stay
-    partitioned — O(Q x N) map-side, no shuffle of the big side."""
-    q = f"select vec_id as qid, {_qemb(d)} as qv from embeddings where vec_id < 10"
-    c = f"select vec_id as cid, {_qemb(d)} as cv from embeddings"
-    dot = _dot(d, "qv", "cv")
+    partitioned — O(Q x N) map-side, no shuffle of the big side.
+
+    Spark side computes the dots with the Arrow-vectorized emb_dot_q pandas
+    UDF (functions/embedding_udfs.py) — identical BIGINT results to the
+    DuckDB list-lambda oracle; Spark's own array HOFs are interpreted."""
+    if d.kind == "spark":
+        q = "select vec_id as qid, embedding as qe from embeddings where vec_id < 10"
+        c = "select vec_id as cid, embedding as ce from embeddings"
+        dot = "emb_dot_q(qe, ce)"
+    else:
+        q = f"select vec_id as qid, {_qemb(d)} as qe from embeddings where vec_id < 10"
+        c = f"select vec_id as cid, {_qemb(d)} as ce from embeddings"
+        dot = _dot(d, "qe", "ce")
     return (
         f"with q as ({q}), c as ({c}), "
         f"scored as (select qid, cid, {dot} as dot from q join c on qid != cid), "
@@ -326,8 +335,8 @@ def _hyperplane_bucket(d: Dialect, planes: list[tuple[int, int]]) -> str:
     return " + ".join(bits)
 
 
-NEARDUP_BANDS = 2
-NEARDUP_PLANES_PER_BAND = 4
+NEARDUP_BANDS = 4
+NEARDUP_PLANES_PER_BAND = 8
 
 
 def q_embedding_neardup(d: Dialect) -> str:
@@ -335,24 +344,39 @@ def q_embedding_neardup(d: Dialect) -> str:
     candidates restricted to LSH co-bucketed pairs (deterministic total
     order: dot desc, then ids).
 
-    Scale path: NEARDUP_BANDS band tables of sign-bit buckets; candidate
-    pairs come from an EQUI-join on (band_id, bucket) — one shuffle on a
-    small key, never the O(n^2) cross join (round-1 version did
-    `a.vec_id < b.vec_id` over the full table, a cartesian at 10^9 vectors).
+    Scale path: NEARDUP_BANDS band tables of sign-bit buckets (8 planes per
+    band -> 256 buckets, candidate volume ~ n^2/256 per band instead of the
+    round-1 O(n^2) cross join); candidate pairs come from an EQUI-join on
+    (band_id, bucket) — one shuffle on a small key, never a cartesian.
     Recall is the standard banding trade-off: a near-dup pair collides in
-    at least one band unless it disagrees on some plane of EVERY band."""
-    e = f"select vec_id, {_qemb(d)} as v from embeddings"
-    band_sqls = []
-    for bnd in range(NEARDUP_BANDS):
-        planes = [(13 + 6 * (NEARDUP_PLANES_PER_BAND * bnd + k),
-                   5 + 11 * (NEARDUP_PLANES_PER_BAND * bnd + k))
-                  for k in range(NEARDUP_PLANES_PER_BAND)]
-        band_sqls.append(f"select vec_id, {bnd} as band_id, "
-                         f"({_hyperplane_bucket(d, planes)}) as bucket from e")
-    bands = " union all ".join(band_sqls)
-    dot = _dot(d, "ea.v", "eb.v")
-    na = _dot(d, "ea.v", "ea.v")
-    nb = _dot(d, "eb.v", "eb.v")
+    at least one band unless it disagrees on some plane of EVERY band.
+
+    Spark side computes buckets/norms/dots with Arrow-vectorized pandas
+    UDFs (functions/embedding_udfs.py) producing BIGINT values identical to
+    the DuckDB list-lambda oracle; per-pair norms are precomputed once per
+    vector, not per pair."""
+    if d.kind == "spark":
+        e = ("select vec_id, embedding, emb_norm_q(embedding) as nq "
+             "from embeddings")
+        bands = ("select vec_id, band_id, bucket from "
+                 "(select vec_id, emb_band_buckets(embedding) as bks "
+                 "from embeddings) "
+                 "lateral view posexplode(bks) _t as band_id, bucket")
+        dot, na, nb = "emb_dot_q(ea.embedding, eb.embedding)", "ea.nq", "eb.nq"
+    else:
+        e = (f"select vec_id, v2 as v, {_dot(d, 'v2', 'v2')} as nq "
+             f"from (select vec_id, {_qemb(d)} as v2 from embeddings)")
+        band_sqls = []
+        for bnd in range(NEARDUP_BANDS):
+            planes = [(13 + 6 * (NEARDUP_PLANES_PER_BAND * bnd + k),
+                       5 + 11 * (NEARDUP_PLANES_PER_BAND * bnd + k))
+                      for k in range(NEARDUP_PLANES_PER_BAND)]
+            band_sqls.append(
+                f"select vec_id, {bnd} as band_id, "
+                f"({_hyperplane_bucket(d, planes)}) as bucket "
+                f"from (select vec_id, {_qemb(d)} as v from embeddings)")
+        bands = " union all ".join(band_sqls)
+        dot, na, nb = _dot(d, "ea.v", "eb.v"), "ea.nq", "eb.nq"
     return (
         f"with e as ({e}), "
         f"bands as ({bands}), "
@@ -376,25 +400,20 @@ def q_ann_lsh(d: Dialect) -> str:
     hyperplane signs bucket the vectors; candidates are same-bucket only, so
     at 10^12 vectors the join shuffles each side once on a small bucket key
     instead of a cross join.  Hyperplane k component i = ((a_k*(i+1)+b_k) mod 7)
-    - 3 (deterministic integers -> exact BIGINT dots -> exact oracle)."""
-    planes = [(13 + 6 * k, 5 + 11 * k) for k in range(4)]
-    v = _qemb(d)
-    bits = []
-    for k, (a, b) in enumerate(planes):
-        if d.kind == "spark":
-            dot = (f"aggregate(zip_with(v, sequence(1, 64), (x, i) -> "
-                   f"cast(x as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)), "
-                   f"cast(0 as bigint), (acc, y) -> acc + y)")
-        else:
-            dot = (f"list_sum(list_transform(range(1, 65), i -> "
-                   f"cast(v[i] as bigint) * ((({a} * (i + 1) + {b}) % 7) - 3)))")
-        bits.append(f"(case when ({dot}) >= 0 then {1 << k} else 0 end)")
-    bucket = " + ".join(bits)
-    e = f"select vec_id, {v} as v from embeddings"
-    dot_qc = _dot(d, "q.v", "c.v")
+    - 3 (deterministic integers -> exact BIGINT dots -> exact oracle).
+    Spark side: Arrow-vectorized emb_lsh_bucket / emb_dot_q pandas UDFs
+    (same planes, same integers as the DuckDB lambdas)."""
+    if d.kind == "spark":
+        b = ("select vec_id, embedding as v, emb_lsh_bucket(embedding) as bucket "
+             "from embeddings")
+        dot_qc = "emb_dot_q(q.v, c.v)"
+    else:
+        planes = [(13 + 6 * k, 5 + 11 * k) for k in range(4)]
+        b = (f"select vec_id, v, ({_hyperplane_bucket(d, planes)}) as bucket "
+             f"from (select vec_id, {_qemb(d)} as v from embeddings)")
+        dot_qc = _dot(d, "q.v", "c.v")
     return (
-        f"with e as ({e}), "
-        f"b as (select vec_id, v, ({bucket}) as bucket from e), "
+        f"with b as ({b}), "
         "q as (select * from b where vec_id < 10), "
         f"scored as (select q.vec_id as qid, c.vec_id as cid, {dot_qc} as dot "
         " from q join b c on q.bucket = c.bucket and q.vec_id != c.vec_id), "

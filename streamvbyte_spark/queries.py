@@ -464,6 +464,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def make_pipeline(name):
         def run(spark, sf_dir):
+            from .functions.embedding_udfs import register_embedding_udfs
+            register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
+                                    pipeline_sql.NEARDUP_PLANES_PER_BAND)
             spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
             return spark.sql(pipeline_sql.spark_sql(name))
