@@ -68,6 +68,37 @@ def make_decode_udf(codec: str = "svb"):
     return svb_decode
 
 
+def _signed_series_to_flat(ser: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    arrays = [np.asarray(a, dtype=np.int64).astype(np.int32) for a in ser]
+    lens = np.array([a.size for a in arrays], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.concatenate(arrays) if arrays else np.zeros(0, np.int32)
+    return flat, offsets
+
+
+def make_zigzag_encode_udf(delta: bool = False):
+    """svb_zigzag / svb_zz_delta stream encode as a column expression
+    (reference zigzag API, include/streamvbyte_zigzag.h)."""
+    @pandas_udf(BinaryType())
+    def zz_encode(tokens: pd.Series) -> pd.Series:
+        flat, offsets = _signed_series_to_flat(tokens)
+        out, ooff = batched.encode_signed_rows(flat, offsets, delta=delta)
+        return pd.Series([out[ooff[i]:ooff[i + 1]].tobytes()
+                          for i in range(len(tokens))])
+    return zz_encode
+
+
+def make_zigzag_decode_udf(delta: bool = False):
+    @pandas_udf(ArrayType(IntegerType()))
+    def zz_decode(encoded: pd.Series, n_tok: pd.Series) -> pd.Series:
+        enc, eoff = _enc_series_to_flat(encoded)
+        n = n_tok.to_numpy(dtype=np.int64)
+        flat, offsets = batched.decode_signed_rows(enc, eoff, n, delta=delta)
+        return pd.Series([flat[offsets[i]:offsets[i + 1]]
+                          for i in range(n.size)])
+    return zz_decode
+
+
 @pandas_udf(LongType())
 def svb_size(tokens: pd.Series) -> pd.Series:
     """streamvbyte_compressedbytes as a column expression."""
@@ -104,3 +135,7 @@ def register_udfs(spark: SparkSession):
     for codec in ("svb0124", "svb_delta", "bitpack", "for", "dict", "rle"):
         spark.udf.register(f"{codec}_encode", make_encode_udf(codec))
         spark.udf.register(f"{codec}_decode", make_decode_udf(codec))
+    spark.udf.register("zigzag_encode", make_zigzag_encode_udf(False))
+    spark.udf.register("zigzag_decode", make_zigzag_decode_udf(False))
+    spark.udf.register("zzdelta_encode", make_zigzag_encode_udf(True))
+    spark.udf.register("zzdelta_decode", make_zigzag_decode_udf(True))

@@ -317,9 +317,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_by_source"] = metrics_by_source
 
-    # pure-Catalyst size computation (no Python in the plan): the reference
-    # size formula (src/streamvbyte_encode.c:74,91-101) as JVM-side SQL —
-    # whole-stage-codegen'd, the "stay JVM-side" path for size-only scans
+    # pure-Catalyst size computation (no Python worker in the plan): the
+    # reference size formula (src/streamvbyte_encode.c:74,91-101) as
+    # JVM-side SQL.  Note: the aggregate() lambda is CodegenFallback
+    # (interpreted), so this is the zero-Python *composability* path; the
+    # Arrow-batched svb_size UDF / encode_table remain the throughput path
     def svb_size_sql(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t = spark_tokens_expr("text")

@@ -290,3 +290,25 @@ def test_checkpoint_resume_idempotent_across_commit_gap(spark, tok):
             F.col("cs") != F.col("checksum_sum")).count() == 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_sql_zigzag_udfs(spark):
+    """Zigzag stream variants callable from SQL (reference zigzag API,
+    include/streamvbyte_zigzag.h): signed arrays round-trip through both
+    svb_zigzag and svb_zz_delta streams."""
+    from streamvbyte_spark.functions.udfs import register_udfs
+    register_udfs(spark)
+    rows = [("a", [0, -1, 1, -2, 2147483647, -2147483648]),
+            ("b", []),
+            ("c", [-5, -4, -3, 0, 100000, -100000])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    df.createOrReplaceTempView("zz_udf")
+    got = spark.sql("""
+        select doc_id, tokens,
+               zigzag_decode(zigzag_encode(tokens), size(tokens)) as zz,
+               zzdelta_decode(zzdelta_encode(tokens), size(tokens)) as zzd
+        from zz_udf
+    """).collect()
+    for r in got:
+        assert r.zz == r.tokens, r.doc_id
+        assert r.zzd == r.tokens, r.doc_id

@@ -175,3 +175,29 @@ def test_stateful_delta_rejects_gapped_chunks(spark):
         assert "non-contiguous" in str(ei.value)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_encoded_output_partition_pruning(spark):
+    """The bucket-partitioned encoded layout must give real partition
+    pruning: a bucket-filtered scan of out_path/data reads only that
+    bucket's directories (the Iceberg-partition-pruning analog the lineage
+    layout promises)."""
+    import shutil as _sh
+    import tempfile as _tf
+    from streamvbyte_spark.operators.lineage import encode_with_checkpoint
+    from streamvbyte_spark.sources import synthetic_tokens
+
+    path = _tf.mkdtemp(prefix="svb_prune_")
+    try:
+        tok = synthetic_tokens(spark, 400, avg_len=32, seed=11, partitions=2)
+        encode_with_checkpoint(tok, path, n_buckets=8)
+        df = spark.read.parquet(path + "/data").where(F.col("bucket") == 3)
+        plan = plan_string(df, "formatted")
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+        # the scan must list only bucket=3 files
+        files = [f.filePath for f in
+                 df.select(F.input_file_name().alias("filePath")).distinct()
+                 .withColumnRenamed("filePath", "filePath").collect()]
+        assert files and all("bucket=3" in f for f in files), files
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
