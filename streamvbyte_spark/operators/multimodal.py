@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a metadata struct;
-decode / feature-extraction run as Arrow-batched ``mapInArrow`` stages.  The
-actual media decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode step is STUBBED: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the optional dependency imports, and the
-tested path uses a deterministic fake feature (byte histogram statistics)
-so the Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and exercised end-to-end.
+decode / feature-extraction run as Arrow-batched ``mapInArrow`` stages.
+
+Decoders: the UNCOMPRESSED container formats are decoded for real, in pure
+NumPy (no external deps) — PPM (P6) and BMP (BI_RGB 24/32-bit) images, WAV
+(RIFF PCM 8/16-bit) audio, plus a nearest-neighbor ``resize_image``.
+COMPRESSED formats (PNG/JPEG/MP3/...) need PIL/soundfile, which are not in
+this container; those paths raise ``NotImplementedError`` unless the
+optional dependency imports.  The Spark-level feature/frame queries use a
+deterministic fake payload so the batch plumbing — schema, batching,
+partitioning, UDF signatures — stays oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
@@ -38,31 +41,152 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — stubbed: PIL is not available in this container."""
+def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header (whitespace/#-comment tolerant); returns
+    (width, height, maxval, pixel_data_start)."""
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            i = buf.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks[0], toks[1], toks[2], i + 1  # exactly one ws after maxval
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 RGB array.
+
+    Pure NumPy for the uncompressed formats: PPM P6 (maxval 255) and BMP
+    BI_RGB 24/32-bit (bottom-up or top-down, row padding honored).
+    Compressed formats fall through to PIL if available, else raise."""
+    buf = bytes(payload)
+    if buf[:2] == b"P6":
+        w, h, maxval, start = _ppm_header(buf)
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=start)
+        return px.reshape(h, w, 3).copy()
+    if buf[:2] == b"BM":
+        off = int.from_bytes(buf[10:14], "little")
+        width = int.from_bytes(buf[18:22], "little", signed=True)
+        height = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        compression = int.from_bytes(buf[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
+                f"compression={compression})")
+        nch = bpp // 8
+        stride = (width * nch + 3) // 4 * 4  # rows pad to 4 bytes
+        rows = abs(height)
+        px = np.frombuffer(buf, np.uint8, count=stride * rows, offset=off)
+        px = px.reshape(rows, stride)[:, :width * nch].reshape(rows, width, nch)
+        if height > 0:
+            px = px[::-1]  # bottom-up storage
+        return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
     try:
-        from PIL import Image  # noqa: F401
+        import io
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL; install pillow on the cluster image"
-        ) from e
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+            "compressed image formats need PIL; install pillow on the "
+            "cluster image (PPM/BMP decode natively)") from e
 
 
-def decode_audio(payload: bytes):
-    """Real audio decode — stubbed: soundfile/torchaudio not in container."""
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV (RIFF PCM, 8- or 16-bit) payload to
+    (samples[frames, channels], sample_rate) — pure NumPy chunk walk.
+    Other containers fall through to soundfile if available, else raise."""
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            body = buf[pos + 8:pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or bits not in (8, 16):
+            raise NotImplementedError(
+                f"only PCM 8/16-bit WAV (got format={audio_format}, "
+                f"bits={bits})")
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(data, dt)
+        frames = samples.size // channels
+        return samples[:frames * channels].reshape(frames, channels), rate
     try:
-        import soundfile  # noqa: F401
+        import io
+        import soundfile
+        s, rate = soundfile.read(io.BytesIO(buf))
+        return np.atleast_2d(s.T).T, rate
     except ImportError as e:
         raise NotImplementedError(
-            "audio decode requires soundfile; install it on the cluster image"
-        ) from e
-    raise NotImplementedError("wire soundfile.read(io.BytesIO(payload)) here")
+            "non-WAV audio needs soundfile; install it on the cluster "
+            "image (RIFF PCM WAV decodes natively)") from e
 
 
-def resize_image(payload: bytes, w: int, h: int):
-    """Real image resize — stubbed behind the same optional dependency."""
-    decode_image(payload)
+def resize_image(img_or_payload, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize to (h, w, C) — pure NumPy index striding
+    (accepts either a decoded HxWxC array or raw image bytes)."""
+    img = (img_or_payload if isinstance(img_or_payload, np.ndarray)
+           else decode_image(img_or_payload))
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(h, dtype=np.int64) * src_h) // h
+    cols = (np.arange(w, dtype=np.int64) * src_w) // w
+    return img[rows][:, cols]
+
+
+IMAGE_DECODE_SCHEMA = ("doc_id string, height int, width int, "
+                       "mean_r double, mean_g double, mean_b double")
+
+
+def decode_image_table(media: DataFrame, out_w: int | None = None,
+                       out_h: int | None = None) -> DataFrame:
+    """Decode image payloads (PPM/BMP via the pure-NumPy decoders) to shape
+    + per-channel means; optional nearest-neighbor resize first.
+
+    One Arrow crossing per batch; the per-image decode loop inside is
+    inherent to image decoding (each payload is one independent container),
+    with all pixel math vectorized per image."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            hs = np.empty(len(payloads), np.int32)
+            ws = np.empty(len(payloads), np.int32)
+            means = np.empty((len(payloads), 3), np.float64)
+            for i in range(len(payloads)):
+                img = decode_image(payloads[i].as_py())
+                if out_w and out_h:
+                    img = resize_image(img, out_w, out_h)
+                hs[i], ws[i] = img.shape[0], img.shape[1]
+                means[i] = img.reshape(-1, 3).mean(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(hs, pa.int32()), pa.array(ws, pa.int32()),
+                 pa.array(means[:, 0], pa.float64()),
+                 pa.array(means[:, 1], pa.float64()),
+                 pa.array(means[:, 2], pa.float64())],
+                names=["doc_id", "height", "width",
+                       "mean_r", "mean_g", "mean_b"])
+
+    return media.mapInArrow(run, IMAGE_DECODE_SCHEMA)
 
 
 def _flat_bytes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:

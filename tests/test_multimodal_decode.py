@@ -1,0 +1,116 @@
+"""Real (pure-NumPy) media decoders: PPM/BMP images and PCM WAV audio are
+constructed byte-by-byte from known pixel/sample arrays and must decode back
+bit-exactly; resize is checked against direct index math; compressed formats
+must raise NotImplementedError when PIL/soundfile are absent."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from streamvbyte_spark.operators.multimodal import (decode_audio, decode_image,
+                                                    resize_image)
+
+RNG = np.random.default_rng(3)
+
+
+def make_ppm(px: np.ndarray, comment: bool = False) -> bytes:
+    h, w, _ = px.shape
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# a comment line\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + px.tobytes()
+
+
+def make_bmp(px: np.ndarray, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP from an HxWx3 RGB array."""
+    h, w, _ = px.shape
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    rows = px if top_down else px[::-1]
+    body = bytearray()
+    for r in rows:
+        line = bytearray()
+        for pix in r:
+            line += bytes([pix[2], pix[1], pix[0]])  # BGR
+            if nch == 4:
+                line += b"\xff"
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h),
+                            1, bpp, 0, len(body), 2835, 2835, 0, 0))
+    return bytes(header) + bytes(body)
+
+
+def make_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """RIFF PCM 16-bit WAV from a [frames, channels] int16 array."""
+    frames, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ppm_roundtrip():
+    px = RNG.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(make_ppm(px)), px)
+    np.testing.assert_array_equal(decode_image(make_ppm(px, comment=True)), px)
+
+
+@pytest.mark.parametrize("bpp,top_down", [(24, False), (24, True),
+                                          (32, False), (32, True)])
+def test_bmp_roundtrip(bpp, top_down):
+    # width 5 forces nonzero row padding at 24bpp
+    px = RNG.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    got = decode_image(make_bmp(px, bpp=bpp, top_down=top_down))
+    np.testing.assert_array_equal(got, px)
+
+
+def test_wav_roundtrip():
+    s = RNG.integers(-32768, 32767, (480, 2), dtype=np.int16)
+    out, rate = decode_audio(make_wav(s, rate=22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_extra_chunk_and_odd_padding():
+    s = RNG.integers(-1000, 1000, (7, 1), dtype=np.int16)
+    wav = bytearray(make_wav(s, rate=8000))
+    # splice an odd-sized junk chunk before data (walker must word-align)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    insert_at = wav.index(b"data")
+    wav[insert_at:insert_at] = junk
+    wav[4:8] = struct.pack("<I", len(wav) - 8)
+    out, rate = decode_audio(bytes(wav))
+    assert rate == 8000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_resize_nearest_neighbor():
+    px = RNG.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    out = resize_image(px, w=3, h=5)
+    assert out.shape == (5, 3, 3)
+    for y in range(5):
+        for x in range(3):
+            np.testing.assert_array_equal(
+                out[y, x], px[(y * 10) // 5, (x * 6) // 3])
+    # also accepts raw payload bytes
+    out2 = resize_image(make_ppm(px), w=3, h=5)
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_compressed_formats_raise_without_optional_deps():
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; compressed path delegates to it")
+    except ImportError:
+        pass
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(png_magic)

@@ -312,3 +312,27 @@ def test_sql_zigzag_udfs(spark):
     for r in got:
         assert r.zz == r.tokens, r.doc_id
         assert r.zzd == r.tokens, r.doc_id
+
+
+def test_decode_image_table_real_ppm(spark):
+    """Real image decode through the Spark operator: PPM payloads built from
+    known pixels decode (and resize) to exact shapes and channel means."""
+    import numpy as np
+    from streamvbyte_spark.operators.multimodal import decode_image_table
+    from tests.test_multimodal_decode import make_ppm
+
+    rng = np.random.default_rng(9)
+    imgs = {f"m{i}": rng.integers(0, 256, (8 + i, 6, 3), dtype=np.uint8)
+            for i in range(5)}
+    rows = [(k, "image/ppm", bytearray(make_ppm(v))) for k, v in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id string, media_type string, payload binary")
+    got = {r.doc_id: r for r in decode_image_table(df).collect()}
+    for k, v in imgs.items():
+        r = got[k]
+        assert (r.height, r.width) == v.shape[:2]
+        np.testing.assert_allclose(
+            [r.mean_r, r.mean_g, r.mean_b],
+            v.reshape(-1, 3).mean(axis=0), rtol=1e-12)
+    # resized path
+    got2 = decode_image_table(df, out_w=4, out_h=4).collect()
+    assert all(r.height == 4 and r.width == 4 for r in got2)
