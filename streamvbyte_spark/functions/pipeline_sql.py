@@ -483,6 +483,46 @@ def q_fingerprint(d: Dialect) -> str:
     return f"with tok as ({tok}) select doc_id, {fp} as fingerprint from tok"
 
 
+def q_token_quantiles(d: Dialect) -> str:
+    """Exact DISCRETE quantiles (value at rank ceil(p*n), ties broken by
+    doc_id) of per-document word counts by source — written as window rank
+    math because Spark's percentile() is continuous-interpolated while
+    DuckDB's quantile_disc ranks differently; this form is identical integer
+    arithmetic in both engines.  Scale shape: one shuffle on source for the
+    window, tiny output."""
+    w = _words(d)
+    base = (f"select source, cast(doc_id as string) as doc_id, "
+            f"{d.alen(w)} as n from documents")
+    picks = ", ".join(
+        f"max(case when rn = greatest(1, cast(ceil({p} * cnt) as bigint)) "
+        f"then n end) as p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95))
+    return (
+        f"with b as ({base}), "
+        "c as (select source, n, "
+        " row_number() over (partition by source order by n, doc_id) as rn, "
+        " count(*) over (partition by source) as cnt from b) "
+        f"select source, {picks} from c group by source"
+    )
+
+
+def q_top_terms(d: Dialect) -> str:
+    """Top-5 most frequent words per source (ties broken alphabetically) —
+    the vocabulary-profile query of a corpus pipeline.  explode -> count ->
+    per-source window top-k: two shuffles, both on small keys."""
+    w = _words(d)
+    base = f"select source, {w} as ws from documents"
+    exploded = d.explode(base, "ws", "word", "source")
+    return (
+        f"with e as ({exploded}), "
+        "cnt as (select source, word, count(*) as n from e group by source, word), "
+        "ranked as (select source, word, n, row_number() over "
+        " (partition by source order by n desc, word) as rnk from cnt) "
+        "select source, word, n, cast(rnk as int) as rank "
+        "from ranked where rnk <= 5"
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -495,6 +535,8 @@ PIPELINE_QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "token_quantiles": q_token_quantiles,
+    "top_terms": q_top_terms,
 }
 
 

@@ -476,6 +476,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for name in pipeline_sql.PIPELINE_QUERIES:
         q[name] = make_pipeline(name)
+
+    # near-dup clustering: transitive closure of the MinHash candidate pairs
+    # via iterative min-label propagation (operators/components.py); the
+    # oracle recomputes the identical components with a recursive CTE
+    def dedup_components(spark, sf_dir):
+        from .operators.components import connected_components
+        pairs = make_pipeline("dedup_minhash_pairs")(spark, sf_dir)
+        return connected_components(pairs)
+
+    q["dedup_components"] = dedup_components
     return q
 
 
@@ -620,4 +630,17 @@ def build_oracles() -> dict[str, str]:
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)
+    # exact connected components via recursive CTE: propagate every
+    # reachable label (UNION dedups, so the fixpoint terminates), then
+    # min per node = lexicographic min doc_id of its component
+    _pairs_duck = pipeline_sql.duckdb_sql("dedup_minhash_pairs")
+    o["dedup_components"] = (
+        f"with recursive pairs as (select * from ({_pairs_duck}) t), "
+        "edges as (select doc_a as a, doc_b as b from pairs "
+        " union all select doc_b, doc_a from pairs), "
+        "cc(node, lab) as ("
+        " select a, a from edges "
+        " union "
+        " select e.b, cc.lab from cc join edges e on e.a = cc.node) "
+        "select node as doc_id, min(lab) as component_id from cc group by node")
     return o

@@ -336,3 +336,19 @@ def test_decode_image_table_real_ppm(spark):
     # resized path
     got2 = decode_image_table(df, out_w=4, out_h=4).collect()
     assert all(r.height == 4 and r.width == 4 for r in got2)
+
+
+def test_connected_components_known_graph(spark):
+    """Label propagation must find exact components on a graph with a long
+    chain (stresses multi-round convergence), a triangle, and an isolated
+    edge."""
+    from streamvbyte_spark.operators.components import connected_components
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # chain
+             ("x", "y"), ("y", "z"), ("x", "z"),              # triangle
+             ("p", "q")]                                      # edge
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {r.doc_id: r.component_id
+           for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x", "z": "x",
+                   "p": "p", "q": "p"}
