@@ -486,6 +486,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(pairs)
 
     q["dedup_components"] = dedup_components
+
+    # composed curation with near-dup awareness: drop exact duplicates
+    # (md5, min doc_id survives), then drop near-dup cluster members whose
+    # component representative (min doc_id) is another document; report
+    # per-source keep/drop counts and kept token volume
+    def curate_neardup_metrics(spark, sf_dir):
+        from .operators.components import connected_components
+        from pyspark.sql import Window
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "source", "text")
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        flagged = docs.withColumn("exact_keep",
+                                  F.row_number().over(w) == 1)
+        comps = connected_components(
+            make_pipeline("dedup_minhash_pairs")(spark, sf_dir))
+        j = flagged.join(comps, "doc_id", "left")
+        j = j.withColumn(
+            "nd_drop",
+            F.col("exact_keep") & F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("doc_id")))
+        kept = F.col("exact_keep") & ~F.col("nd_drop")
+        n_tok = F.expr(f"size({spark_tokens_expr('text')})")
+        return (j.groupBy("source").agg(
+            F.sum(kept.cast("long")).alias("docs_kept"),
+            F.sum((~F.col("exact_keep")).cast("long")).alias("dropped_exact"),
+            F.sum(F.col("nd_drop").cast("long")).alias("dropped_neardup"),
+            F.sum(F.when(kept, n_tok).otherwise(0)).alias("sum_tok_kept")))
+
+    q["curate_neardup_metrics"] = curate_neardup_metrics
     return q
 
 
@@ -643,4 +672,32 @@ def build_oracles() -> dict[str, str]:
         " union "
         " select e.b, cc.lab from cc join edges e on e.a = cc.node) "
         "select node as doc_id, min(lab) as component_id from cc group by node")
+    # composed near-dup curation: same recursive components + md5 exact-dedup
+    # window + token volume of the kept docs (policy: exact-dup losers drop
+    # first; among exact keepers, near-dup cluster members whose component
+    # representative is another doc drop too)
+    o["curate_neardup_metrics"] = (
+        f"with recursive pairs as (select * from ({_pairs_duck}) t), "
+        "edges as (select doc_a as a, doc_b as b from pairs "
+        " union all select doc_b, doc_a from pairs), "
+        "cc(node, lab) as ("
+        " select a, a from edges "
+        " union "
+        " select e.b, cc.lab from cc join edges e on e.a = cc.node), "
+        "comp as (select node as doc_id, min(lab) as component_id "
+        " from cc group by node), "
+        "d as (select cast(doc_id as varchar) as doc_id, source, text, "
+        " row_number() over (partition by md5(text) order by doc_id) as rn "
+        " from documents), "
+        "j as (select d.doc_id, d.source, d.text, (d.rn = 1) as exact_keep, "
+        " ((d.rn = 1) and comp.component_id is not null "
+        "  and comp.component_id != d.doc_id) as nd_drop "
+        " from d left join comp on d.doc_id = comp.doc_id) "
+        "select source, "
+        "sum(case when exact_keep and not nd_drop then 1 else 0 end)::bigint as docs_kept, "
+        "sum(case when not exact_keep then 1 else 0 end)::bigint as dropped_exact, "
+        "sum(case when nd_drop then 1 else 0 end)::bigint as dropped_neardup, "
+        "sum(case when exact_keep and not nd_drop then "
+        f"cast(len({duckdb_tokens_expr('text')}) as int) else 0 end)::bigint as sum_tok_kept "
+        "from j group by source")
     return o
