@@ -100,8 +100,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    # throughput job (perf.c framing); best of 2, first pass doubles as warm-up
-    tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2, reps=2)
+    # throughput job (perf.c framing); best of 3, first pass doubles as warm-up
+    tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2, reps=3)
     timings["throughput_encode"] = round(tp["encode_sec"], 3)
     timings["throughput_decode"] = round(tp["decode_sec"], 3)
 
