@@ -71,3 +71,52 @@ def test_validate_accepts_exact_rejects_perturbed(v):
     if v.size:
         assert not core.validate(buf + b"\x01", v.size)
         assert not core.validate(buf[:-1] if len(buf) > (v.size + 3) // 4 else b"", v.size)
+
+
+row_batches = st.lists(
+    arrays(np.uint32, st.integers(0, 40),
+           elements=st.integers(0, 2**32 - 1)),
+    min_size=1, max_size=12)
+
+
+def _flatten(rows):
+    flat = (np.concatenate(rows) if rows else np.zeros(0, np.uint32)).astype(np.uint32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    return flat, offsets
+
+
+@settings(max_examples=100, deadline=None)
+@given(row_batches)
+def test_seg_reduce_matches_python(rows):
+    flat, offsets = _flatten(rows)
+    mx = batched._seg_reduce(np.maximum, flat, offsets)
+    mn = batched._seg_reduce(np.minimum, flat, offsets)
+    for i, r in enumerate(rows):
+        assert mx[i] == (r.max() if r.size else 0)
+        assert mn[i] == (r.min() if r.size else 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(row_batches)
+def test_truncation_never_validates(rows):
+    flat, offsets = _flatten(rows)
+    out, ooff, _ = batched.encode_rows(flat, offsets, codec="svb")
+    n_toks = offsets[1:] - offsets[:-1]
+    t_out, t_ooff = batched.truncate_rows(out, ooff)
+    ok = batched.validate_rows(t_out, t_ooff, n_toks)
+    np.testing.assert_array_equal(ok, n_toks == 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(row_batches)
+def test_auto_encode_roundtrip_and_bound(rows):
+    flat, offsets = _flatten(rows)
+    out, ooff, cids = batched.encode_rows(flat, offsets, codec="auto")
+    n_toks = offsets[1:] - offsets[:-1]
+    sizes = ooff[1:] - ooff[:-1]
+    # worst-case bound holds per row (reference include/streamvbyte.h:33-39)
+    assert (sizes <= batched.max_compressed_bytes_rows(n_toks)).all()
+    dec, doff = batched.decode_rows(out, ooff, n_toks, cids)
+    np.testing.assert_array_equal(dec, flat)
+    np.testing.assert_array_equal(doff, offsets)

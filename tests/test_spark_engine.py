@@ -352,3 +352,23 @@ def test_connected_components_known_graph(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
                    "x": "x", "y": "x", "z": "x",
                    "p": "p", "q": "p"}
+
+
+def test_million_token_doc_chunked_fused(spark):
+    """A single 1M-token document survives chunk -> delta encode -> fused
+    mapInArrow decode (exercises the int32-offset guard path headroom, the
+    prev chain across 245 chunk seams, and the carried-run logic at real
+    chunk counts)."""
+    import numpy as np
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    n = 1_000_000
+    rng = np.random.default_rng(17)
+    toks = np.cumsum(rng.integers(0, 9, n, dtype=np.int64)).astype(np.int64)
+    df = spark.createDataFrame(
+        [("big", toks.astype(int).tolist(), n, "stress")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = encode_chunked_delta(chunk_tokens(df, chunk_size=4096))
+    out = decode_reassemble_fused(enc).collect()
+    assert len(out) == 1 and out[0].n_tok == n
+    np.testing.assert_array_equal(np.array(out[0].tokens, dtype=np.int64), toks)
