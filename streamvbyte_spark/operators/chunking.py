@@ -105,7 +105,9 @@ def reassemble(decoded_chunks: DataFrame) -> DataFrame:
     check, not the scale consumer path: a 10^9-token doc would become a 4 GB
     cell.  At scale the consumer-facing decode is ``decode_chunked_delta``
     (order-preserved (doc_id, chunk_id, chunk) rows, chunks decode in
-    parallel) or the fused variant below."""
+    parallel, no whole-document cell ever exists).  The fused variant below
+    fixes the SHUFFLE volume but still emits one row per document, so it
+    shares this giant-cell limit."""
     return (decoded_chunks.groupBy("doc_id")
             .agg(F.flatten(F.array_sort(F.collect_list(
                 F.struct("chunk_id", "chunk"))).getField("chunk")).alias("tokens"))
@@ -120,7 +122,10 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
     guarantee.  Fusing moves the decode to AFTER the shuffle, so the wire
     carries the ENCODED bytes (~1.5 B/token at the auto codec's measured
     ratio) — ~2.6x less shuffle traffic, the difference that matters at
-    10^12 tokens.
+    10^12 tokens.  Like ``reassemble`` it still materializes one array row
+    per document (a doc's full run always flushes as one cell, whatever the
+    Arrow batch size), so documents near the 2^31-element Arrow offset
+    limit must take ``decode_chunked_delta`` instead.
 
     Execution: ``repartition(doc_id) + sortWithinPartitions(doc_id,
     chunk_id)`` makes each document a CONTIGUOUS ordered run inside its

@@ -45,4 +45,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # loop exhausted without a fixpoint: returning intermediate labels
+        # would silently split a real component into several — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters (component "
+            "diameter exceeds the round budget)")
     return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -152,6 +152,68 @@ def resize_image(img_or_payload, w: int, h: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def synth_ppm_table(docs: DataFrame, width: int = 4) -> DataFrame:
+    """Deterministic REAL images: each document's utf-8 bytes become the raw
+    RGB pixel data of a valid PPM P6 payload (height = n_bytes // (3*width),
+    trailing partial row dropped; docs too short for one row are filtered).
+    Unlike synth_media_table's opaque fake payloads, these decode with the
+    real decode_image parser — which makes the decoder itself
+    driver-gate-checkable against a byte-math oracle."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            payloads = []
+            for i in range(len(doc)):
+                px = flat[offsets[i]:offsets[i + 1]]
+                h = px.size // (3 * width)
+                if h < 1:
+                    payloads.append(None)
+                    continue
+                hdr = f"P6\n{width} {h}\n255\n".encode()
+                payloads.append(hdr + px[:h * 3 * width].tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"])
+
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode("text", "utf-8").alias("payload"))
+    out = base.mapInArrow(run, "doc_id string, payload binary")
+    return out.where(F.col("payload").isNotNull())
+
+
+IMAGE_STATS_SCHEMA = ("doc_id string, height int, width int, "
+                      "sum_r bigint, sum_g bigint, sum_b bigint")
+
+
+def image_stats_table(media: DataFrame) -> DataFrame:
+    """REAL decode of image payloads (PPM/BMP) -> shape + exact integer
+    per-channel sums (integer outputs so the driver can compare them
+    value-exactly against a byte-math oracle; floats never cross engines)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n = len(payloads)
+            hs = np.empty(n, np.int32)
+            ws = np.empty(n, np.int32)
+            sums = np.empty((n, 3), np.int64)
+            for i in range(n):
+                img = decode_image(payloads[i].as_py())
+                hs[i], ws[i] = img.shape[0], img.shape[1]
+                sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(hs, pa.int32()), pa.array(ws, pa.int32()),
+                 pa.array(sums[:, 0], pa.int64()),
+                 pa.array(sums[:, 1], pa.int64()),
+                 pa.array(sums[:, 2], pa.int64())],
+                names=["doc_id", "height", "width", "sum_r", "sum_g", "sum_b"])
+
+    return media.mapInArrow(run, IMAGE_STATS_SCHEMA)
+
+
 IMAGE_DECODE_SCHEMA = ("doc_id string, height int, width int, "
                        "mean_r double, mean_g double, mean_b double")
 

@@ -418,6 +418,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    # REAL image decode through the driver gate: valid PPM payloads are
+    # synthesized from each document's utf-8 bytes, parsed by the actual
+    # decode_image decoder, and checked as shape + exact channel sums
+    # against a pure byte-math oracle
+    def image_decode_stats(spark, sf_dir):
+        from .operators.multimodal import image_stats_table, synth_ppm_table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return image_stats_table(synth_ppm_table(docs, width=4))
+
+    q["image_decode_stats"] = image_decode_stats
+
     # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
     # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
     # reassemble; identity oracle proves the prev chain threads chunk seams
@@ -647,6 +658,17 @@ def build_oracles() -> dict[str, str]:
         "len(list_filter(bytes, x -> x // 16 = g))) as hist from e) "
         "select doc_id, n as n_bytes, byte_sum, "
         "cast(list_position(hist, list_max(hist)) - 1 as int) as top_bin from f")
+    # image decode oracle: the PPM pixel data IS the doc's utf-8 bytes
+    # truncated to h*12 (width 4, 3 channels), so channel sums are sums of
+    # bytes at positions == channel (mod 3)
+    o["image_decode_stats"] = (
+        f"{_mm_bytes}, "
+        "img as (select doc_id, (n // 12)::int as h, bytes from e where n >= 12) "
+        "select doc_id, h as height, 4 as width, "
+        "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 1])) as bigint) as sum_r, "
+        "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 2])) as bigint) as sum_g, "
+        "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 3])) as bigint) as sum_b "
+        "from img")
     o["multimodal_frames"] = (
         f"{_mm_bytes}, "
         "fr as (select doc_id, n, bytes, unnest(list_filter(range(0, (n + 63) // 64), "

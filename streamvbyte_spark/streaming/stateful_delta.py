@@ -53,7 +53,11 @@ def _encode_doc_chunks(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
     order = np.argsort(pdf["chunk_id"].to_numpy(np.int64), kind="stable")
     pdf = pdf.iloc[order]
     cids = pdf["chunk_id"].to_numpy(np.int64)
-    fresh = cids > last_chunk_id
+    # first-occurrence-wins WITHIN the micro-batch too (at-least-once
+    # sources can redeliver a chunk in the same batch); sorted order makes
+    # the keep-first mask a single adjacent-difference pass
+    first = np.concatenate(([True], cids[1:] != cids[:-1]))
+    fresh = first & (cids > last_chunk_id)
     new_cids = cids[fresh]
     # contiguity guard (see module docstring): a gap or an unseen late chunk
     # must fail loudly, not silently mis-chain or drop data

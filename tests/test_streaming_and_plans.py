@@ -201,3 +201,36 @@ def test_encoded_output_partition_pruning(spark):
         assert files and all("bucket=3" in f for f in files), files
     finally:
         _sh.rmtree(path, ignore_errors=True)
+
+
+def test_stateful_delta_same_batch_redelivery(spark):
+    """At-least-once delivery can repeat a chunk WITHIN one micro-batch;
+    first occurrence wins, the copy is dropped, the chain stays intact."""
+    import numpy as np
+    from streamvbyte_spark.codec import core
+    from streamvbyte_spark.streaming.stateful_delta import stateful_delta_encode
+
+    tmp = tempfile.mkdtemp(prefix="svb_state_dup_")
+    try:
+        v = np.cumsum(np.arange(30)).astype(np.int64)
+        rows = [("d0", 0, v[:10].tolist()),
+                ("d0", 1, v[10:20].tolist()),
+                ("d0", 1, v[10:20].tolist()),   # same-batch redelivery
+                ("d0", 2, v[20:].tolist())]
+        spark.createDataFrame(rows, "doc_id string, chunk_id int, chunk array<int>") \
+            .coalesce(1).write.mode("overwrite").parquet(tmp + "/in")
+        stream = (spark.readStream
+                  .schema("doc_id string, chunk_id int, chunk array<int>")
+                  .parquet(tmp + "/in"))
+        (stateful_delta_encode(stream).writeStream
+         .format("memory").queryName("enc_dup").outputMode("update")
+         .trigger(availableNow=True).start().awaitTermination(120))
+        got = sorted(spark.sql("select * from enc_dup").collect(),
+                     key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in got] == [0, 1, 2]
+        out = np.concatenate([
+            core.delta_decode(bytes(r.encoded), r.n_tok, prev=r.prev)
+            for r in got]).astype(np.int64)
+        np.testing.assert_array_equal(out, v)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
