@@ -183,6 +183,70 @@ def synth_ppm_table(docs: DataFrame, width: int = 4) -> DataFrame:
     return out.where(F.col("payload").isNotNull())
 
 
+def synth_wav_table(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Deterministic REAL audio: each document's utf-8 bytes become the
+    little-endian int16 mono PCM payload of a valid RIFF WAV (trailing odd
+    byte dropped; docs shorter than one sample filtered) — decodable by the
+    real decode_audio chunk walker, oracle-checkable as byte math."""
+    import struct
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            payloads = []
+            for i in range(len(doc)):
+                px = flat[offsets[i]:offsets[i + 1]]
+                nbytes = (px.size // 2) * 2
+                if nbytes < 2:
+                    payloads.append(None)
+                    continue
+                data = px[:nbytes].tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"])
+
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode("text", "utf-8").alias("payload"))
+    return (base.mapInArrow(run, "doc_id string, payload binary")
+            .where(F.col("payload").isNotNull()))
+
+
+AUDIO_STATS_SCHEMA = ("doc_id string, frames int, channels int, "
+                      "sample_rate int, sum_samples bigint")
+
+
+def audio_stats_table(media: DataFrame) -> DataFrame:
+    """REAL decode of audio payloads (RIFF PCM WAV) -> frame count,
+    channels, rate, exact integer sample sum."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n = len(payloads)
+            fr = np.empty(n, np.int32)
+            ch = np.empty(n, np.int32)
+            rt = np.empty(n, np.int32)
+            ss = np.empty(n, np.int64)
+            for i in range(n):
+                samples, rate = decode_audio(payloads[i].as_py())
+                fr[i], ch[i], rt[i] = samples.shape[0], samples.shape[1], rate
+                ss[i] = int(samples.sum(dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(fr, pa.int32()), pa.array(ch, pa.int32()),
+                 pa.array(rt, pa.int32()), pa.array(ss, pa.int64())],
+                names=["doc_id", "frames", "channels", "sample_rate",
+                       "sum_samples"])
+
+    return media.mapInArrow(run, AUDIO_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = ("doc_id string, height int, width int, "
                       "sum_r bigint, sum_g bigint, sum_b bigint")
 

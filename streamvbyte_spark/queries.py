@@ -429,6 +429,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_decode_stats"] = image_decode_stats
 
+    # REAL audio decode: valid RIFF PCM WAVs from the same document bytes,
+    # parsed by decode_audio's chunk walker, checked as exact sample sums
+    def audio_decode_stats(spark, sf_dir):
+        from .operators.multimodal import audio_stats_table, synth_wav_table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return audio_stats_table(synth_wav_table(docs))
+
+    q["audio_decode_stats"] = audio_decode_stats
+
     # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
     # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
     # reassemble; identity oracle proves the prev chain threads chunk seams
@@ -669,6 +678,18 @@ def build_oracles() -> dict[str, str]:
         "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 2])) as bigint) as sum_g, "
         "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 3])) as bigint) as sum_b "
         "from img")
+    # audio decode oracle: WAV data is the doc's utf-8 bytes as little-endian
+    # int16 mono samples (trailing odd byte dropped); signed conversion is
+    # (lo + 256*hi) - 65536 when the high bit is set
+    o["audio_decode_stats"] = (
+        f"{_mm_bytes}, "
+        "wav as (select doc_id, (n // 2)::int as frames, bytes from e where n >= 2) "
+        "select doc_id, frames, 1 as channels, 16000 as sample_rate, "
+        "cast(list_sum(list_transform(range(0, frames), i -> "
+        "case when bytes[2*i + 1] + 256 * bytes[2*i + 2] >= 32768 "
+        "then bytes[2*i + 1] + 256 * bytes[2*i + 2] - 65536 "
+        "else bytes[2*i + 1] + 256 * bytes[2*i + 2] end)) as bigint) as sum_samples "
+        "from wav")
     o["multimodal_frames"] = (
         f"{_mm_bytes}, "
         "fr as (select doc_id, n, bytes, unnest(list_filter(range(0, (n + 63) // 64), "
