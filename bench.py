@@ -85,8 +85,9 @@ def main():
     headline = ["auto_roundtrip", "auto_size", "delta_roundtrip_postings",
                 "svb_size", "metrics_by_source",
                 # pipeline operators (round-over-round perf coverage beyond
-                # the codec): shingle-hash MinHash LSH dedup + bucketed ANN
-                "dedup_minhash_pairs", "ann_lsh"]
+                # the codec): shingle-hash MinHash LSH dedup + bucketed ANN +
+                # the encoded-bytes-over-the-wire fused chunked decode
+                "dedup_minhash_pairs", "ann_lsh", "chunked_fused_roundtrip"]
     for name in headline:
         # per-query warm-up pass + best of 2 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x
