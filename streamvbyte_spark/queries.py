@@ -438,6 +438,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_decode_stats"] = audio_decode_stats
 
+    # JSONL staging format round-trip: the canonical token table written as
+    # JSON-Lines and read back through tokens_from_jsonl must carry the
+    # exact same token arrays (fingerprint vs the documents-derived oracle)
+    def jsonl_roundtrip(spark, sf_dir):
+        import tempfile
+        from .sources import tokens_from_jsonl, write_tokens_jsonl
+        tmp = tempfile.mkdtemp(prefix="svb_q_jsonl_")
+        write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
+        back = tokens_from_jsonl(spark, tmp + "/j")
+        return back.select(
+            "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
+            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+
+    q["jsonl_roundtrip"] = jsonl_roundtrip
+
     # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
     # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
     # reassemble; identity oracle proves the prev chain threads chunk seams
@@ -555,6 +570,7 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, cast(n_tok as int) as n_tok, source, {fp} as fingerprint from ({post})",
         "auto_roundtrip": identity_doc,
         "fsst_roundtrip": identity_doc,
+        "jsonl_roundtrip": identity_doc,
         "zigzag_roundtrip_embeddings": emb_rt,
         "zzdelta_roundtrip_embeddings": emb_rt,
         "svb_size":

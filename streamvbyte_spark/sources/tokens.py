@@ -107,3 +107,25 @@ def synthetic_tokens(spark: SparkSession, n_docs: int, avg_len: int = 256,
             )
 
     return base.mapInArrow(gen, TOKENS_SCHEMA)
+
+
+def tokens_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical token table from JSON-Lines files with the input_hint shape
+    (``{"doc_id": ..., "tokens": [...], "source": ...}`` per line) — the
+    interchange format training-data pipelines commonly stage in.  An
+    explicit schema keeps the reader single-pass (no sampling inference
+    job) and makes malformed rows fail loudly via columnNameOfCorruptRecord
+    being absent (FAILFAST)."""
+    schema = "doc_id string, tokens array<int>, source string"
+    df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("tokens"),
+        F.size("tokens").alias("n_tok"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+
+
+def write_tokens_jsonl(df: DataFrame, path: str) -> None:
+    """Inverse of tokens_from_jsonl (n_tok is derived, not stored)."""
+    df.select("doc_id", "tokens", "source").write.mode("overwrite").json(path)

@@ -1,1 +1,2 @@
-from .encode_stream import encode_token_stream, windowed_event_counts  # noqa: F401
+from .encode_stream import (decode_token_stream, encode_token_stream,  # noqa: F401
+                            windowed_event_counts)

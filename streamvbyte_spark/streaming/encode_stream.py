@@ -57,3 +57,16 @@ def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
     than the watermark is evicted (the standard exactly-once ingest gate)."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def decode_token_stream(spark: SparkSession, enc_path: str,
+                        enc_schema: str | None = None) -> DataFrame:
+    """Streaming inverse of encode_token_stream: readStream over an encoded
+    parquet directory -> the same whole-batch mapInArrow decode as the batch
+    path (mapInArrow is streaming-compatible; state-free, so any trigger
+    works).  enc_schema defaults to the encode path's output schema."""
+    from ..operators.encode import ENCODED_SCHEMA, decode_table
+    stream = (spark.readStream
+              .schema(enc_schema or ENCODED_SCHEMA)
+              .parquet(enc_path))
+    return decode_table(stream)

@@ -372,3 +372,22 @@ def test_million_token_doc_chunked_fused(spark):
     out = decode_reassemble_fused(enc).collect()
     assert len(out) == 1 and out[0].n_tok == n
     np.testing.assert_array_equal(np.array(out[0].tokens, dtype=np.int64), toks)
+
+
+def test_jsonl_source_roundtrip(spark, tok):
+    """JSONL staging format: write the canonical token table as JSON-Lines,
+    read it back through tokens_from_jsonl, encode both — byte-identical."""
+    from streamvbyte_spark.sources import tokens_from_jsonl, write_tokens_jsonl
+    path = tempfile.mkdtemp(prefix="svb_jsonl_")
+    try:
+        write_tokens_jsonl(tok, path + "/j")
+        back = tokens_from_jsonl(spark, path + "/j")
+        assert back.count() == tok.count()
+        assert verify_roundtrip(tok, back) == 0  # token arrays identical
+        a = {r.doc_id: bytes(r.encoded)
+             for r in encode_table(tok, codec="auto").collect()}
+        b = {r.doc_id: bytes(r.encoded)
+             for r in encode_table(back, codec="auto").collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

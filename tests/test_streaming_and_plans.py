@@ -234,3 +234,48 @@ def test_stateful_delta_same_batch_redelivery(spark):
         np.testing.assert_array_equal(out, v)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_decode_roundtrip(spark):
+    """readStream over the encoded table -> mapInArrow decode -> the
+    original tokens (the streaming consumer path)."""
+    from streamvbyte_spark.operators import encode_table
+    from streamvbyte_spark.sources import synthetic_tokens
+    from streamvbyte_spark.streaming import decode_token_stream
+    tmp = tempfile.mkdtemp(prefix="svb_sdec_")
+    try:
+        tok = synthetic_tokens(spark, 150, avg_len=48, seed=8, partitions=2)
+        encode_table(tok, codec="auto").write.mode("overwrite").parquet(tmp + "/enc")
+        dec = decode_token_stream(spark, tmp + "/enc")
+        assert dec.isStreaming
+        (dec.writeStream.format("parquet")
+         .option("path", tmp + "/out")
+         .option("checkpointLocation", tmp + "/ckpt")
+         .trigger(availableNow=True).start().awaitTermination(120))
+        back = spark.read.parquet(tmp + "/out")
+        assert verify_roundtrip(tok, back) == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Bucketed-by-doc_id tables co-locate the encode-verification join: the
+    SortMergeJoin plans with ZERO Exchange (the 'bucketing for co-located
+    joins' scale lever, proven on the plan, not asserted in prose)."""
+    from streamvbyte_spark.operators import encode_table
+    from streamvbyte_spark.sources import synthetic_tokens
+    try:
+        tok = synthetic_tokens(spark, 300, avg_len=32, seed=4, partitions=2)
+        enc = encode_table(tok, codec="auto")
+        for name, df in (("t_orig", tok.select("doc_id", "n_tok")),
+                         ("t_enc", enc.select("doc_id", "out_bytes"))):
+            (df.write.mode("overwrite").format("parquet")
+             .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(name))
+        a = spark.table("t_orig")
+        b = spark.table("t_enc")
+        joined = a.join(b, "doc_id")
+        assert count_exchanges(joined) == 0, plan_string(joined, "formatted")
+        assert joined.count() == 300
+    finally:
+        spark.sql("drop table if exists t_orig")
+        spark.sql("drop table if exists t_enc")
