@@ -391,3 +391,44 @@ def test_jsonl_source_roundtrip(spark, tok):
         assert a == b
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_compact_encoded_preserves_bytes(spark, tok):
+    """Compaction must shrink the file count and leave every encoded payload
+    byte-identical (and the lineage checksums still matching)."""
+    import os
+    from streamvbyte_spark.operators.lineage import (
+        compact_encoded, encode_with_checkpoint, read_encoded)
+    path = tempfile.mkdtemp(prefix="svb_compact_")
+    try:
+        # many writer tasks -> one file per (task, bucket): the small-file
+        # problem every append/resume cycle compounds
+        encode_with_checkpoint(tok.repartition(6), path, n_buckets=4)
+        before = {r.doc_id: bytes(r.encoded)
+                  for r in read_encoded(spark, path).collect()}
+        stats = compact_encoded(spark, path, files_per_bucket=1)
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] <= 4
+        after = {r.doc_id: bytes(r.encoded)
+                 for r in read_encoded(spark, path).collect()}
+        assert after == before
+        assert verify_roundtrip(tok, decode_table(
+            read_encoded(spark, path).drop("bucket"))) == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_encoded_scan_pushes_doc_filter(spark, tok):
+    """A doc_id predicate on the encoded table must reach the parquet scan
+    (PushedFilters) BEFORE any decode stage — decode work is proportional to
+    rows scanned, so pushdown is the decode-side scan-pruning lever."""
+    path = tempfile.mkdtemp(prefix="svb_push_")
+    try:
+        encode_table(tok, codec="auto").write.mode("overwrite").parquet(path + "/enc")
+        enc = spark.read.parquet(path + "/enc").where(F.col("doc_id") >= "doc0000000100")
+        dec = decode_table(enc)
+        from streamvbyte_spark.plans import plan_string
+        plan = plan_string(dec, "formatted")
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(doc_id" in plan, plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
