@@ -8,7 +8,8 @@ inside a batch there is no per-row Python (input_hint requirement).
 
 Encoded schema:
   doc_id string, source string, n_tok int, codec string, encoded binary,
-  in_bytes bigint, out_bytes bigint, checksum bigint
+  in_bytes bigint, out_bytes bigint, checksum bigint, tok_min bigint,
+  tok_max bigint
 
 ``checksum`` = per-row sum of token values (mod 2^63, vectorized) — cheap
 lineage for resume verification; ``in_bytes`` = 4 * n_tok (raw uint32 bytes,
@@ -29,7 +30,8 @@ from ..codec import batched
 
 ENCODED_SCHEMA = (
     "doc_id string, source string, n_tok int, codec string, encoded binary, "
-    "in_bytes bigint, out_bytes bigint, checksum bigint"
+    "in_bytes bigint, out_bytes bigint, checksum bigint, "
+    "tok_min bigint, tok_max bigint"
 )
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -102,6 +104,10 @@ def encode_table(df: DataFrame, codec: str = "auto",
                                                   candidates=candidates)
             nr = offsets[1:] - offsets[:-1]
             csum = batched._seg_sum(flat.astype(np.int64), offsets)
+            # zone map: per-row token min/max let a reader prune encoded
+            # blocks by token range WITHOUT decoding (empty rows -> 0/0)
+            tmin = batched._seg_reduce(np.minimum, flat, offsets).astype(np.int64)
+            tmax = batched._seg_reduce(np.maximum, flat, offsets).astype(np.int64)
             names = pa.array([batched.CODEC_NAMES[c] for c in cids], pa.string())
             yield pa.RecordBatch.from_arrays(
                 [
@@ -113,9 +119,12 @@ def encode_table(df: DataFrame, codec: str = "auto",
                     pa.array(4 * nr, pa.int64()),
                     pa.array(ooff[1:] - ooff[:-1], pa.int64()),
                     pa.array(csum, pa.int64()),
+                    pa.array(tmin, pa.int64()),
+                    pa.array(tmax, pa.int64()),
                 ],
                 names=["doc_id", "source", "n_tok", "codec", "encoded",
-                       "in_bytes", "out_bytes", "checksum"],
+                       "in_bytes", "out_bytes", "checksum",
+                       "tok_min", "tok_max"],
             )
 
     return df.mapInArrow(run, ENCODED_SCHEMA)

@@ -306,6 +306,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["max_compressed_bound"] = max_compressed_bound
 
+    # zone-map pruning: find every doc whose token range intersects
+    # [1000, 20000] using ONLY the encoded table's tok_min/tok_max lineage
+    # columns — no decode touches the payload; the oracle recomputes the
+    # ranges from the raw tokens
+    def zone_map_prune(spark, sf_dir, lo=1000, hi=20000):
+        enc = _encoded(spark, sf_dir, "auto")
+        return (enc.where((F.col("tok_max") >= lo) & (F.col("tok_min") <= hi))
+                .select("doc_id", "tok_min", "tok_max"))
+
+    q["zone_map_prune"] = zone_map_prune
+
     # -- compression metrics aggregation (SURVEY.md §2.2 aggregations) -------
     def metrics_by_source(spark, sf_dir):
         enc = _encoded(spark, sf_dir, "auto")
@@ -597,6 +608,11 @@ def build_oracles() -> dict[str, str]:
         # the validator checks; only the empty stream (n_tok = 0) survives
         "validate_stream_truncated":
             f"select doc_id, (n_tok = 0) as is_valid from ({doc})",
+        "zone_map_prune":
+            f"select doc_id, cast(list_min(tokens) as bigint) as tok_min, "
+            f"cast(list_max(tokens) as bigint) as tok_max from ({doc}) "
+            "where n_tok > 0 and list_max(tokens) >= 1000 "
+            "and list_min(tokens) <= 20000",
         # reference bound formula, include/streamvbyte.h:33-39
         "max_compressed_bound":
             f"select doc_id, ((n_tok + 3) // 4 + 4 * n_tok + 16)::bigint "
