@@ -464,6 +464,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jsonl_roundtrip"] = jsonl_roundtrip
 
+    # corpus-wide vocabulary remap: frequency-ranked ids shrink the encoded
+    # bytes; compare per-source auto-codec output before vs after
+    def vocab_remap_metrics(spark, sf_dir):
+        from .operators.vocab import build_vocab, remap_tokens
+        tok = tokens_from_documents(spark, sf_dir)
+        remapped = remap_tokens(tok, build_vocab(tok))
+        before = (encode_table(tok, codec="auto").groupBy("source")
+                  .agg(F.sum("out_bytes").alias("bytes_before")))
+        after = (encode_table(remapped, codec="auto").groupBy("source")
+                 .agg(F.sum("out_bytes").alias("bytes_after")))
+        return before.join(after, "source").select(
+            "source", "bytes_before", "bytes_after")
+
+    q["vocab_remap_metrics"] = vocab_remap_metrics
+
     # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
     # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
     # reassemble; identity oracle proves the prev chain threads chunk seams
@@ -731,6 +746,30 @@ def build_oracles() -> dict[str, str]:
         "cast(list_sum(bytes[(frame_id * 64 + 1):"
         "(frame_id * 64 + least(64, n - frame_id * 64))]) as bigint) as frame_sum "
         "from fr")
+    # vocab remap oracle: the identical rank assignment (count desc, token)
+    # done relationally — explode with position, join the ranked vocab,
+    # rebuild arrays ordered by position, size both sides with the auto
+    # formula (empty docs contribute 0 to both sums)
+    o["vocab_remap_metrics"] = (
+        f"with tok as ({doc}), "
+        "tcnt as (select t as token, count(*) as cnt from "
+        " (select unnest(tokens) as t from tok) group by token), "
+        "vocab as (select token, (row_number() over "
+        " (order by cnt desc, token) - 1)::int as new_id from tcnt), "
+        "e as (select doc_id, source, n_tok, u.pos as pos, u.tok as t from "
+        " (select doc_id, source, n_tok, unnest(list_transform("
+        "   range(1, n_tok + 1), i -> {'pos': i, 'tok': tokens[i]})) as u "
+        "  from tok) s), "
+        "r as (select doc_id, source, n_tok, "
+        " list(v.new_id order by e.pos) as tokens "
+        " from e join vocab v on e.t = v.token "
+        " group by doc_id, source, n_tok), "
+        f"aft as (select source, sum({duckdb_size_auto(t, n)})::bigint "
+        " as bytes_after from r group by source), "
+        f"bef as (select source, sum({duckdb_size_auto(t, n)})::bigint "
+        " as bytes_before from tok group by source) "
+        "select bef.source as source, bytes_before, bytes_after "
+        "from bef join aft on bef.source = aft.source")
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)

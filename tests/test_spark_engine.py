@@ -432,3 +432,22 @@ def test_encoded_scan_pushes_doc_filter(spark, tok):
         assert "PushedFilters" in plan and "GreaterThanOrEqual(doc_id" in plan, plan
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_vocab_remap_invertible_and_smaller(spark, tok):
+    """Frequency-rank remap: bijective over the corpus vocab (invertible
+    given the vocab table), rank 0 = most frequent token, and the auto-codec
+    output must shrink on the zipf-ish corpus."""
+    from streamvbyte_spark.operators.vocab import build_vocab, remap_tokens
+    vocab = build_vocab(tok)
+    v = {r.token: r.new_id for r in vocab.collect()}
+    assert sorted(v.values()) == list(range(len(v)))  # bijection onto 0..K-1
+    remapped = remap_tokens(tok, vocab)
+    back = {r.doc_id: [  # invert through the vocab
+        inv[t] for t in r.tokens] for r in remapped.collect()
+        for inv in [{nid: tk for tk, nid in v.items()}]}
+    orig = {r.doc_id: list(r.tokens) for r in tok.collect()}
+    assert back == orig
+    before = encode_table(tok, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
+    after = encode_table(remapped, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
+    assert after < before
