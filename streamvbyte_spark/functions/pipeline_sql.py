@@ -484,9 +484,9 @@ def q_fingerprint(d: Dialect) -> str:
 
 
 def q_dedup_simhash_pairs(d: Dialect) -> str:
-    """SimHash near-dup candidates: the 32-bit simhash split into 4 byte
+    """SimHash near-dup candidates: the 32-bit simhash split into 2 x 16-bit
     bands; docs sharing any (band_id, band_value) are candidates — pairs
-    within Hamming distance <= 3 are guaranteed to collide in >= 1 band
+    within Hamming distance <= 1 are guaranteed to collide in >= 1 band
     (pigeonhole).  Same equi-join-on-small-key shape as MinHash banding."""
     sim = q_dedup_simhash(d)
     # 2 bands x 16 bits: Hamming distance <= 1 guarantees a band collision
@@ -545,10 +545,12 @@ def q_nation_revenue(d: Dialect) -> str:
     revenue in exact integer cents, top-5 nations (deterministic order).
     Scale shape: the two big fact tables join on their keys; the dimension
     joins are broadcast-sized."""
-    rev = ("cast(round(l_extendedprice * (100 - cast(l_discount * 100 as bigint))) "
-           "as bigint)")
-    # l_discount is a ratio with 2dp in the testdata: l_extendedprice *
-    # (1 - l_discount) * 100 == l_extendedprice * (100 - 100*l_discount)
+    # l_discount is a 2dp ratio: l_extendedprice * (1 - l_discount) * 100 ==
+    # l_extendedprice * (100 - 100*l_discount).  round() BEFORE the integer
+    # cast: a bare float->bigint cast truncates in Spark but rounds in
+    # DuckDB, so 0.29*100 = 28.999... would diverge (CLAUDE.md float rule)
+    rev = ("cast(round(l_extendedprice * "
+           "(100 - cast(round(l_discount * 100) as bigint))) as bigint)")
     return (
         "with j as (select n.n_name as nation, "
         f"{rev} as cents "

@@ -105,9 +105,13 @@ def encode_table(df: DataFrame, codec: str = "auto",
             nr = offsets[1:] - offsets[:-1]
             csum = batched._seg_sum(flat.astype(np.int64), offsets)
             # zone map: per-row token min/max let a reader prune encoded
-            # blocks by token range WITHOUT decoding (empty rows -> 0/0)
+            # blocks by token range WITHOUT decoding.  Empty rows are NULL,
+            # not 0/0 — a 0/0 sentinel is indistinguishable from an
+            # all-zeros document, so a [0, hi] range predicate would
+            # wrongly match empty docs
             tmin = batched._seg_reduce(np.minimum, flat, offsets).astype(np.int64)
             tmax = batched._seg_reduce(np.maximum, flat, offsets).astype(np.int64)
+            empty = nr == 0
             names = pa.array([batched.CODEC_NAMES[c] for c in cids], pa.string())
             yield pa.RecordBatch.from_arrays(
                 [
@@ -119,8 +123,8 @@ def encode_table(df: DataFrame, codec: str = "auto",
                     pa.array(4 * nr, pa.int64()),
                     pa.array(ooff[1:] - ooff[:-1], pa.int64()),
                     pa.array(csum, pa.int64()),
-                    pa.array(tmin, pa.int64()),
-                    pa.array(tmax, pa.int64()),
+                    pa.array(tmin, pa.int64(), mask=empty),
+                    pa.array(tmax, pa.int64(), mask=empty),
                 ],
                 names=["doc_id", "source", "n_tok", "codec", "encoded",
                        "in_bytes", "out_bytes", "checksum",

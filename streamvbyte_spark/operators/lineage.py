@@ -104,11 +104,19 @@ def compact_encoded(spark: SparkSession, out_path: str,
     raw = spark.read.parquet(data_path)
     before = len(raw.inputFiles())
     n_buckets = raw.select("bucket").distinct().count()
-    # one task per target file (a task holding several buckets still writes
-    # one file per bucket directory); localCheckpoint materializes the
-    # shuffled rows BEFORE the write so overwriting the path being read is
-    # safe (the write no longer depends on the source files)
-    enc = (raw.repartition(max(files_per_bucket, 1) * n_buckets, "bucket")
+    if n_buckets == 0:
+        return {"files_before": before, "files_after": before}
+    files_per_bucket = max(files_per_bucket, 1)
+    # partition on (bucket, salt): repartitioning on bucket alone can never
+    # SPLIT a bucket across tasks, so files_per_bucket > 1 would silently
+    # still write one file per bucket; the salt carves each bucket into
+    # files_per_bucket slices.  localCheckpoint materializes the shuffled
+    # rows BEFORE the write so overwriting the path being read is safe (the
+    # write no longer depends on the source files).
+    salt = F.pmod(F.hash("doc_id"), F.lit(files_per_bucket))
+    enc = (raw.withColumn("_slice", salt)
+           .repartition(files_per_bucket * n_buckets, "bucket", "_slice")
+           .drop("_slice")
            .sortWithinPartitions("doc_id")
            .localCheckpoint())
     (enc.write.mode("overwrite")

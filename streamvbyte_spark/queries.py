@@ -453,9 +453,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # JSON-Lines and read back through tokens_from_jsonl must carry the
     # exact same token arrays (fingerprint vs the documents-derived oracle)
     def jsonl_roundtrip(spark, sf_dir):
+        import hashlib
         import tempfile
         from .sources import tokens_from_jsonl, write_tokens_jsonl
-        tmp = tempfile.mkdtemp(prefix="svb_q_jsonl_")
+        # FIXED per-sf staging path + overwrite (a fresh mkdtemp per run
+        # would leak a corpus-sized JSONL copy into /tmp every gate round)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tmp = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}"
         write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
         back = tokens_from_jsonl(spark, tmp + "/j")
         return back.select(
@@ -525,13 +529,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- training-pipeline ops (dedup / similarity / text analysis) ----------
     from .functions import pipeline_sql
 
+    # only the tables a query actually references get registered: a
+    # document-only query must not pay 5 extra parquet footer reads per run
+    # nor hard-fail on an sf dir lacking the TPC-H tables
+    _pipeline_tables = {
+        "event_sessions": ("events",),
+        "nation_revenue": ("lineitem", "orders", "customer", "nation"),
+    }
+
     def make_pipeline(name):
         def run(spark, sf_dir):
             from .functions.embedding_udfs import register_embedding_udfs
             register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
                                     pipeline_sql.NEARDUP_PLANES_PER_BAND)
-            for t in ("documents", "embeddings", "events", "lineitem",
-                      "orders", "customer", "nation"):
+            for t in _pipeline_tables.get(name, ("documents", "embeddings")):
                 spark.read.parquet(f"{sf_dir}/{t}.parquet") \
                     .createOrReplaceTempView(t)
             return spark.sql(pipeline_sql.spark_sql(name))

@@ -118,10 +118,18 @@ def tokens_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     being absent (FAILFAST)."""
     schema = "doc_id string, tokens array<int>, source string"
     df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    # FAILFAST only rejects syntactically bad JSON; a valid line MISSING the
+    # tokens key would otherwise flow through as tokens=NULL with n_tok=-1
+    # (size(NULL)) and poison downstream aggregates — reject it here
+    checked = F.when(
+        F.col("tokens").isNull(),
+        F.raise_error(F.concat(F.lit("jsonl row missing tokens: doc_id="),
+                               F.col("doc_id")))
+    ).otherwise(F.col("tokens"))
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("tokens"),
-        F.size("tokens").alias("n_tok"),
+        checked.alias("tokens"),
+        F.size(checked).alias("n_tok"),
         F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
     )
 

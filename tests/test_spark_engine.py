@@ -451,3 +451,49 @@ def test_vocab_remap_invertible_and_smaller(spark, tok):
     before = encode_table(tok, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
     after = encode_table(remapped, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
     assert after < before
+
+
+def test_jsonl_missing_tokens_fails_loudly(spark):
+    from streamvbyte_spark.sources import tokens_from_jsonl
+    import os
+    path = tempfile.mkdtemp(prefix="svb_jsonl_bad_")
+    try:
+        with open(os.path.join(path, "a.json"), "w") as f:
+            f.write('{"doc_id": "ok", "tokens": [1, 2], "source": "s"}\n')
+            f.write('{"doc_id": "bad", "source": "s"}\n')  # tokens missing
+        with pytest.raises(Exception) as ei:
+            tokens_from_jsonl(spark, path).collect()
+        assert "missing tokens" in str(ei.value)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_compact_files_per_bucket_splits(spark, tok):
+    """files_per_bucket > 1 must actually split each bucket's rows into
+    multiple files (the salt path; repartition on bucket alone cannot)."""
+    from streamvbyte_spark.operators.lineage import (
+        compact_encoded, encode_with_checkpoint, read_encoded)
+    path = tempfile.mkdtemp(prefix="svb_compact2_")
+    try:
+        encode_with_checkpoint(tok, path, n_buckets=2)
+        before = {r.doc_id: bytes(r.encoded)
+                  for r in read_encoded(spark, path).collect()}
+        stats = compact_encoded(spark, path, files_per_bucket=3)
+        assert stats["files_after"] > 2  # more than one file per bucket
+        after = {r.doc_id: bytes(r.encoded)
+                 for r in read_encoded(spark, path).collect()}
+        assert after == before
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zone_map_null_for_empty_docs(spark):
+    """Empty token arrays must produce NULL zone-map bounds, not 0/0 (a 0/0
+    sentinel is indistinguishable from an all-zeros doc)."""
+    df = spark.createDataFrame(
+        [("e", [], 0, "s"), ("z", [0, 0], 2, "s"), ("v", [5, 9], 2, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    rows = {r.doc_id: r for r in encode_table(df, codec="auto").collect()}
+    assert rows["e"].tok_min is None and rows["e"].tok_max is None
+    assert rows["z"].tok_min == 0 and rows["z"].tok_max == 0
+    assert rows["v"].tok_min == 5 and rows["v"].tok_max == 9
