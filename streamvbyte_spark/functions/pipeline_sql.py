@@ -217,16 +217,23 @@ def q_minhash_bands(d: Dialect) -> str:
             + bands)
 
 
-def q_dedup_minhash_pairs(d: Dialect) -> str:
-    """LSH candidate pairs: docs sharing any band bucket."""
+def _minhash_pairs_final(bands_src: str) -> str:
+    """Band self-join -> candidate pairs, reading bands from `bands_src`
+    (a CTE name for the oracle, a MATERIALIZED temp view on the Spark side —
+    see SPARK_STAGES)."""
     return (
-        f"with bands as ({q_minhash_bands(d)}) "
         "select a.doc_id as doc_a, b.doc_id as doc_b "
-        "from bands a join bands b "
+        f"from {bands_src} a join {bands_src} b "
         "on a.band_id = b.band_id and a.band_key = b.band_key "
         "and a.doc_id < b.doc_id "
         "group by a.doc_id, b.doc_id"
     )
+
+
+def q_dedup_minhash_pairs(d: Dialect) -> str:
+    """LSH candidate pairs: docs sharing any band bucket."""
+    return (f"with bands as ({q_minhash_bands(d)}) "
+            + _minhash_pairs_final("bands"))
 
 
 def q_dedup_simhash(d: Dialect) -> str:
@@ -259,11 +266,16 @@ def q_dedup_ngram_jaccard(d: Dialect) -> str:
     per-doc shingle count for the Jaccard denominator still counts ALL
     shingles, so a capped pair's jaccard is a lower bound that cannot
     create false positives."""
+    return (f"with e as ({_shingle_rows(d, 'source')}), "
+            + _ngram_jaccard_final("e"))
+
+
+def _ngram_jaccard_final(e_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
     return (
-        f"with e as ({_shingle_rows(d, 'source')}), "
-        "cnt as (select doc_id, count(*) as n from e group by doc_id), "
-        "df as (select shingle, count(*) as df from e group by shingle), "
-        f"j as (select e.doc_id, e.source, e.shingle from e "
+        f"cnt as (select doc_id, count(*) as n from {e_src} group by doc_id), "
+        f"df as (select shingle, count(*) as df from {e_src} group by shingle), "
+        f"j as (select e.doc_id, e.source, e.shingle from {e_src} e "
         f" join df on e.shingle = df.shingle where df.df <= {NGRAM_MAX_DF}), "
         "common as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c "
         " from j a join j b on a.shingle = b.shingle and a.source = b.source "
@@ -377,16 +389,36 @@ def q_embedding_neardup(d: Dialect) -> str:
                 f"from (select vec_id, {_qemb(d)} as v from embeddings)")
         bands = " union all ".join(band_sqls)
         dot, na, nb = _dot(d, "ea.v", "eb.v"), "ea.nq", "eb.nq"
+    return (f"with e as ({e}), bands as ({bands}), "
+            + _neardup_final(d, "e", "bands"))
+
+
+def _neardup_spark_e(d: Dialect) -> str:
+    return ("select vec_id, embedding, emb_norm_q(embedding) as nq "
+            "from embeddings")
+
+
+def _neardup_spark_bands(d: Dialect) -> str:
+    return ("select vec_id, band_id, bucket from "
+            "(select vec_id, emb_band_buckets(embedding) as bks "
+            "from embeddings) "
+            "lateral view posexplode(bks) _t as band_id, bucket")
+
+
+def _neardup_final(d: Dialect, e_src: str, bands_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+    if d.kind == "spark":
+        dot, na, nb = "emb_dot_q(ea.embedding, eb.embedding)", "ea.nq", "eb.nq"
+    else:
+        dot, na, nb = _dot(d, "ea.v", "eb.v"), "ea.nq", "eb.nq"
     return (
-        f"with e as ({e}), "
-        f"bands as ({bands}), "
         "cand as (select a.vec_id as id_a, b.vec_id as id_b "
-        " from bands a join bands b on a.band_id = b.band_id "
+        f" from {bands_src} a join {bands_src} b on a.band_id = b.band_id "
         " and a.bucket = b.bucket and a.vec_id < b.vec_id "
         " group by a.vec_id, b.vec_id), "
         f"pairs as (select id_a, id_b, {dot} as dot, {na} as na, {nb} as nb "
-        " from cand join e ea on cand.id_a = ea.vec_id "
-        " join e eb on cand.id_b = eb.vec_id), "
+        f" from cand join {e_src} ea on cand.id_a = ea.vec_id "
+        f" join {e_src} eb on cand.id_b = eb.vec_id), "
         "ranked as (select id_a, id_b, dot, "
         " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) as cos_sim, "
         " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "
@@ -404,19 +436,26 @@ def q_ann_lsh(d: Dialect) -> str:
     Spark side: Arrow-vectorized emb_lsh_bucket / emb_dot_q pandas UDFs
     (same planes, same integers as the DuckDB lambdas)."""
     if d.kind == "spark":
-        b = ("select vec_id, embedding as v, emb_lsh_bucket(embedding) as bucket "
-             "from embeddings")
-        dot_qc = "emb_dot_q(q.v, c.v)"
+        b = _ann_lsh_spark_b(d)
     else:
         planes = [(13 + 6 * k, 5 + 11 * k) for k in range(4)]
         b = (f"select vec_id, v, ({_hyperplane_bucket(d, planes)}) as bucket "
              f"from (select vec_id, {_qemb(d)} as v from embeddings)")
-        dot_qc = _dot(d, "q.v", "c.v")
+    return f"with b as ({b}), " + _ann_lsh_final(d, "b")
+
+
+def _ann_lsh_spark_b(d: Dialect) -> str:
+    return ("select vec_id, embedding as v, emb_lsh_bucket(embedding) as bucket "
+            "from embeddings")
+
+
+def _ann_lsh_final(d: Dialect, b_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+    dot_qc = "emb_dot_q(q.v, c.v)" if d.kind == "spark" else _dot(d, "q.v", "c.v")
     return (
-        f"with b as ({b}), "
-        "q as (select * from b where vec_id < 10), "
+        f"q as (select * from {b_src} where vec_id < 10), "
         f"scored as (select q.vec_id as qid, c.vec_id as cid, {dot_qc} as dot "
-        " from q join b c on q.bucket = c.bucket and q.vec_id != c.vec_id), "
+        f" from q join {b_src} c on q.bucket = c.bucket and q.vec_id != c.vec_id), "
         "ranked as (select qid, cid, dot, row_number() over "
         " (partition by qid order by dot desc, cid) as rnk from scored) "
         "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
@@ -488,17 +527,22 @@ def q_dedup_simhash_pairs(d: Dialect) -> str:
     bands; docs sharing any (band_id, band_value) are candidates — pairs
     within Hamming distance <= 1 are guaranteed to collide in >= 1 band
     (pigeonhole).  Same equi-join-on-small-key shape as MinHash banding."""
-    sim = q_dedup_simhash(d)
+    return (f"with s as ({q_dedup_simhash(d)}), "
+            + _simhash_pairs_final(d, "s"))
+
+
+def _simhash_pairs_final(d: Dialect, s_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
     # 2 bands x 16 bits: Hamming distance <= 1 guarantees a band collision
     # (pigeonhole); 8-bit bands over-collide on same-vocabulary corpora
     # because simhash bits are correlated across documents (measured 14.8%
     # of all-pairs vs 0.7% with 16-bit bands on the sf0.01 corpus)
     bands = " union all ".join(
         f"select doc_id, {k} as band_id, "
-        f"{d.idiv('simhash', str(1 << (16 * k)))} % 65536 as band_val from s"
+        f"{d.idiv('simhash', str(1 << (16 * k)))} % 65536 as band_val from {s_src}"
         for k in range(2))
     return (
-        f"with s as ({sim}), bands as ({bands}) "
+        f"bands as ({bands}) "
         "select a.doc_id as doc_a, b.doc_id as doc_b "
         "from bands a join bands b on a.band_id = b.band_id "
         "and a.band_val = b.band_val and a.doc_id < b.doc_id "
@@ -632,3 +676,46 @@ def spark_sql(name: str) -> str:
 
 def duckdb_sql(name: str) -> str:
     return PIPELINE_QUERIES[name](Dialect("duckdb"))
+
+
+# ---------------------------------------------------------------------------
+# staged Spark execution for the self-join queries
+#
+# Catalyst inlines a WITH-CTE into every consumer, so `bands a join bands b`
+# executes the whole scan->shingle->hash->signature pipeline TWICE (once per
+# join side) — invisible at sf0.01, but at 100 TB the signature build is the
+# dominant cost and the inlining doubles it.  For each such query this table
+# lists the expensive subplans to MATERIALIZE (localCheckpoint -> temp view)
+# before running the final join, so the signature pipeline executes exactly
+# once per query.  The DuckDB oracle keeps the single-text CTE form (DuckDB
+# materializes CTEs referenced more than once itself), so both sides compute
+# the identical algorithm.
+#
+# Each entry: (stages, final) where stages = ((view_name, sql_fn), ...) in
+# dependency order and final = sql_fn reading from those views; all sql_fns
+# take the SPARK Dialect.  View names are namespaced to avoid colliding with
+# user tables.
+
+SPARK_STAGES = {
+    "dedup_minhash_pairs": (
+        (("svb_stage_mh_bands", q_minhash_bands),),
+        lambda d: _minhash_pairs_final("svb_stage_mh_bands"),
+    ),
+    "dedup_simhash_pairs": (
+        (("svb_stage_sh_sim", q_dedup_simhash),),
+        lambda d: "with " + _simhash_pairs_final(d, "svb_stage_sh_sim"),
+    ),
+    "dedup_ngram_jaccard": (
+        (("svb_stage_ng_shingles", lambda d: _shingle_rows(d, "source")),),
+        lambda d: "with " + _ngram_jaccard_final("svb_stage_ng_shingles"),
+    ),
+    "embedding_neardup": (
+        (("svb_stage_nd_e", _neardup_spark_e),
+         ("svb_stage_nd_bands", _neardup_spark_bands)),
+        lambda d: "with " + _neardup_final(d, "svb_stage_nd_e", "svb_stage_nd_bands"),
+    ),
+    "ann_lsh": (
+        (("svb_stage_lsh_b", _ann_lsh_spark_b),),
+        lambda d: "with " + _ann_lsh_final(d, "svb_stage_lsh_b"),
+    ),
+}

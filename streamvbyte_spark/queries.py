@@ -545,7 +545,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for t in _pipeline_tables.get(name, ("documents", "embeddings")):
                 spark.read.parquet(f"{sf_dir}/{t}.parquet") \
                     .createOrReplaceTempView(t)
-            return spark.sql(pipeline_sql.spark_sql(name))
+            staged = pipeline_sql.SPARK_STAGES.get(name)
+            if staged is None:
+                return spark.sql(pipeline_sql.spark_sql(name))
+            # self-join queries: materialize the signature/bands pipeline
+            # ONCE (localCheckpoint truncates the plan to the stored rows),
+            # then self-join the materialized view — otherwise Catalyst
+            # inlines the CTE and executes the whole scan->signature subtree
+            # on BOTH join sides (the 100 TB plan flaw; see
+            # pipeline_sql.SPARK_STAGES).  On a production cluster swap
+            # localCheckpoint for checkpoint() on durable storage, or stage
+            # the signature table to parquet.
+            d = pipeline_sql.Dialect("spark")
+            stages, final = staged
+            for view, sql_fn in stages:
+                spark.sql(sql_fn(d)).localCheckpoint(eager=True) \
+                    .createOrReplaceTempView(view)
+            return spark.sql(final(d))
         return run
 
     for name in pipeline_sql.PIPELINE_QUERIES:

