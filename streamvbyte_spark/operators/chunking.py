@@ -174,26 +174,43 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
                           pa.int32())],
                 names=["doc_id", "tokens", "n_tok"])
 
-        pend = None  # tail run (last doc_id) carried across Arrow batches
+        # tail run (last doc_id) carried across Arrow batches as a LIST of
+        # segments, concatenated ONCE when the run closes — prepending the
+        # accumulated tail to every incoming batch would copy a K-batch
+        # document's encoded bytes O(K^2) times
+        pend: list[tuple] = []
+
+        def merge(parts):
+            ids = np.concatenate([p[0] for p in parts])
+            n_toks = np.concatenate([p[1] for p in parts])
+            prev = np.concatenate([p[2] for p in parts])
+            enc = np.concatenate([p[3] for p in parts])
+            offs = [parts[0][4]]
+            for p in parts[1:]:
+                offs.append(p[4][1:] + (offs[-1][-1] - p[4][0]))
+            return ids, n_toks, prev, enc, np.concatenate(offs)
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             ids, n_toks, prev, enc, eoff = extract(batch)
-            if pend is not None:
-                pids, pn, pp, penc, peoff = pend
-                ids = np.concatenate((pids, ids))
-                n_toks = np.concatenate((pn, n_toks))
-                prev = np.concatenate((pp, prev))
-                enc = np.concatenate((penc, enc))
-                eoff = np.concatenate((peoff, peoff[-1] + eoff[1:]))
+            if pend and pend[-1][0][-1] != ids[0]:
+                yield decode_runs(*merge(pend))  # run closed at batch seam
+                pend = []
             nz = np.flatnonzero(ids != ids[-1])
             cut = int(nz[-1] + 1) if nz.size else 0
             if cut:
-                yield decode_runs(ids[:cut], n_toks[:cut], prev[:cut],
-                                  enc[:eoff[cut]], eoff[:cut + 1])
-            pend = (ids[cut:], n_toks[cut:], prev[cut:],
-                    enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut])
-        if pend is not None and pend[0].size:
-            yield decode_runs(*pend)
+                head = (ids[:cut], n_toks[:cut], prev[:cut],
+                        enc[:eoff[cut]], eoff[:cut + 1])
+                # pend (one doc) + head decode together: decode_runs splits
+                # on id boundaries, so the carried run and the batch's other
+                # complete docs come out as separate rows
+                yield decode_runs(*merge(pend + [head])) if pend \
+                    else decode_runs(*head)
+                pend = []
+            pend.append((ids[cut:], n_toks[cut:], prev[cut:],
+                         enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut]))
+        if pend and sum(p[0].size for p in pend):
+            yield decode_runs(*merge(pend))
 
     return part.mapInArrow(run, "doc_id string, tokens array<int>, n_tok int")

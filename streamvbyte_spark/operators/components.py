@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """(doc_a, doc_b) candidate pairs -> (doc_id, component_id) where
     component_id = lexicographic min doc_id of the component."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
              .union(pairs.select(F.col("doc_b").alias("a"),
                                  F.col("doc_a").alias("b")))

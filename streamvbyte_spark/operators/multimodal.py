@@ -41,6 +41,15 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _as_u8(payload) -> np.ndarray:
+    """Payload as a uint8 array WITHOUT copying when it's already one (the
+    batched stats tables pass zero-copy views of the Arrow flat buffer, so a
+    bytes() materialization per row would double the memory traffic)."""
+    if isinstance(payload, np.ndarray) and payload.dtype == np.uint8:
+        return payload
+    return np.frombuffer(bytes(payload), np.uint8)
+
+
 def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
     """Parse a P6 header (whitespace/#-comment tolerant); returns
     (width, height, maxval, pixel_data_start)."""
@@ -59,25 +68,32 @@ def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
     return toks[0], toks[1], toks[2], i + 1  # exactly one ws after maxval
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def decode_image(payload) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
     Pure NumPy for the uncompressed formats: PPM P6 (maxval 255) and BMP
     BI_RGB 24/32-bit (bottom-up or top-down, row padding honored).
-    Compressed formats fall through to PIL if available, else raise."""
-    buf = bytes(payload)
-    if buf[:2] == b"P6":
-        w, h, maxval, start = _ppm_header(buf)
+    Accepts bytes or a uint8 array view; only the (tiny) header region is
+    materialized as Python bytes — the pixel body stays a NumPy view until
+    the final output copy.  Compressed formats fall through to PIL if
+    available, else raise."""
+    buf = _as_u8(payload)
+    magic = buf[:2].tobytes()
+    if magic == b"P6":
+        # headers are a few dozen text bytes; cap the bytes copy
+        head = buf[:min(buf.size, 4096)].tobytes()
+        w, h, maxval, start = _ppm_header(head)
         if maxval != 255:
             raise NotImplementedError("16-bit PPM not supported")
-        px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=start)
+        px = buf[start:start + w * h * 3]
         return px.reshape(h, w, 3).copy()
-    if buf[:2] == b"BM":
-        off = int.from_bytes(buf[10:14], "little")
-        width = int.from_bytes(buf[18:22], "little", signed=True)
-        height = int.from_bytes(buf[22:26], "little", signed=True)
-        bpp = int.from_bytes(buf[28:30], "little")
-        compression = int.from_bytes(buf[30:34], "little")
+    if magic == b"BM":
+        head = buf[:54].tobytes()
+        off = int.from_bytes(head[10:14], "little")
+        width = int.from_bytes(head[18:22], "little", signed=True)
+        height = int.from_bytes(head[22:26], "little", signed=True)
+        bpp = int.from_bytes(head[28:30], "little")
+        compression = int.from_bytes(head[30:34], "little")
         if compression != 0 or bpp not in (24, 32):
             raise NotImplementedError(
                 f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
@@ -85,7 +101,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         nch = bpp // 8
         stride = (width * nch + 3) // 4 * 4  # rows pad to 4 bytes
         rows = abs(height)
-        px = np.frombuffer(buf, np.uint8, count=stride * rows, offset=off)
+        px = buf[off:off + stride * rows]
         px = px.reshape(rows, stride)[:, :width * nch].reshape(rows, width, nch)
         if height > 0:
             px = px[::-1]  # bottom-up storage
@@ -93,26 +109,29 @@ def decode_image(payload: bytes) -> np.ndarray:
     try:
         import io
         from PIL import Image
-        return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        return np.asarray(Image.open(io.BytesIO(buf.tobytes())).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
             "compressed image formats need PIL; install pillow on the "
             "cluster image (PPM/BMP decode natively)") from e
 
 
-def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+def decode_audio(payload) -> tuple[np.ndarray, int]:
     """Decode a WAV (RIFF PCM, 8- or 16-bit) payload to
-    (samples[frames, channels], sample_rate) — pure NumPy chunk walk.
-    Other containers fall through to soundfile if available, else raise."""
-    buf = bytes(payload)
-    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+    (samples[frames, channels], sample_rate) — pure NumPy chunk walk over a
+    bytes or uint8-view payload (only the 8-byte chunk headers materialize
+    as Python ints; sample data stays a NumPy view).  Other containers fall
+    through to soundfile if available, else raise."""
+    buf = _as_u8(payload)
+    if buf[:4].tobytes() == b"RIFF" and buf[8:12].tobytes() == b"WAVE":
         pos, fmt, data = 12, None, None
-        while pos + 8 <= len(buf):
-            cid = buf[pos:pos + 4]
-            sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        size = buf.size
+        while pos + 8 <= size:
+            cid = buf[pos:pos + 4].tobytes()
+            sz = int.from_bytes(buf[pos + 4:pos + 8].tobytes(), "little")
             body = buf[pos + 8:pos + 8 + sz]
             if cid == b"fmt ":
-                fmt = body
+                fmt = body.tobytes()
             elif cid == b"data":
                 data = body
             pos += 8 + sz + (sz & 1)  # chunks are word-aligned
@@ -126,14 +145,20 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(
                 f"only PCM 8/16-bit WAV (got format={audio_format}, "
                 f"bits={bits})")
-        dt = np.uint8 if bits == 8 else np.dtype("<i2")
-        samples = np.frombuffer(data, dt)
+        if bits == 8:
+            samples = data
+        else:
+            # compose int16 from byte lanes: alignment-safe on a view whose
+            # base offset into the Arrow buffer can be odd
+            n2 = (data.size // 2) * 2
+            samples = (data[:n2:2].astype(np.uint16)
+                       | (data[1:n2:2].astype(np.uint16) << 8)).view(np.int16)
         frames = samples.size // channels
         return samples[:frames * channels].reshape(frames, channels), rate
     try:
         import io
         import soundfile
-        s, rate = soundfile.read(io.BytesIO(buf))
+        s, rate = soundfile.read(io.BytesIO(buf.tobytes()))
         return np.atleast_2d(s.T).T, rate
     except ImportError as e:
         raise NotImplementedError(
@@ -228,14 +253,18 @@ def audio_stats_table(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             doc = batch.column(batch.schema.get_field_index("doc_id"))
-            payloads = batch.column(batch.schema.get_field_index("payload"))
-            n = len(payloads)
+            # zero-copy views into the Arrow flat buffer: the per-container
+            # decode loop is inherent, but no payload materializes as a
+            # Python bytes (.as_py()) on the way in
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            n = offsets.size - 1
             fr = np.empty(n, np.int32)
             ch = np.empty(n, np.int32)
             rt = np.empty(n, np.int32)
             ss = np.empty(n, np.int64)
             for i in range(n):
-                samples, rate = decode_audio(payloads[i].as_py())
+                samples, rate = decode_audio(flat[offsets[i]:offsets[i + 1]])
                 fr[i], ch[i], rt[i] = samples.shape[0], samples.shape[1], rate
                 ss[i] = int(samples.sum(dtype=np.int64))
             yield pa.RecordBatch.from_arrays(
@@ -259,13 +288,14 @@ def image_stats_table(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             doc = batch.column(batch.schema.get_field_index("doc_id"))
-            payloads = batch.column(batch.schema.get_field_index("payload"))
-            n = len(payloads)
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            n = offsets.size - 1
             hs = np.empty(n, np.int32)
             ws = np.empty(n, np.int32)
             sums = np.empty((n, 3), np.int64)
             for i in range(n):
-                img = decode_image(payloads[i].as_py())
+                img = decode_image(flat[offsets[i]:offsets[i + 1]])
                 hs[i], ws[i] = img.shape[0], img.shape[1]
                 sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
@@ -294,12 +324,14 @@ def decode_image_table(media: DataFrame, out_w: int | None = None,
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             doc = batch.column(batch.schema.get_field_index("doc_id"))
-            payloads = batch.column(batch.schema.get_field_index("payload"))
-            hs = np.empty(len(payloads), np.int32)
-            ws = np.empty(len(payloads), np.int32)
-            means = np.empty((len(payloads), 3), np.float64)
-            for i in range(len(payloads)):
-                img = decode_image(payloads[i].as_py())
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            n = offsets.size - 1
+            hs = np.empty(n, np.int32)
+            ws = np.empty(n, np.int32)
+            means = np.empty((n, 3), np.float64)
+            for i in range(n):
+                img = decode_image(flat[offsets[i]:offsets[i + 1]])
                 if out_w and out_h:
                     img = resize_image(img, out_w, out_h)
                 hs[i], ws[i] = img.shape[0], img.shape[1]

@@ -41,10 +41,28 @@ def build_vocab(tok_df: DataFrame) -> DataFrame:
         "token", (F.row_number().over(w) - 1).cast("int").alias("new_id"))
 
 
-def remap_tokens(tok_df: DataFrame, vocab_df: DataFrame) -> DataFrame:
+MAX_BROADCAST_VOCAB = 1 << 22  # ~4M entries = ~50 MB broadcast; tokenizer
+# vocabularies are 32k-256k, so this bound is generous — anything past it is
+# an open/hashed id space that must NOT be collected to the driver
+
+
+def remap_tokens(tok_df: DataFrame, vocab_df: DataFrame,
+                 max_vocab: int = MAX_BROADCAST_VOCAB) -> DataFrame:
     """Rewrite every token array through the vocab (all tokens must be in
-    the vocab — it was built from this corpus)."""
-    rows = vocab_df.select("token", "new_id").collect()
+    the vocab — it was built from this corpus).
+
+    The vocab is collected to the driver and broadcast — correct for
+    tokenizer-sized vocabularies.  The collect is CAPPED at max_vocab + 1
+    rows (limit() bounds driver memory even when the guard trips): an
+    over-limit vocabulary fails loudly with a pointer to
+    ``remap_tokens_join``, the shuffle-join path that never materializes the
+    vocab on the driver."""
+    rows = vocab_df.select("token", "new_id").limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}: an open/hashed token "
+            "id space cannot be broadcast-remapped; use remap_tokens_join "
+            "(explode + shuffle join) instead")
     toks = np.array([r.token for r in rows], dtype=np.int64)
     ids = np.array([r.new_id for r in rows], dtype=np.int32)
     order = np.argsort(toks)
@@ -78,3 +96,34 @@ def remap_tokens(tok_df: DataFrame, vocab_df: DataFrame) -> DataFrame:
 
     return tok_df.mapInArrow(
         run, "doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def remap_tokens_join(tok_df: DataFrame, vocab_df: DataFrame) -> DataFrame:
+    """Shuffle-join remap for vocabularies too large to broadcast (open or
+    hashed id spaces): posexplode tokens -> equi-join the vocab on token ->
+    rebuild arrays ordered by position.  Two shuffles (join on token, re-agg
+    on doc_id) instead of the broadcast path's zero — the correct trade when
+    the vocab itself is data-scale.  Inner join: a token missing from the
+    vocab shrinks the rebuilt array, caught by the n_tok recheck."""
+    exploded = tok_df.select(
+        "doc_id", "n_tok", "source",
+        F.posexplode_outer("tokens").alias("pos", "token"))
+    joined = exploded.join(vocab_df.select("token", "new_id"), "token", "left")
+    # collect_list skips nulls, so empty docs (pos null from the outer
+    # explode) rebuild as []; a real token with no vocab row keeps its pos
+    # but a null new_id and is counted by n_missing
+    rebuilt = (joined.groupBy("doc_id", "n_tok", "source")
+               .agg(F.array_sort(F.collect_list(
+                        F.when(F.col("pos").isNotNull(),
+                               F.struct("pos", "new_id"))))
+                    .getField("new_id").alias("tokens"),
+                    F.sum(F.when(F.col("pos").isNotNull()
+                                 & F.col("new_id").isNull(), 1).otherwise(0))
+                    .alias("n_missing")))
+    return rebuilt.select(
+        "doc_id",
+        F.when(F.col("n_missing") == 0, F.col("tokens"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("remap_tokens_join: token(s) outside the vocabulary in doc "),
+            F.col("doc_id")))).alias("tokens"),
+        "n_tok", "source")

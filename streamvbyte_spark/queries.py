@@ -454,12 +454,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact same token arrays (fingerprint vs the documents-derived oracle)
     def jsonl_roundtrip(spark, sf_dir):
         import hashlib
+        import os
         import tempfile
         from .sources import tokens_from_jsonl, write_tokens_jsonl
-        # FIXED per-sf staging path + overwrite (a fresh mkdtemp per run
-        # would leak a corpus-sized JSONL copy into /tmp every gate round)
+        # staging path keyed by (sf_dir, pid): stable within a process so
+        # repeated gate runs overwrite instead of leaking a corpus-sized
+        # JSONL copy into /tmp per round, but two CONCURRENT gate processes
+        # on the same sf dir can't clobber each other's staging mid-read
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        tmp = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}"
+        tmp = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}_{os.getpid()}"
         write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
         back = tokens_from_jsonl(spark, tmp + "/j")
         return back.select(

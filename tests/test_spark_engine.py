@@ -267,6 +267,37 @@ def test_chunked_fused_run_straddles_arrow_batches(spark, tok):
     assert got == orig
 
 
+def test_chunked_fused_seam_placement(spark):
+    """Adversarial Arrow-batch cut placement for the fused decode's carry
+    logic (operators/chunking.py): (a) every batch boundary landing EXACTLY
+    between two docs (2-chunk docs, 2-row batches -> the carried run always
+    closes at a batch seam, exercising the flush-on-id-mismatch branch), and
+    (b) one doc spanning >= 4 consecutive batches (9 chunks, 2-row batches ->
+    the pending-segment list accumulates across several batches before one
+    final concatenation)."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    rng = np.random.default_rng(17)
+    rows = []
+    for j in range(12):          # (a) 2-chunk docs: 8 tokens, chunk_size 4
+        rows.append((f"a{j:02d}", np.cumsum(rng.integers(0, 50, 8)).tolist()))
+    for j in range(3):           # (b) 9-chunk docs: 36 tokens
+        rows.append((f"b{j:02d}", np.cumsum(rng.integers(0, 50, 36)).tolist()))
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int")
+    enc = encode_chunked_delta(chunk_tokens(df, chunk_size=4))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = {r.doc_id: list(r.tokens) for r in
+               decode_reassemble_fused(enc).collect()}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == dict(rows)
+
+
 def test_checkpoint_resume_idempotent_across_commit_gap(spark, tok):
     """Crash between the data write and the lineage commit must not
     duplicate rows on rerun: dynamic partition overwrite REPLACES the
@@ -451,6 +482,35 @@ def test_vocab_remap_invertible_and_smaller(spark, tok):
     before = encode_table(tok, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
     after = encode_table(remapped, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
     assert after < before
+
+
+def test_vocab_remap_guard_and_join_fallback(spark, tok):
+    """An over-limit vocabulary must fail loudly instead of silently
+    collecting an open id space to the driver; the shuffle-join fallback
+    must produce the identical remap without any driver-side vocab."""
+    from streamvbyte_spark.operators.vocab import (build_vocab, remap_tokens,
+                                                   remap_tokens_join)
+    vocab = build_vocab(tok)
+    with pytest.raises(ValueError, match="max_vocab"):
+        remap_tokens(tok, vocab, max_vocab=5)  # corpus vocab >> 5
+    a = {r.doc_id: list(r.tokens) for r in remap_tokens(tok, vocab).collect()}
+    b = {r.doc_id: list(r.tokens)
+         for r in remap_tokens_join(tok, vocab).collect()}
+    assert a == b
+    # a token missing from the vocab must raise, not silently mis-remap
+    df = spark.createDataFrame(
+        [("d0", [1, 2, 999], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    small = spark.createDataFrame([(1, 0), (2, 1)], "token int, new_id int")
+    with pytest.raises(Exception, match="outside the vocabulary"):
+        remap_tokens_join(df, small).collect()
+
+
+def test_connected_components_rejects_bad_max_iters(spark):
+    from streamvbyte_spark.operators.components import connected_components
+    pairs = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(pairs, max_iters=0)
 
 
 def test_jsonl_missing_tokens_fails_loudly(spark):
