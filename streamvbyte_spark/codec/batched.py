@@ -14,12 +14,14 @@ Spark analog of the reference's 8-values-per-iteration SIMD kernels
 Format produced per row is byte-identical to ``core`` (and therefore to the
 reference spec, README.md:207-244) — tested row-by-row against core.
 
-Cost model: per-row exact sizes for the 7 vectorizable codecs
-(svb, svb0124, svb_delta, bitpack, for, dict, rle) computed with segmented
-reductions; argmin per row = the auto-selector of select.py, batched.
-FSST cost is not vectorizable per-row (needs a per-row symbol table), so fsst
-participates only via the single-array path (select.choose with explicit
-candidates).
+Cost model: per-row exact sizes for all 8 codecs computed with segmented
+reductions — including fsst, whose per-row symbol-table cost vectorizes as a
+composite-key sort + lexsort-ranked top-255 (_fsst_costs); argmin per row =
+the auto-selector of select.py, batched.  The default ``auto`` candidate set
+stays the 7 whole-batch-encodable codecs (VECTOR_COST_CODECS); passing
+VECTOR_COST_CODECS_FULL adds fsst to the argmin, with winning rows encoded
+through the per-row registry fallback (a per-row symbol table has no
+whole-batch encode kernel).
 """
 
 from __future__ import annotations
@@ -39,6 +41,11 @@ _MASK_BY_LEN = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], dtype=np.uint32
 CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
 CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
 VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
+# full candidate set including fsst: its per-row cost is vectorized too
+# (_fsst_costs), but the fsst ENCODE of winning rows runs per-row through
+# the REGISTRY fallback (a per-row symbol table has no whole-batch kernel),
+# so "auto" keeps the 7-codec contract and fsst is opt-in via this tuple
+VECTOR_COST_CODECS_FULL = VECTOR_COST_CODECS + ("fsst",)
 
 
 _SCRATCH: dict[str, np.ndarray] = {}
@@ -271,6 +278,8 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             c = 4 + 4 * k + (nr * w + 7) // 8
         elif name == "rle":
             c = _rle_costs(flat, offsets, lens1234)
+        elif name == "fsst":
+            c = _fsst_costs(flat, offsets)
         else:
             raise ValueError(f"no vectorized cost for codec {name!r}")
         cols.append(np.where(nr > 0, c, 0))
@@ -305,6 +314,51 @@ def _row_distinct(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     new[0] = 1
     np.not_equal(key[1:], key[:-1], out=new[1:].view(bool))
     return _seg_sum(new, offsets)  # sort preserves row segment boundaries
+
+
+def _fsst_costs(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized per-row fsst cost, exactly companions.fsst_cost per row.
+
+    Layout cost (companions.py FSST section): 1B table size k + 2k B symbol
+    table + ceil(m/8) B escape bitmap + 1 B per table hit + 2 B per escaped
+    pair, where m = 2n byte pairs and the table holds the top-255 pairs by
+    (count desc, pair value desc — np.argsort(counts)[::-1] over
+    value-sorted uniques reverses ties to descending value) with count >= 3.
+
+    Whole-batch: one composite-key sort groups (row, pair); a lexsort ranks
+    each row's distinct pairs for the 255 cap; bincount reduces k and n_hit
+    per row."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(R, dtype=np.int64)
+    # the two little-endian byte pairs of each uint32 (pair ORDER in the
+    # stream is irrelevant to the cost — only per-row counts matter)
+    pairs = np.empty(2 * flat.size, dtype=np.uint64)
+    pairs[0::2] = flat & np.uint32(0xFFFF)
+    pairs[1::2] = flat >> np.uint32(16)
+    row_ids = np.repeat(np.arange(R, dtype=np.uint64), 2 * nr)
+    key = (row_ids << np.uint64(16)) | pairs
+    key.sort()
+    new = np.ones(key.size, dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    grp_start = np.flatnonzero(new)
+    grp_cnt = np.diff(np.concatenate([grp_start, [key.size]]))
+    grp_row = (key[grp_start] >> np.uint64(16)).astype(np.int64)
+    grp_pair = (key[grp_start] & np.uint64(0xFFFF)).astype(np.int64)
+    # rank each row's distinct pairs by (count desc, pair desc) for the cap
+    order = np.lexsort((-grp_pair, -grp_cnt, grp_row))
+    srow, scnt = grp_row[order], grp_cnt[order]
+    row_first = np.concatenate([[0], np.flatnonzero(srow[1:] != srow[:-1]) + 1])
+    seg_len = np.diff(np.concatenate([row_first, [srow.size]]))
+    rank = np.arange(srow.size, dtype=np.int64) - np.repeat(row_first, seg_len)
+    take = (rank < companions._FSST_MAX_SYMBOLS) & (scnt >= 3)
+    k = np.bincount(srow[take], minlength=R)
+    n_hit = np.bincount(srow[take], weights=scnt[take],
+                        minlength=R).astype(np.int64)
+    m = 2 * nr
+    cost = 1 + 2 * k + (m + 7) // 8 + n_hit + 2 * (m - n_hit)
+    return np.where(nr > 0, cost, 0)
 
 
 def _rle_costs(flat: np.ndarray, offsets: np.ndarray,

@@ -113,6 +113,43 @@ def duckdb_size_auto(t: str, n: str) -> str:
     ]))
 
 
+def duckdb_size_fsst_nocap(t: str, n: str) -> str:
+    """Exact fsst cost (companions.py FSST layout: 1B k + 2k B table +
+    ceil(m/8)B escape bitmap + 1B/hit + 2B/escape over m = 2n byte pairs)
+    VALID when no row has more than 255 distinct pairs with count >= 3 —
+    guaranteed by the auto_full queries' 64-pair-alphabet token mapping
+    (FSST_MIX below), where the 255 cap never binds and hit volume is just
+    the total count of pairs appearing >= 3 times."""
+    p = (f"flatten(list_transform({t}, v -> "
+         f"[cast(v as bigint) % 65536, cast(v as bigint) // 65536]))")
+    cnts = (f"list_transform(list_distinct({p}), "
+            f"u -> len(list_filter({p}, x -> x = u)))")
+    elig = f"list_filter({cnts}, c -> c >= 3)"
+    return (f"(case when {n} = 0 then 0 else "
+            f"1 + 2 * len({elig}) + (2 * {n} + 7) // 8 "
+            f"+ coalesce(list_sum({elig}), 0) "
+            f"+ 2 * (2 * {n} - coalesce(list_sum({elig}), 0)) end)::bigint")
+
+
+def duckdb_size_auto_full(t: str, n: str) -> str:
+    """least over all 8 candidates including fsst (VECTOR_COST_CODECS_FULL)."""
+    return (f"least({duckdb_size_auto(t, n)}, "
+            f"{duckdb_size_fsst_nocap(t, n)})")
+
+
+# fsst-favorable deterministic token mapping (both dialects): values are
+# mostly DISTINCT (32x32 high/low combinations kill dict) and >= 2^30 (kill
+# svb/bitpack/for), but each 16-bit byte PAIR comes from a 64-value alphabet
+# with per-row counts >= 3 — the regime where a symbol table on byte pairs
+# beats every positional codec.  Short rows still pick 'for', so the
+# auto_full selection is genuinely mixed and the least() oracle checks the
+# whole argmin, not one winner.
+FSST_MIX_SPARK = ("transform(tokens, t -> (16384 + (t % 32) * 256) * 65536 "
+                  "+ ((t div 97) % 32) * 33 + 1)")
+FSST_MIX_DUCK = ("list_transform(tokens, t -> (16384 + (t % 32) * 256) * 65536 "
+                 "+ ((t // 97) % 32) * 33 + 1)")
+
+
 # quantized-embedding signed token list (zigzag showcase); floor() semantics
 # match between Spark and DuckDB
 EMB_TOKENS_DUCK = "list_transform(embedding, x -> cast(floor(cast(x as double) * 10000) as int))"
@@ -305,6 +342,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run, "doc_id string, max_bytes bigint, within_bound boolean")
 
     q["max_compressed_bound"] = max_compressed_bound
+
+    # -- auto_full: the 8-codec selector including fsst (vectorized
+    # _fsst_costs feeds the argmin; winning rows encode via the per-row
+    # registry path).  Run over the FSST_MIX-mapped token table so fsst
+    # genuinely wins most rows while short rows pick 'for' — the size oracle
+    # (least over all 8 formulas) checks the complete cost model
+    def _fsst_mix_tokens(spark, sf_dir):
+        return tokens_from_documents(spark, sf_dir).select(
+            "doc_id", F.expr(FSST_MIX_SPARK).alias("tokens"),
+            "n_tok", "source")
+
+    def auto_full_size(spark, sf_dir):
+        enc = encode_table(_fsst_mix_tokens(spark, sf_dir), codec="auto",
+                           candidates=batched.VECTOR_COST_CODECS_FULL)
+        return enc.select("doc_id", F.col("out_bytes").alias("size_bytes"))
+
+    def auto_full_roundtrip(spark, sf_dir):
+        enc = encode_table(_fsst_mix_tokens(spark, sf_dir), codec="auto",
+                           candidates=batched.VECTOR_COST_CODECS_FULL)
+        dec = decode_table(enc)
+        return dec.select(
+            "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
+            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+
+    q["auto_full_size"] = auto_full_size
+    q["auto_full_roundtrip"] = auto_full_roundtrip
 
     # zone-map pruning: find every doc whose token range intersects
     # [1000, 20000] using ONLY the encoded table's tok_min/tok_max lineage
@@ -647,6 +710,14 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, {duckdb_size_rle(t, n)} as size_bytes from ({doc})",
         "auto_size":
             f"select doc_id, {duckdb_size_auto(t, n)} as size_bytes from ({doc})",
+        "auto_full_size":
+            f"select doc_id, {duckdb_size_auto_full(t, n)} as size_bytes "
+            f"from (select doc_id, {FSST_MIX_DUCK} as tokens, n_tok, source "
+            f"from ({doc}))",
+        "auto_full_roundtrip":
+            f"select doc_id, n_tok, source, {fp} as fingerprint "
+            f"from (select doc_id, {FSST_MIX_DUCK} as tokens, n_tok, source "
+            f"from ({doc}))",
         "validate_stream":
             f"select doc_id, true as is_valid from ({doc})",
         "validate_stream_0124":

@@ -73,6 +73,52 @@ def test_row_costs_exact():
             assert costs[i, j] == want, f"row {i} codec {name}: {costs[i, j]} != {want}"
 
 
+def test_fsst_cost_vectorized_exact():
+    """_fsst_costs must equal companions.fsst_cost (== len(fsst_encode)) per
+    row, including the 255-symbol cap and the (count desc, pair desc) tie
+    order that decides WHICH pairs enter a full table."""
+    from streamvbyte_spark.codec import companions
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS * 2, gen_mixed)
+    # a row with > 255 distinct pairs all eligible (cap binds) and a
+    # pair-repetition-heavy row (all hits)
+    extra = [np.repeat(np.arange(400, dtype=np.uint32) * 65537 + 7, 3),
+             np.tile(np.arange(8, dtype=np.uint32) * 16909320, 50)]
+    arrays = arrays + extra
+    flat = np.concatenate([flat] + extra).astype(np.uint32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([a.size for a in arrays])]).astype(np.int64)
+    got = batched._fsst_costs(flat, offsets)
+    for i, a in enumerate(arrays):
+        want = companions.fsst_cost(a)
+        assert got[i] == want == len(companions.fsst_encode(a)), i
+
+
+def test_auto_full_includes_fsst():
+    """The 8-candidate selector must pick fsst when it wins, keep the exact
+    single-array argmin, stay <= the svb reference size, and round-trip
+    bit-identically through the per-row fsst encode/decode fallback."""
+    def fsst_mix(n):
+        t = RNG.integers(0, 10 ** 6, n, dtype=np.int64)
+        return ((16384 + (t % 32) * 256) * 65536
+                + ((t // 97) % 32) * 33 + 1).astype(np.uint32)
+
+    lengths = [0, 5, 40, 120, 300, 700, 64, 250]
+    arrays, flat, offsets = make_rows(lengths, fsst_mix)
+    out, ooff, cids = batched.encode_rows(
+        flat, offsets, codec="auto", candidates=batched.VECTOR_COST_CODECS_FULL)
+    picked = {batched.CODEC_NAMES[c] for c in cids}
+    assert "fsst" in picked, picked  # the mapping must actually exercise fsst
+    for i, a in enumerate(arrays):
+        got_size = int(ooff[i + 1] - ooff[i])
+        _, want_size = select.choose(a, candidates=batched.VECTOR_COST_CODECS_FULL)
+        assert got_size == want_size, f"row {i}"
+        assert got_size <= core.compressed_size(a) or a.size == 0
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vflat, voff = batched.decode_rows(out, ooff, n_toks, cids)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
+
+
 def test_all_empty_batch():
     flat = np.zeros(0, np.uint32)
     offsets = np.zeros(4, np.int64)
