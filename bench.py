@@ -86,15 +86,19 @@ def main():
                 "svb_size", "metrics_by_source",
                 # pipeline operators (round-over-round perf coverage beyond
                 # the codec): shingle-hash MinHash LSH dedup + bucketed ANN +
-                # the encoded-bytes-over-the-wire fused chunked decode
-                "dedup_minhash_pairs", "ann_lsh", "chunked_fused_roundtrip"]
+                # hyperplane-banded near-dup (r3: signature tables now
+                # materialized once before the self-join) + the
+                # encoded-bytes-over-the-wire fused chunked decode
+                "dedup_minhash_pairs", "ann_lsh", "embedding_neardup",
+                "chunked_fused_roundtrip"]
     for name in headline:
-        # per-query warm-up pass + best of 2 measured: JIT and this
+        # per-query warm-up pass + best of 3 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x
-        # (CLAUDE.md "Environment quirks")
+        # (CLAUDE.md "Environment quirks"; see BENCH/BASELINE.md's
+        # auto_roundtrip noise analysis)
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
