@@ -191,16 +191,24 @@ def _svb_encode_rows(flat: np.ndarray, offsets: np.ndarray, scheme0124: bool):
 
 
 def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
-                     scheme0124: bool):
-    """Decode every row's independent svb stream; returns (flat, offsets)."""
-    nr = n_toks.astype(np.int64)
+                     scheme0124: bool, n_values: np.ndarray | None = None):
+    """Decode every row's independent svb stream; returns (flat, offsets).
+
+    n_values (optional, <= n_toks) decodes only each row's FIRST n_values[r]
+    tokens — the format-aware prefix decode: svb data bytes are laid out in
+    value order after a control region sized by the FULL count, so a prefix
+    needs only the first ceil(n/4) control bytes plus the prefix's own data
+    bytes; trailing values are never touched (truncate-to-max-seq-len
+    without full decode)."""
+    full = n_toks.astype(np.int64)
+    nr = full if n_values is None else np.minimum(n_values.astype(np.int64), full)
     R = nr.size
     offsets = np.concatenate([[0], np.cumsum(nr)])
     V = int(offsets[-1])
     flat = np.zeros(V, dtype=np.uint32)
     if V == 0:
         return flat, offsets
-    key_len = (nr + 3) // 4
+    key_len = (full + 3) // 4  # control region is sized by the FULL count
     K = int(key_len.sum())
     ctrl_starts = np.concatenate([[0], np.cumsum(key_len)])
     ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
@@ -559,6 +567,60 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         intra = np.arange(int(voff[-1]), dtype=np.int64) - np.repeat(voff[:-1], sub_n)
         flat[np.repeat(offsets[:-1][rows], sub_n) + intra] = vals
     return flat, offsets
+
+
+def decode_prefix_rows(enc: np.ndarray, enc_offsets: np.ndarray,
+                       n_toks: np.ndarray, codec_ids: np.ndarray,
+                       max_len: int):
+    """Decode only the FIRST min(max_len, n_tok) tokens of each row — the
+    truncate-to-max-seq-len operator of a training pipeline, done without
+    decoding the tail.
+
+    svb-family rows (svb / svb0124 / svb_delta) use the true prefix path:
+    control bytes address the prefix's data bytes directly, so work and
+    output are O(prefix), not O(n_tok) (svb_delta's prefix sum is
+    prefix-local: value i depends only on values <= i).  Codecs whose layout
+    is not prefix-addressable without the header (dict tables, RLE runs,
+    bit-packed words) decode fully and truncate — correct, just not cheaper.
+    Returns (flat uint32[], offsets int64[R+1]) with per-row length
+    min(max_len, n_tok)."""
+    enc = np.ascontiguousarray(enc, dtype=np.uint8)
+    enc_offsets = np.asarray(enc_offsets, dtype=np.int64)
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    codec_ids = np.asarray(codec_ids, dtype=np.int32)
+    kk = np.minimum(n_toks, max_len)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(kk)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    unique_cids = np.unique(codec_ids)
+    for cid in unique_cids:
+        rows = np.flatnonzero(codec_ids == cid)
+        name = CODEC_NAMES[cid]
+        if rows.size == R:
+            sub_enc, sub_eoff = enc, enc_offsets
+        else:
+            sub_enc, sub_eoff = _subset_bytes(enc, enc_offsets, rows)
+        if name in ("svb", "svb0124", "svb_delta"):
+            vals, voff = _svb_decode_rows(sub_enc, sub_eoff, n_toks[rows],
+                                          name == "svb0124",
+                                          n_values=kk[rows])
+            if name == "svb_delta":
+                vals = _segmented_cumsum_u32(vals, voff)
+        else:
+            fvals, fvoff = decode_rows(sub_enc, sub_eoff, n_toks[rows],
+                                       np.full(rows.size, cid, np.int32))
+            vals, voff = _subset_prefix(fvals, fvoff, kk[rows])
+        sub_k = kk[rows]
+        intra = np.arange(int(voff[-1]), dtype=np.int64) - np.repeat(voff[:-1], sub_k)
+        flat[np.repeat(offsets[:-1][rows], sub_k) + intra] = vals
+    return flat, offsets
+
+
+def _subset_prefix(flat: np.ndarray, offsets: np.ndarray, kk: np.ndarray):
+    """First kk[r] values of each row (vectorized truncate)."""
+    out_off = np.concatenate([[0], np.cumsum(kk)])
+    intra = np.arange(int(out_off[-1]), dtype=np.int64) - np.repeat(out_off[:-1], kk)
+    return flat[np.repeat(offsets[:-1], kk) + intra], out_off
 
 
 def _segmented_cumsum_u32(d: np.ndarray, offsets: np.ndarray) -> np.ndarray:

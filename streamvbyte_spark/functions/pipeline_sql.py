@@ -650,6 +650,48 @@ def q_top_terms(d: Dialect) -> str:
     )
 
 
+PACK_CAP = 256  # tokens per training sequence (small so sf0.01 yields many packs)
+
+
+def q_sequence_pack(d: Dialect) -> str:
+    """Fixed-length training-sequence packing metrics: each source's token
+    stream (docs concatenated in doc_id order) is cut every PACK_CAP tokens;
+    a doc spans packs floor(start/CAP)..floor(end/CAP).  Output per
+    (source, pack): docs touching it, its exact token fill, and the doc-id
+    range — the pack-manifest a pretraining dataloader consumes.
+
+    Scale shape: packing is PER SOURCE (the shard-local packing real
+    pipelines use) — one shuffle on source for the running-sum window, then
+    a small explode over each doc's pack span; a single GLOBAL pack order
+    would funnel the running sum through one unpartitioned window task."""
+    tok = (f"select doc_id, {d.alen(d.tokens())} as n_tok, source "
+           "from documents")
+    # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
+    cum = ("select doc_id, source, n_tok, "
+           "cast(sum(cast(n_tok as bigint)) over (partition by source "
+           "order by doc_id rows between unbounded preceding and current row)"
+           " as bigint) as cum from t where n_tok > 0")
+    spans = ("select doc_id, source, n_tok, cum - n_tok as st, cum - 1 as en "
+             "from c")
+    p0 = d.idiv("st", str(PACK_CAP))
+    p1 = d.idiv("en", str(PACK_CAP))
+    if d.kind == "spark":
+        packs = (f"select doc_id, source, st, en, pack_id from s "
+                 f"lateral view explode(sequence({p0}, {p1})) _t as pack_id")
+    else:
+        packs = (f"select doc_id, source, st, en, "
+                 f"unnest(range({p0}, {p1} + 1)) as pack_id from s")
+    return (
+        f"with t as ({tok}), c as ({cum}), s as ({spans}), p as ({packs}) "
+        "select source, cast(pack_id as int) as pack_id, "
+        "count(*) as docs, "
+        f"sum(least(en, (pack_id + 1) * {PACK_CAP} - 1) "
+        f"  - greatest(st, pack_id * {PACK_CAP}) + 1) as pack_tokens, "
+        "min(doc_id) as first_doc, max(doc_id) as last_doc "
+        "from p group by source, pack_id"
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -667,6 +709,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "event_sessions": q_event_sessions,
     "nation_revenue": q_nation_revenue,
+    "sequence_pack": q_sequence_pack,
 }
 
 

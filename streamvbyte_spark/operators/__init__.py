@@ -1,1 +1,2 @@
-from .encode import decode_table, encode_table, verify_roundtrip  # noqa: F401
+from .encode import (decode_table, decode_table_prefix,  # noqa: F401
+                     encode_table, verify_roundtrip)

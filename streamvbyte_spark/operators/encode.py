@@ -179,6 +179,44 @@ def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
     return enc_df.mapInArrow(run, DECODED_SCHEMA)
 
 
+def decode_table_prefix(enc_df: DataFrame, max_len: int) -> DataFrame:
+    """Decode only the first min(max_len, n_tok) tokens of each document —
+    the truncate-to-max-seq-len operator of a training pipeline, pushed into
+    the codec: svb-family rows decode O(prefix) work/output via the control
+    bytes (codec.batched.decode_prefix_rows), never materializing the tail.
+    Output n_tok is the TRUNCATED length."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.schema.get_field_index(n) for n in
+                    ("doc_id", "source", "n_tok", "codec", "encoded")}
+            enc_col = batch.column(cols["encoded"])
+            if isinstance(enc_col, pa.ChunkedArray):
+                enc_col = enc_col.combine_chunks()
+            bufs = enc_col.buffers()
+            off_all = np.frombuffer(bufs[1], dtype=np.int32)
+            eoff = off_all[enc_col.offset:enc_col.offset + len(enc_col) + 1].astype(np.int64)
+            ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+            base = eoff[0]
+            n_toks = np.asarray(batch.column(cols["n_tok"]), dtype=np.int64)
+            names = batch.column(cols["codec"]).to_pylist()
+            cids = np.array([batched.CODEC_ID[n] for n in names], dtype=np.int32)
+            flat, offsets = batched.decode_prefix_rows(
+                ebuf[base:eoff[-1]], eoff - base, n_toks, cids, max_len)
+            tok = pa.ListArray.from_arrays(
+                pa.array(_i32_offsets(offsets), pa.int32()),
+                pa.array(flat.view(np.int32), pa.int32()),
+            )
+            nr = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(cols["doc_id"]), tok,
+                 pa.array(nr, pa.int32()), batch.column(cols["source"])],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    return enc_df.mapInArrow(run, DECODED_SCHEMA)
+
+
 def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> int:
     """Count rows whose decoded token array differs from the original
     (must be 0). Broadcast-free sort-merge join on doc_id."""

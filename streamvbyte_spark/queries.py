@@ -369,6 +369,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["auto_full_size"] = auto_full_size
     q["auto_full_roundtrip"] = auto_full_roundtrip
 
+    # format-aware truncation: decode only the first 32 tokens per doc via
+    # the svb control bytes (O(prefix) work/output; non-prefix-addressable
+    # codecs decode-and-truncate) — the max-seq-len gate of a training
+    # pipeline, verified against the oracle's slice of the original tokens
+    def truncate_decode(spark, sf_dir, max_len=32):
+        from .operators import decode_table_prefix
+        dec = decode_table_prefix(_encoded(spark, sf_dir, "auto"), max_len)
+        return dec.select(
+            "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
+            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+
+    q["truncate_decode"] = truncate_decode
+
     # zone-map pruning: find every doc whose token range intersects
     # [1000, 20000] using ONLY the encoded table's tok_min/tok_max lineage
     # columns — no decode touches the payload; the oracle recomputes the
@@ -601,6 +614,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _pipeline_tables = {
         "event_sessions": ("events",),
         "nation_revenue": ("lineitem", "orders", "customer", "nation"),
+        "sequence_pack": ("documents",),
     }
 
     def make_pipeline(name):
@@ -718,6 +732,9 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, n_tok, source, {fp} as fingerprint "
             f"from (select doc_id, {FSST_MIX_DUCK} as tokens, n_tok, source "
             f"from ({doc}))",
+        "truncate_decode":
+            f"select doc_id, least(n_tok, 32) as n_tok, source, "
+            f"{duckdb_fingerprint('tokens[1:32]')} as fingerprint from ({doc})",
         "validate_stream":
             f"select doc_id, true as is_valid from ({doc})",
         "validate_stream_0124":

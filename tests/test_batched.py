@@ -119,6 +119,37 @@ def test_auto_full_includes_fsst():
         np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
 
 
+@pytest.mark.parametrize("codec", ["svb", "svb0124", "svb_delta", "bitpack",
+                                   "for", "dict", "rle", "fsst"])
+def test_prefix_decode_matches_slice(codec):
+    """decode_prefix_rows must equal row[:min(k, n)] for every codec — the
+    svb family via the true O(prefix) control-byte path, the rest via
+    decode-and-truncate — across k spanning 0, mid-row, quad boundaries,
+    and beyond-row."""
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS, gen_mixed)
+    out, ooff, cids = batched.encode_rows(
+        flat, offsets, codec=codec,
+        candidates=batched.VECTOR_COST_CODECS_FULL)
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    for k in (0, 1, 3, 4, 5, 32, 10 ** 6):
+        vals, voff = batched.decode_prefix_rows(out, ooff, n_toks, cids, k)
+        for i, a in enumerate(arrays):
+            np.testing.assert_array_equal(
+                vals[voff[i]:voff[i + 1]], a[:min(k, a.size)], f"{codec} k={k}")
+
+
+def test_prefix_decode_mixed_codec_batch():
+    """auto-encoded batches dispatch prefix decode per codec group."""
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS * 3, gen_mixed)
+    out, ooff, cids = batched.encode_rows(
+        flat, offsets, codec="auto", candidates=batched.VECTOR_COST_CODECS_FULL)
+    assert len({int(c) for c in cids}) > 1  # genuinely mixed
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vals, voff = batched.decode_prefix_rows(out, ooff, n_toks, cids, 17)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vals[voff[i]:voff[i + 1]], a[:17])
+
+
 def test_all_empty_batch():
     flat = np.zeros(0, np.uint32)
     offsets = np.zeros(4, np.int64)
