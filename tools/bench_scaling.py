@@ -113,6 +113,19 @@ embarrassingly parallel (map-only, zero shuffle — see PLANS.md plan shapes),
 so per-executor throughput is flat in executor count until the source/sink
 saturates.
 
+## auto_roundtrip r2 "regression": measured noise, not a kernel cost
+
+BENCH_r02 recorded auto_roundtrip at 0.970 s vs r1's 0.745 s. Re-measured
+in round 3 at the same sf0.1 / local[32] with one warm-up + SIX timed
+passes: **[1.028, 0.634, 0.656, 0.694, 0.605, 0.674] s** — best 0.605,
+median 0.665, worst 1.028. The r2 number sits inside this ~1.7x spread
+(CLAUDE.md documents 2-3x single-measurement swings on this sandbox's
+first-touch-slow memory); the best/median are BELOW r1, so the
+dominant-group encode fast path (codec/batched.py encode_rows) did not
+regress the kernel. bench.py takes best-of-3 per headline query (was
+best-of-2 in r2) to make recorded numbers less likely to catch two bad
+passes.
+
 ## Reference measured on THIS hardware (apples-to-apples context)
 
 The reference's own perf harness (`make perf && ./perf` against

@@ -20,7 +20,7 @@ HEADLINE = [
     "metrics_by_source", "dedup_minhash_pairs", "embedding_neardup",
     "ann_topk", "events_hourly",
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
-    "chunked_fused_roundtrip",
+    "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -67,6 +67,15 @@ NOTES = {
                                   "at scale fuse decode+reassemble into one "
                                   "applyInPandas, or write chunks as-is and "
                                   "reassemble lazily at read time).",
+    "truncate_decode": "Map-only: scan -> encode -> PREFIX decode (one "
+                       "MapInArrow reading only each stream's first "
+                       "ceil(n/4) control bytes + 32 tokens of data bytes); "
+                       "ZERO shuffles — truncation never touches the tail.",
+    "sequence_pack": "ONE shuffle on source for the running-sum window; the "
+                     "pack-span explode and the final groupBy reuse the same "
+                     "source partitioning (packing is shard-local by design "
+                     "— a global pack order would serialize on one "
+                     "unpartitioned window task).",
     "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
                                "Exchange (repartition doc_id) + in-partition "
                                "Sort feed ONE PythonMapInArrow running the "
