@@ -36,6 +36,23 @@ _LEN_0124 = np.array([0, 1, 2, 4], dtype=np.int64)
 _LEN_0124_U8 = np.array([0, 1, 2, 4], dtype=np.uint8)
 # value mask by data-byte length 0..4
 _MASK_BY_LEN = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF, 0xFFFFFFFF], dtype=np.uint32)
+# control byte -> its 4 two-bit codes as 4 little-endian bytes: ONE u32
+# gather from a cache-resident 256-entry LUT replaces two shift+and passes
+# over the K x 4 unpacked array (the NumPy analog of the reference decoder's
+# shuffle-table lookup, src/streamvbyte_shuffle_tables_decode.h)
+_CTRL_CODES_U32 = np.array(
+    [(b & 3) | (((b >> 2) & 3) << 8) | (((b >> 4) & 3) << 16)
+     | (((b >> 6) & 3) << 24) for b in range(256)], dtype="<u4")
+
+
+def _row_base_at(ends: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """cumsum value just BEFORE each row start (0 at position 0) without
+    materializing concatenate([[0], ends]) — that copy is V-sized and shows
+    up in the decode hot path."""
+    out = np.zeros(starts.size, dtype=ends.dtype)
+    nz = starts > 0
+    out[nz] = ends[starts[nz] - 1]
+    return out
 
 # stable codec id <-> name mapping for the dictionary-encoded `codec` column
 CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
@@ -158,12 +175,12 @@ def _svb_encode_rows(flat: np.ndarray, offsets: np.ndarray, scheme0124: bool):
     out = np.empty(total_out + 4, dtype=np.uint8)
     # index math in int32 (half the memory traffic) unless the batch is huge
     idt = np.int32 if total_out + 4 < 2**31 and V * 4 < 2**31 else np.int64
-    ends = np.cumsum(lens, dtype=np.int64)
+    ends = np.cumsum(lens, dtype=idt)  # <= 4V, fits idt by construction
     # data bytes: per-value destination = global byte start minus the row's
     # data base plus the row's (out offset + control length)
     dest = _scratch("enc_dest", V, idt)
     np.subtract(ends, lens, out=dest, casting="unsafe")
-    row_adj = (np.concatenate([[0], ends])[offsets[:-1]]
+    row_adj = (_row_base_at(ends, offsets[:-1])
                - out_offsets[:-1] - key_len).astype(idt)
     dest -= np.repeat(row_adj, nr)
     # ONE unconditional little-endian 4-byte store per value through a
@@ -213,7 +230,7 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     ctrl_starts = np.concatenate([[0], np.cumsum(key_len)])
     ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
     ctrl = enc[np.repeat(enc_offsets[:-1], key_len) + ctrl_intra]
-    codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
+    codes_padded = _CTRL_CODES_U32[ctrl].view(np.uint8)
     idt = np.int32 if enc.size + 4 < 2**31 and V * 4 < 2**31 else np.int64
     # per-value index into codes_padded, built in one scratch buffer:
     # arange(V) - repeat(row_start) + repeat(4*ctrl_start) with the two
@@ -223,8 +240,10 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     np.add(_cached_arange(V, idt), np.repeat(row_shift, nr), out=intra)
     codes = codes_padded[intra]
     lens = _LEN_0124_U8[codes] if scheme0124 else codes + np.uint8(1)
-    ends = np.cumsum(lens, dtype=np.int64)
-    row_data_base = np.concatenate([[0], ends])[offsets[:-1]]
+    # data-byte offsets fit idt by construction (enc.size < 2^31 there), so
+    # the cumsum runs at half the memory traffic of int64
+    ends = np.cumsum(lens, dtype=idt)
+    row_data_base = _row_base_at(ends, offsets[:-1])
     src = _scratch("dec_src", V, idt)
     np.subtract(ends, lens, out=src, casting="unsafe")
     src -= np.repeat((row_data_base - enc_offsets[:-1] - key_len).astype(idt), nr)
@@ -698,7 +717,7 @@ def validate_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         ctrl_starts = np.concatenate([[0], np.cumsum(sub_key)])
         ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], sub_key)
         ctrl = sub_enc[np.repeat(sub_eoff[:-1], sub_key) + ctrl_intra]
-        codes_padded = ((ctrl[:, None] >> _SHIFTS) & np.uint8(3)).reshape(-1)
+        codes_padded = _CTRL_CODES_U32[ctrl].view(np.uint8)
         V = int(sub_n.sum())
         sub_off = np.concatenate([[0], np.cumsum(sub_n)])
         intra = np.arange(V, dtype=np.int64) - np.repeat(sub_off[:-1], sub_n)
