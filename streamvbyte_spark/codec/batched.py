@@ -647,9 +647,10 @@ def _segmented_cumsum_u32(d: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if d.size == 0:
         return d
     g = np.cumsum(d, dtype=np.uint32)
-    base = np.concatenate([[np.uint32(0)], g])[offsets[:-1]].astype(np.uint32)
+    base = _row_base_at(g, np.asarray(offsets[:-1], dtype=np.int64))
     nr = offsets[1:] - offsets[:-1]
-    return g - np.repeat(base, nr)
+    g -= np.repeat(base, nr)
+    return g
 
 
 def _subset_rows(flat, offsets, rows):

@@ -650,6 +650,42 @@ def q_top_terms(d: Dialect) -> str:
     )
 
 
+def q_decontaminate(d: Dialect) -> str:
+    """Training-data DECONTAMINATION: flag every training document sharing
+    any word-3-gram with the held-out evaluation set (here: the
+    lexicographically first source plays the eval set — deterministic in
+    both engines).  Output per non-eval doc: distinct shared shingles and
+    the contamination flag; docs too short to shingle report 0.
+
+    Scale shape: the eval shingle set is tiny next to the corpus, so the
+    overlap join BROADCASTs it (hinted on the Spark side) — the corpus side
+    never shuffles; one groupBy(doc_id) aggregates hit counts.  The shingle
+    pipeline is materialized once via SPARK_STAGES (it feeds both the eval
+    set and the corpus side)."""
+    return (f"with e as ({_shingle_rows(d, 'source')}), "
+            + _decontaminate_final(d, "e"))
+
+
+def _decontaminate_final(d: Dialect, e_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+    hint = "/*+ BROADCAST(ev) */ " if d.kind == "spark" else ""
+    msrc = "(select min(source) from documents)"
+    return (
+        f"ev as (select distinct shingle from {e_src} e "
+        f" where e.source = {msrc}), "
+        f"hits as (select {hint}e.doc_id, "
+        " count(distinct e.shingle) as n_overlap "
+        f" from {e_src} e join ev on e.shingle = ev.shingle "
+        f" where e.source != {msrc} group by e.doc_id), "
+        "base as (select cast(doc_id as string) as doc_id from documents "
+        f" where source != {msrc}) "
+        "select base.doc_id, "
+        "cast(coalesce(n_overlap, 0) as bigint) as n_overlap, "
+        "(coalesce(n_overlap, 0) > 0) as contaminated "
+        "from base left join hits on base.doc_id = hits.doc_id"
+    )
+
+
 PACK_CAP = 256  # tokens per training sequence (small so sf0.01 yields many packs)
 
 
@@ -710,6 +746,7 @@ PIPELINE_QUERIES = {
     "event_sessions": q_event_sessions,
     "nation_revenue": q_nation_revenue,
     "sequence_pack": q_sequence_pack,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -760,5 +797,9 @@ SPARK_STAGES = {
     "ann_lsh": (
         (("svb_stage_lsh_b", _ann_lsh_spark_b),),
         lambda d: "with " + _ann_lsh_final(d, "svb_stage_lsh_b"),
+    ),
+    "decontaminate": (
+        (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),),
+        lambda d: "with " + _decontaminate_final(d, "svb_stage_decon_shingles"),
     ),
 }

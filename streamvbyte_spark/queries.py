@@ -615,6 +615,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": ("events",),
         "nation_revenue": ("lineitem", "orders", "customer", "nation"),
         "sequence_pack": ("documents",),
+        "decontaminate": ("documents",),
     }
 
     def make_pipeline(name):

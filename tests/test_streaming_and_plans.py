@@ -267,10 +267,19 @@ def test_lsh_self_joins_materialize_signatures(spark):
     import streamvbyte_spark.queries as Q
     queries = Q.build_queries()
     for name in ("dedup_minhash_pairs", "dedup_simhash_pairs",
-                 "dedup_ngram_jaccard", "embedding_neardup", "ann_lsh"):
+                 "dedup_ngram_jaccard", "embedding_neardup", "ann_lsh",
+                 "decontaminate"):
         df = queries[name](spark, SF)
         plan = plan_string(df, "simple")
-        assert "FileScan" not in plan and "Scan parquet" not in plan, (name, plan)
+        if name == "decontaminate":
+            # its final re-reads the raw documents table (base rows + tiny
+            # min(source) scalar subqueries — column-pruned, cheap), but the
+            # EXPENSIVE shingle pipeline (posexplode Generate + lead Window)
+            # must not appear: it is staged
+            assert "Window" not in plan and "Generate" not in plan, (name, plan)
+        else:
+            assert "FileScan" not in plan and "Scan parquet" not in plan, \
+                (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         # the per-ROW signature work (shingle windows / bucket UDFs) belongs
