@@ -109,6 +109,28 @@ def test_truncation_never_validates(rows):
 
 
 @settings(max_examples=100, deadline=None)
+@given(row_batches, st.integers(0, 50))
+def test_prefix_decode_equals_slice(rows, k):
+    flat, offsets = _flatten(rows)
+    out, ooff, cids = batched.encode_rows(
+        flat, offsets, codec="auto", candidates=batched.VECTOR_COST_CODECS_FULL)
+    n_toks = offsets[1:] - offsets[:-1]
+    vals, voff = batched.decode_prefix_rows(out, ooff, n_toks, cids, k)
+    for i, r in enumerate(rows):
+        np.testing.assert_array_equal(vals[voff[i]:voff[i + 1]], r[:min(k, r.size)])
+
+
+@settings(max_examples=100, deadline=None)
+@given(row_batches)
+def test_fsst_vector_cost_matches_scalar(rows):
+    from streamvbyte_spark.codec import companions
+    flat, offsets = _flatten(rows)
+    got = batched._fsst_costs(flat, offsets)
+    for i, r in enumerate(rows):
+        assert got[i] == companions.fsst_cost(r) == len(companions.fsst_encode(r))
+
+
+@settings(max_examples=100, deadline=None)
 @given(row_batches)
 def test_auto_encode_roundtrip_and_bound(rows):
     flat, offsets = _flatten(rows)
