@@ -614,8 +614,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _pipeline_tables = {
         "event_sessions": ("events",),
         "nation_revenue": ("lineitem", "orders", "customer", "nation"),
-        "sequence_pack": ("documents",),
-        "decontaminate": ("documents",),
+        "ann_topk": ("embeddings",),
+        "ann_lsh": ("embeddings",),
+        "embedding_neardup": ("embeddings",),
     }
 
     def make_pipeline(name):
@@ -623,7 +624,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from .functions.embedding_udfs import register_embedding_udfs
             register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
                                     pipeline_sql.NEARDUP_PLANES_PER_BAND)
-            for t in _pipeline_tables.get(name, ("documents", "embeddings")):
+            for t in _pipeline_tables.get(name, ("documents",)):
                 spark.read.parquet(f"{sf_dir}/{t}.parquet") \
                     .createOrReplaceTempView(t)
             staged = pipeline_sql.SPARK_STAGES.get(name)

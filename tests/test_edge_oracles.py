@@ -1,0 +1,107 @@
+"""Adversarial driver-contract probe: run real queries() vs oracle_sql()
+over a synthetic sf dir of EDGE documents the driver's sf0.01 corpus never
+contains — empty strings, single words, multibyte UTF-8/emoji, repeated
+whitespace (empty words), exact duplicates, shingle-boundary lengths.
+Catches cross-engine divergences (tokenizer ascii(), split semantics,
+empty-array codec paths) at the same surface the driver grades."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry
+from streamvbyte_spark.session import get_spark
+
+TEXTS = [
+    "",                       # empty text -> one empty word, token [0... wait, ascii('')]
+    "a",                      # single 1-char word
+    "a b",                    # two words: no 3-gram shingle
+    "a b c",                  # exactly one shingle
+    "a  b",                   # repeated space -> empty middle word
+    " lead",                  # leading space
+    "trail ",                 # trailing space
+    "héllo wörld ünïcode tęst",     # latin multibyte
+    "日本語 の テスト 文書 です",      # CJK words
+    "emoji 🙂 in 🚀 text 🌍 here",   # surrogate-pair codepoints
+    "dup dup dup dup dup dup",       # heavy repetition (rle/dict paths)
+    "the and of the and of the and", # stopwords only (quality/lang paths)
+    "x " * 40 + "x",                 # long uniform doc
+    "wordA wordB wordC wordD wordE wordF wordG wordH wordI wordJ",
+]
+# exact duplicates across doc_ids (dedup paths) + a near-dup (shared shingles)
+DOCS = [(f"d{i:02d}", t, "edge") for i, t in enumerate(TEXTS)]
+DOCS += [("d90", TEXTS[13], "edge"),             # exact dup of d13
+         ("d91", TEXTS[13] + " wordK", "edge"),  # near-dup (9 shared shingles)
+         ("d92", "solo doc in another source he said", "other")]
+
+QUERIES = [
+    "svb_roundtrip", "svb0124_roundtrip", "auto_roundtrip", "fsst_roundtrip",
+    "auto_full_roundtrip", "svb_size", "svb0124_size", "auto_size",
+    "auto_full_size", "bitpack_size", "for_size", "dict_size", "rle_size",
+    "validate_stream", "validate_stream_truncated", "max_compressed_bound",
+    "zone_map_prune", "truncate_decode", "token_count", "quality_score",
+    "lang_id", "fingerprint", "dedup_exact", "dedup_simhash",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "top_terms", "token_quantiles", "sequence_pack", "decontaminate",
+    "metrics_by_source", "metrics_by_codec", "multimodal_features",
+    "image_decode_stats", "audio_decode_stats", "curate_metrics",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_env():
+    tmp = tempfile.mkdtemp(prefix="svb_edge_")
+    pq.write_table(pa.table({
+        "doc_id": [d[0] for d in DOCS],
+        "text": [d[1] for d in DOCS],
+        "source": [d[2] for d in DOCS],
+        "lang": ["xx"] * len(DOCS),
+    }), f"{tmp}/documents.parquet")
+    spark = get_spark(app="edge-oracles", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{tmp}/documents.parquet'")
+    yield spark, con, tmp
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            assert not isinstance(v, (list, tuple)), \
+                f"array-typed result column {cols[i]!r} (driver cannot hash)"
+            vals.append(round(v, 6) if isinstance(v, float) else v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def test_edge_documents_match_oracles(edge_env):
+    spark, con, tmp = edge_env
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name in QUERIES:
+        try:
+            sdf = qs[name](spark, tmp)
+            got = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+            rel = con.sql(os_[name])
+            want = _normalize(rel.fetchall(), rel.columns)
+            if got != want:
+                diff = [(g, w) for g, w in zip(got, want) if g != w][:2]
+                failures.append((name, len(got), len(want), diff))
+        except Exception as e:  # noqa: BLE001 - collect every query's verdict
+            failures.append((name, "error", type(e).__name__, str(e)[:200]))
+    assert not failures, failures
