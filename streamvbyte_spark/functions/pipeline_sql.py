@@ -419,8 +419,12 @@ def _neardup_final(d: Dialect, e_src: str, bands_src: str) -> str:
         f"pairs as (select id_a, id_b, {dot} as dot, {na} as na, {nb} as nb "
         f" from cand join {e_src} ea on cand.id_a = ea.vec_id "
         f" join {e_src} eb on cand.id_b = eb.vec_id), "
+        # zero-norm guard: zero vectors (padding / failed encodes) co-bucket
+        # trivially and would divide by zero under ANSI; define their cosine
+        # as 0 (identical CASE text evaluates in both engines)
         "ranked as (select id_a, id_b, dot, "
-        " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) as cos_sim, "
+        " case when na = 0 or nb = 0 then cast(0.0 as double) else "
+        " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) end as cos_sim, "
         " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "
         "select cast(id_a as string) as id_a, cast(id_b as string) as id_b, "
         "cos_sim, cast(rnk as int) as rank from ranked where rnk <= 50"

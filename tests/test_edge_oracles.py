@@ -54,6 +54,24 @@ QUERIES = [
 ]
 
 
+EMB_QUERIES = ["ann_topk", "ann_lsh", "embedding_neardup",
+               "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings"]
+
+
+def _edge_embeddings():
+    import numpy as np
+    rng = np.random.default_rng(5)
+    vecs = [np.zeros(64, np.float32),            # zero vector (padding row)
+            np.zeros(64, np.float32),            # second zero: the pair
+            # co-buckets trivially and must NOT divide by zero (cos := 0)
+            np.ones(64, np.float32) * 0.5,
+            np.ones(64, np.float32) * 0.5,       # identical pair (cos = 1)
+            rng.normal(0, .3, 64).astype(np.float32),
+            -np.ones(64, np.float32)]            # all-negative components
+    vecs += [rng.normal(0, .3, 64).astype(np.float32) for _ in range(20)]
+    return vecs
+
+
 @pytest.fixture(scope="module")
 def edge_env():
     tmp = tempfile.mkdtemp(prefix="svb_edge_")
@@ -63,12 +81,19 @@ def edge_env():
         "source": [d[2] for d in DOCS],
         "lang": ["xx"] * len(DOCS),
     }), f"{tmp}/documents.parquet")
+    vecs = _edge_embeddings()
+    pq.write_table(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v.tolist() for v in vecs],
+    }), f"{tmp}/embeddings.parquet")
     spark = get_spark(app="edge-oracles", master="local[4]",
                       shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     con.execute(
         f"create view documents as select * from '{tmp}/documents.parquet'")
+    con.execute(
+        f"create view embeddings as select * from '{tmp}/embeddings.parquet'")
     yield spark, con, tmp
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -90,10 +115,21 @@ def _normalize(rows, cols):
 
 
 def test_edge_documents_match_oracles(edge_env):
+    _run(edge_env, QUERIES)
+
+
+def test_edge_embeddings_match_oracles(edge_env):
+    """Zero-norm, identical, and all-negative vectors through the similarity
+    queries: the zero pair co-buckets and must emit cos_sim 0, not a
+    DIVIDE_BY_ZERO (regression: pipeline_sql._neardup_final's guard)."""
+    _run(edge_env, EMB_QUERIES)
+
+
+def _run(edge_env, names):
     spark, con, tmp = edge_env
     qs, os_ = entry.queries(), entry.oracle_sql()
     failures = []
-    for name in QUERIES:
+    for name in names:
         try:
             sdf = qs[name](spark, tmp)
             got = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
