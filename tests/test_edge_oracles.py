@@ -33,12 +33,32 @@ TEXTS = [
     "the and of the and of the and", # stopwords only (quality/lang paths)
     "x " * 40 + "x",                 # long uniform doc
     "wordA wordB wordC wordD wordE wordF wordG wordH wordI wordJ",
+    "w " * 600 + "w",                # 601 tokens: spans 3 sequence_pack packs
 ]
 # exact duplicates across doc_ids (dedup paths) + a near-dup (shared shingles)
 DOCS = [(f"d{i:02d}", t, "edge") for i, t in enumerate(TEXTS)]
 DOCS += [("d90", TEXTS[13], "edge"),             # exact dup of d13
          ("d91", TEXTS[13] + " wordK", "edge"),  # near-dup (9 shared shingles)
          ("d92", "solo doc in another source he said", "other")]
+
+# events: half-cent/negative rounding, an EXACT 30-min gap (not a session
+# break; the break is strictly >), a gap one microsecond past it (break),
+# duplicate timestamps for one user, a DST-transition-night wall clock
+import datetime as _dt
+
+_EV_BASE = _dt.datetime(2024, 3, 10, 1, 30, 0)
+EVENTS = [
+    ("e0", "u1", 0, "click", 0.005),
+    ("e1", "u1", 1_800_000_000, "click", -0.005),
+    ("e2", "u1", 3_600_000_001, "error", 0.015),
+    ("e3", "u2", 0, "click", 2.675),
+    ("e4", "u2", 0, "error", -2.675),
+    ("e5", "u2", 0, "click", 1e9 + 0.125),
+    ("e6", "u3", 59_999_999, "view", 0.0),
+    ("e7", "u3", 119_999_999, "click", 0.345),
+]
+EVENT_QUERIES = ["event_sessions", "events_hourly", "top_users_by_value",
+                 "users_intersect"]
 
 QUERIES = [
     "svb_roundtrip", "svb0124_roundtrip", "auto_roundtrip", "fsst_roundtrip",
@@ -86,6 +106,14 @@ def edge_env():
         "vec_id": list(range(len(vecs))),
         "embedding": [v.tolist() for v in vecs],
     }), f"{tmp}/embeddings.parquet")
+    pq.write_table(pa.table({
+        "event_id": [e[0] for e in EVENTS],
+        "user_id": [e[1] for e in EVENTS],
+        "ts": pa.array([_EV_BASE + _dt.timedelta(microseconds=e[2])
+                        for e in EVENTS], pa.timestamp("us")),
+        "event_type": [e[3] for e in EVENTS],
+        "value": [e[4] for e in EVENTS],
+    }), f"{tmp}/events.parquet")
     spark = get_spark(app="edge-oracles", master="local[4]",
                       shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +122,8 @@ def edge_env():
         f"create view documents as select * from '{tmp}/documents.parquet'")
     con.execute(
         f"create view embeddings as select * from '{tmp}/embeddings.parquet'")
+    con.execute(
+        f"create view events as select * from '{tmp}/events.parquet'")
     yield spark, con, tmp
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -123,6 +153,13 @@ def test_edge_embeddings_match_oracles(edge_env):
     queries: the zero pair co-buckets and must emit cos_sim 0, not a
     DIVIDE_BY_ZERO (regression: pipeline_sql._neardup_final's guard)."""
     _run(edge_env, EMB_QUERIES)
+
+
+def test_edge_events_match_oracles(edge_env):
+    """Session-gap boundary (exactly 30 min is NOT a break; +1us is),
+    duplicate timestamps, half-cent/negative value rounding, DST-night wall
+    clock — all value-exact in both engines."""
+    _run(edge_env, EVENT_QUERIES)
 
 
 def _run(edge_env, names):
