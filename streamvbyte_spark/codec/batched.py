@@ -891,13 +891,62 @@ def _place_segments_u32(out, seg, seg_offsets, dest_starts):
 
 def _pack_bits_rows(codes: np.ndarray, offsets: np.ndarray, widths: np.ndarray):
     """Per-row LSB-first bit packing with per-row widths; each row's section
-    starts byte-aligned. Returns (packed bytes, byte offsets per row)."""
+    starts byte-aligned. Returns (packed bytes, byte offsets per row).
+
+    Byte-multiple widths (8/16/24/32 — what bitpack/FOR pick for realistic
+    value ranges) take a BYTE-lane scatter: <= 4 fancy-index stores over the
+    value count, like the svb data scatter.  The per-bit fallback builds
+    int64 index arrays PER BIT (~25 B of memory traffic per packed bit) —
+    fine for the narrow widths that reach it (w < 8 -> < 8 index elements
+    per value) but catastrophic for wide rows, where a 32-bit-wide batch
+    cost ~40x the svb encode of the same values (measured)."""
     nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
     cb = (nr * widths + 7) // 8
     byte_off = np.concatenate([[0], np.cumsum(cb)])
-    total_bits = int(byte_off[-1]) * 8
-    if total_bits == 0:
+    total = int(byte_off[-1])
+    if total == 0:
         return np.zeros(0, np.uint8), byte_off
+    aligned = (widths > 0) & (widths % 8 == 0) & (nr > 0)
+    live = nr > 0
+    out = np.zeros(total, dtype=np.uint8)
+    arows = np.flatnonzero(aligned)
+    if arows.size:
+        _pack_bytes_aligned(codes, offsets, widths, byte_off, nr, out, arows)
+    brows = np.flatnonzero(~aligned & live)
+    if brows.size:
+        sub_codes, sub_off = _subset_rows(codes, offsets, brows)
+        sub_byte_off = np.concatenate([[0], np.cumsum(cb[brows])])
+        packed = _pack_bits_dense(sub_codes, sub_off, widths[brows],
+                                  sub_byte_off, nr[brows])
+        _place_segments(out, packed, sub_byte_off, byte_off[:-1][brows])
+    return out, byte_off
+
+
+def _pack_bytes_aligned(codes, offsets, widths, byte_off, nr, out, rows):
+    """Rows whose width is a byte multiple: value j of a row occupies bytes
+    [j*nb, (j+1)*nb) of its section — one little-endian byte-lane scatter
+    per possible byte (<= 4)."""
+    sub_nr = nr[rows]
+    sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
+    m = int(sub_off[-1])
+    if m == 0:
+        return
+    intra = np.arange(m, dtype=np.int64) - np.repeat(sub_off[:-1], sub_nr)
+    vidx = np.repeat(offsets[:-1][rows], sub_nr) + intra
+    vb = codes[vidx].astype("<u4").view(np.uint8).reshape(-1, 4)
+    bpv = np.repeat(widths[rows] >> 3, sub_nr)
+    dst = np.repeat(byte_off[:-1][rows], sub_nr) + intra * bpv
+    for k in range(4):
+        sel = bpv > k
+        if not sel.any():
+            break
+        out[dst[sel] + k] = vb[sel, k]
+
+
+def _pack_bits_dense(codes, offsets, widths, byte_off, nr):
+    """Per-bit dense packing (narrow / unaligned widths only)."""
+    total_bits = int(byte_off[-1]) * 8
     dense = np.zeros(total_bits, dtype=np.uint8)
     w_per_val = np.repeat(widths, nr)
     intra = np.arange(int(nr.sum()), dtype=np.int64) - np.repeat(offsets[:-1], nr)
@@ -909,15 +958,57 @@ def _pack_bits_rows(codes: np.ndarray, offsets: np.ndarray, widths: np.ndarray):
         pos = np.repeat(val_bit_start, w_per_val) + ramp
         bits = (np.repeat(codes.astype(np.uint64), w_per_val) >> ramp.astype(np.uint64)) & np.uint64(1)
         dense[pos] = bits.astype(np.uint8)
-    return np.packbits(dense, bitorder="little"), byte_off
+    return np.packbits(dense, bitorder="little")
 
 
 def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
                       widths: np.ndarray) -> np.ndarray:
-    """Inverse of _pack_bits_rows; returns per-value codes (concatenated)."""
+    """Inverse of _pack_bits_rows; returns per-value codes (concatenated).
+    Mirrors the aligned byte-lane / dense bit split."""
+    nr = np.asarray(nr, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
     V = int(nr.sum())
     if V == 0:
         return np.zeros(0, np.uint32)
+    offsets = np.concatenate([[0], np.cumsum(nr)])
+    out = np.zeros(V, dtype=np.uint32)
+    aligned = (widths > 0) & (widths % 8 == 0) & (nr > 0)
+    arows = np.flatnonzero(aligned)
+    if arows.size:
+        sub_nr = nr[arows]
+        sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
+        m = int(sub_off[-1])
+        intra = np.arange(m, dtype=np.int64) - np.repeat(sub_off[:-1], sub_nr)
+        src = np.repeat(byte_off[:-1][arows], sub_nr) + intra * np.repeat(
+            widths[arows] >> 3, sub_nr)
+        bpv = np.repeat(widths[arows] >> 3, sub_nr)
+        vals = np.zeros(m, dtype=np.uint32)
+        for k in range(4):
+            sel = bpv > k
+            if not sel.any():
+                break
+            vals[sel] |= packed[src[sel] + k].astype(np.uint32) << np.uint32(8 * k)
+        out[np.repeat(offsets[:-1][arows], sub_nr) + intra] = vals
+    brows = np.flatnonzero(~aligned & (nr > 0) & (widths > 0))
+    if brows.size:
+        sub_nr = nr[brows]
+        sub_cb = (sub_nr * widths[brows] + 7) // 8
+        sub_byte_off = np.concatenate([[0], np.cumsum(sub_cb)])
+        sub_packed = np.empty(int(sub_byte_off[-1]), dtype=np.uint8)
+        _gather_segments(sub_packed, packed, byte_off[:-1][brows], sub_cb,
+                         sub_byte_off)
+        vals = _unpack_bits_dense(sub_packed, sub_byte_off, sub_nr, widths[brows])
+        sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
+        intra = np.arange(int(sub_off[-1]), dtype=np.int64) - np.repeat(
+            sub_off[:-1], sub_nr)
+        out[np.repeat(offsets[:-1][brows], sub_nr) + intra] = vals
+    # width-0 rows decode to zeros (already the fill value)
+    return out
+
+
+def _unpack_bits_dense(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
+                       widths: np.ndarray) -> np.ndarray:
+    V = int(nr.sum())
     dense = np.unpackbits(packed, bitorder="little")
     offsets = np.concatenate([[0], np.cumsum(nr)])
     w_per_val = np.repeat(widths, nr)
