@@ -467,6 +467,81 @@ def _ann_lsh_final(d: Dialect, b_src: str) -> str:
     )
 
 
+IVF_NLIST = 16   # coarse cells (codebook = the first NLIST vectors)
+IVF_NPROBE = 2   # cells probed per query
+
+
+def q_ann_ivf(d: Dialect) -> str:
+    """IVF-style ANN — the inverted-file counterpart to q_ann_lsh: vectors
+    are assigned to the nearest of IVF_NLIST coarse cells; a query probes
+    its IVF_NPROBE nearest cells and ranks only those cells' vectors.
+
+    The coarse codebook here is the first NLIST vectors (deterministic; in
+    production it comes from an offline k-means and is broadcast exactly the
+    same way).  Distance ranking is exact integer math on quantized
+    embeddings: argmin over ||x-c||^2 = argmin over (||c||^2 - 2<x,c>)
+    since ||x||^2 is constant per x — so assignment needs only the dot/norm
+    primitives (Arrow-vectorized UDFs on Spark, list lambdas in DuckDB).
+
+    Scale shape: the codebook join is NLIST-wide (broadcast-sized dimension
+    table); assignment is one map-side join + a per-vector top-1 window; the
+    probe join hits only NPROBE cells' inverted lists (~NPROBE/NLIST of the
+    corpus) instead of a full scan — the IVF trade.  The e/cells tables are
+    materialized once via SPARK_STAGES."""
+    if d.kind == "spark":
+        e = _ivf_spark_e(d)
+        cells = _ivf_cells(d, "e")
+    else:
+        e = (f"select vec_id, v2 as v, {_dot(d, 'v2', 'v2')} as nq "
+             f"from (select vec_id, {_qemb(d)} as v2 from embeddings)")
+        cells = _ivf_cells(d, "e")
+    return (f"with e as ({e}), cells as ({cells}), "
+            + _ivf_final(d, "e", "cells"))
+
+
+def _ivf_spark_e(d: Dialect) -> str:
+    return ("select vec_id, embedding, emb_norm_q(embedding) as nq "
+            "from embeddings")
+
+
+def _ivf_cells(d: Dialect, e_src: str) -> str:
+    """(vec_id, cell, rn) for each vector's IVF_NPROBE nearest cells —
+    rn = 1 is the inverted-file assignment; rn <= NPROBE serves the query
+    probes.  Metric m = ||c||^2 - 2<x,c> (exact BIGINT)."""
+    if d.kind == "spark":
+        dot = "emb_dot_q(e.embedding, c.embedding)"
+    else:
+        dot = _dot(d, "e.v", "c.v")
+    return (
+        f"select vec_id, cell, rn from ("
+        f"select e.vec_id, c.vec_id as cell, "
+        f"row_number() over (partition by e.vec_id "
+        f" order by c.nq - 2 * {dot}, c.vec_id) as rn "
+        f"from {e_src} e join {e_src} c on c.vec_id < {IVF_NLIST}"
+        f") where rn <= {IVF_NPROBE}")
+
+
+def _ivf_final(d: Dialect, e_src: str, cells_src: str) -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+    dot = ("emb_dot_q(qe.embedding, ce.embedding)" if d.kind == "spark"
+           else _dot(d, "qe.v", "ce.v"))
+    return (
+        f"assign as (select vec_id, cell from {cells_src} where rn = 1), "
+        f"probes as (select vec_id as qid, cell from {cells_src} "
+        f" where vec_id < 10), "
+        "cand as (select distinct p.qid, a.vec_id as cid "
+        " from probes p join assign a on a.cell = p.cell "
+        " and a.vec_id != p.qid), "
+        f"scored as (select cand.qid, cand.cid, {dot} as dot "
+        f" from cand join {e_src} qe on cand.qid = qe.vec_id "
+        f" join {e_src} ce on cand.cid = ce.vec_id), "
+        "ranked as (select qid, cid, dot, row_number() over "
+        " (partition by qid order by dot desc, cid) as rnk from scored) "
+        "select cast(qid as string) as query_id, cast(cid as string) as neighbor_id, "
+        "dot as dot_sim, cast(rnk as int) as rank from ranked where rnk <= 5"
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_token_count(d: Dialect) -> str:
@@ -739,6 +814,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -805,5 +881,11 @@ SPARK_STAGES = {
     "decontaminate": (
         (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),),
         lambda d: "with " + _decontaminate_final(d, "svb_stage_decon_shingles"),
+    ),
+    "ann_ivf": (
+        (("svb_stage_ivf_e", _ivf_spark_e),
+         ("svb_stage_ivf_cells", lambda d: _ivf_cells(d, "svb_stage_ivf_e"))),
+        lambda d: "with " + _ivf_final(d, "svb_stage_ivf_e",
+                                       "svb_stage_ivf_cells"),
     ),
 }

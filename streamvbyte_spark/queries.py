@@ -616,6 +616,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": ("lineitem", "orders", "customer", "nation"),
         "ann_topk": ("embeddings",),
         "ann_lsh": ("embeddings",),
+        "ann_ivf": ("embeddings",),
         "embedding_neardup": ("embeddings",),
     }
 

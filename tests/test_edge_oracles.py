@@ -74,7 +74,7 @@ QUERIES = [
 ]
 
 
-EMB_QUERIES = ["ann_topk", "ann_lsh", "embedding_neardup",
+EMB_QUERIES = ["ann_topk", "ann_lsh", "ann_ivf", "embedding_neardup",
                "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings"]
 
 

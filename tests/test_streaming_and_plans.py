@@ -268,7 +268,7 @@ def test_lsh_self_joins_materialize_signatures(spark):
     queries = Q.build_queries()
     for name in ("dedup_minhash_pairs", "dedup_simhash_pairs",
                  "dedup_ngram_jaccard", "embedding_neardup", "ann_lsh",
-                 "decontaminate"):
+                 "ann_ivf", "decontaminate"):
         df = queries[name](spark, SF)
         plan = plan_string(df, "simple")
         if name == "decontaminate":
@@ -286,7 +286,7 @@ def test_lsh_self_joins_materialize_signatures(spark):
         # to the materialized stage; the only Python allowed in the join plan
         # is the per-PAIR exact dot of the embedding queries
         n_py = plan.count("ArrowEvalPython") + plan.count("PythonMapInArrow")
-        allowed = 1 if name in ("embedding_neardup", "ann_lsh") else 0
+        allowed = 1 if name in ("embedding_neardup", "ann_lsh", "ann_ivf") else 0
         assert n_py <= allowed, (name, n_py, plan)
 
 
