@@ -21,6 +21,7 @@ HEADLINE = [
     "ann_topk", "events_hourly",
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
+    "ann_ivf",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -67,6 +68,11 @@ NOTES = {
                                   "at scale fuse decode+reassemble into one "
                                   "applyInPandas, or write chunks as-is and "
                                   "reassemble lazily at read time).",
+    "ann_ivf": "Inverted-file ANN: the e/cells tables are MATERIALIZED "
+               "(SPARK_STAGES) so the codebook assignment runs once; the "
+               "final plan joins probes to inverted lists on the cell key "
+               "and ranks only probed cells — no full-corpus scoring, no "
+               "cartesian, one Arrow stage for the exact per-pair dot.",
     "truncate_decode": "Map-only: scan -> encode -> PREFIX decode (one "
                        "MapInArrow reading only each stream's first "
                        "ceil(n/4) control bytes + 32 tokens of data bytes); "
