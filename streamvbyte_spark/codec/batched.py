@@ -58,6 +58,8 @@ def _row_base_at(ends: np.ndarray, starts: np.ndarray) -> np.ndarray:
 CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
 CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
 VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
+# codecs with a whole-batch encode kernel (everything but fsst today)
+_WHOLE_BATCH_CODECS = frozenset(VECTOR_COST_CODECS)
 # full candidate set including fsst: its per-row cost is vectorized too
 # (_fsst_costs), but the fsst ENCODE of winning rows runs per-row through
 # the REGISTRY fallback (a per-row symbol table has no whole-batch kernel),
@@ -225,11 +227,16 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     flat = np.zeros(V, dtype=np.uint32)
     if V == 0:
         return flat, offsets
-    key_len = (full + 3) // 4  # control region is sized by the FULL count
-    K = int(key_len.sum())
-    ctrl_starts = np.concatenate([[0], np.cumsum(key_len)])
-    ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], key_len)
-    ctrl = enc[np.repeat(enc_offsets[:-1], key_len) + ctrl_intra]
+    key_len = (full + 3) // 4  # control REGION size (addresses the data base)
+    # control bytes GATHERED: only the prefix's own ceil(nr/4) per row — in
+    # prefix mode the tail's control bytes are never read, keeping work
+    # O(prefix); also bounds 4*sum(pkey) <= 4V, so the int32 index guard
+    # below stays valid even when the full control region would not fit
+    pkey = key_len if n_values is None else (nr + 3) // 4
+    K = int(pkey.sum())
+    ctrl_starts = np.concatenate([[0], np.cumsum(pkey)])
+    ctrl_intra = np.arange(K, dtype=np.int64) - np.repeat(ctrl_starts[:-1], pkey)
+    ctrl = enc[np.repeat(enc_offsets[:-1], pkey) + ctrl_intra]
     codes_padded = _CTRL_CODES_U32[ctrl].view(np.uint8)
     idt = np.int32 if enc.size + 4 < 2**31 and V * 4 < 2**31 else np.int64
     # per-value index into codes_padded, built in one scratch buffer:
@@ -488,13 +495,16 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if rows.size == R:
             enc, eoff = _encode_group(name, flat, offsets, R)
             starts, sz = eoff[:-1], eoff[1:] - eoff[:-1]
-        elif 2 * rows.size > R:
+        elif 2 * rows.size > R and name in _WHOLE_BATCH_CODECS:
             # DOMINANT group: encode the FULL batch with this codec and
             # reference only the dominant rows' segments — materializing an
             # almost-complete token subset (_subset_rows' gather index) costs
             # more than the whole-batch encode itself (measured ~1.1s subset
             # vs ~0.3s full svb encode on an 8M-token batch); the minority
-            # rows' wasted encode work is bounded by < 50% of the batch
+            # rows' wasted encode work is bounded by < 50% of the batch.
+            # Only for VECTORIZED kernels: fsst's "whole-batch" encode is a
+            # per-row registry loop, where encoding discarded minority rows
+            # costs real per-row sorts for nothing
             enc, eoff = _encode_group(name, flat, offsets, R)
             starts = eoff[:-1][rows]
             sz = (eoff[1:] - eoff[:-1])[rows]
@@ -1021,9 +1031,12 @@ def _unpack_bits_dense(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
         ramp = np.arange(total_val_bits, dtype=np.int64) - np.repeat(bit_ends - w_per_val, w_per_val)
         pos = np.repeat(val_bit_start, w_per_val) + ramp
         contrib = dense[pos].astype(np.uint64) << ramp.astype(np.uint64)
-        c = np.concatenate([[0], np.cumsum(contrib)])
+        # keep the cumsum uint64: concatenate([[0], uint64]) promotes the
+        # Python-int 0 to float64, which silently loses exactness past 2^53
+        # (the cumsum is the RUNNING SUM of all decoded values in the batch)
+        c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(contrib)])
         vb_off = np.concatenate([[0], bit_ends])
-        codes = (c[vb_off[1:]] - c[vb_off[:-1]]).astype(np.uint64)
+        codes = c[vb_off[1:]] - c[vb_off[:-1]]
     return codes.astype(np.uint32)
 
 

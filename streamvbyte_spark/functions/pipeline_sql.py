@@ -367,42 +367,39 @@ def q_embedding_neardup(d: Dialect) -> str:
     UDFs (functions/embedding_udfs.py) producing BIGINT values identical to
     the DuckDB list-lambda oracle; per-pair norms are precomputed once per
     vector, not per pair."""
-    if d.kind == "spark":
-        e = ("select vec_id, embedding, emb_norm_q(embedding) as nq "
-             "from embeddings")
-        bands = ("select vec_id, band_id, bucket from "
-                 "(select vec_id, emb_band_buckets(embedding) as bks "
-                 "from embeddings) "
-                 "lateral view posexplode(bks) _t as band_id, bucket")
-        dot, na, nb = "emb_dot_q(ea.embedding, eb.embedding)", "ea.nq", "eb.nq"
-    else:
-        e = (f"select vec_id, v2 as v, {_dot(d, 'v2', 'v2')} as nq "
-             f"from (select vec_id, {_qemb(d)} as v2 from embeddings)")
-        band_sqls = []
-        for bnd in range(NEARDUP_BANDS):
-            planes = [(13 + 6 * (NEARDUP_PLANES_PER_BAND * bnd + k),
-                       5 + 11 * (NEARDUP_PLANES_PER_BAND * bnd + k))
-                      for k in range(NEARDUP_PLANES_PER_BAND)]
-            band_sqls.append(
-                f"select vec_id, {bnd} as band_id, "
-                f"({_hyperplane_bucket(d, planes)}) as bucket "
-                f"from (select vec_id, {_qemb(d)} as v from embeddings)")
-        bands = " union all ".join(band_sqls)
-        dot, na, nb = _dot(d, "ea.v", "eb.v"), "ea.nq", "eb.nq"
+    # the CTE form and the SPARK_STAGES form share one source of truth for
+    # the e/bands subqueries (a divergence between them would make the
+    # explain/report path and the staged execution path compute differently)
+    e = _neardup_e(d)
+    bands = _neardup_bands(d)
     return (f"with e as ({e}), bands as ({bands}), "
             + _neardup_final(d, "e", "bands"))
 
 
-def _neardup_spark_e(d: Dialect) -> str:
-    return ("select vec_id, embedding, emb_norm_q(embedding) as nq "
-            "from embeddings")
+def _neardup_e(d: Dialect) -> str:
+    if d.kind == "spark":
+        return ("select vec_id, embedding, emb_norm_q(embedding) as nq "
+                "from embeddings")
+    return (f"select vec_id, v2 as v, {_dot(d, 'v2', 'v2')} as nq "
+            f"from (select vec_id, {_qemb(d)} as v2 from embeddings)")
 
 
-def _neardup_spark_bands(d: Dialect) -> str:
-    return ("select vec_id, band_id, bucket from "
-            "(select vec_id, emb_band_buckets(embedding) as bks "
-            "from embeddings) "
-            "lateral view posexplode(bks) _t as band_id, bucket")
+def _neardup_bands(d: Dialect) -> str:
+    if d.kind == "spark":
+        return ("select vec_id, band_id, bucket from "
+                "(select vec_id, emb_band_buckets(embedding) as bks "
+                "from embeddings) "
+                "lateral view posexplode(bks) _t as band_id, bucket")
+    band_sqls = []
+    for bnd in range(NEARDUP_BANDS):
+        planes = [(13 + 6 * (NEARDUP_PLANES_PER_BAND * bnd + k),
+                   5 + 11 * (NEARDUP_PLANES_PER_BAND * bnd + k))
+                  for k in range(NEARDUP_PLANES_PER_BAND)]
+        band_sqls.append(
+            f"select vec_id, {bnd} as band_id, "
+            f"({_hyperplane_bucket(d, planes)}) as bucket "
+            f"from (select vec_id, {_qemb(d)} as v from embeddings)")
+    return " union all ".join(band_sqls)
 
 
 def _neardup_final(d: Dialect, e_src: str, bands_src: str) -> str:
@@ -680,7 +677,8 @@ def q_nation_revenue(d: Dialect) -> str:
         "from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
         "join customer c on o.o_custkey = c.c_custkey "
         "join nation n on c.c_nationkey = n.n_nationkey), "
-        "agg as (select nation, sum(cents) as revenue_cents, "
+        # cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark stays bigint
+        "agg as (select nation, cast(sum(cents) as bigint) as revenue_cents, "
         " count(*) as items from j group by nation), "
         "r as (select nation, revenue_cents, items, row_number() over "
         " (order by revenue_cents desc, nation) as rnk from agg) "
@@ -800,8 +798,10 @@ def q_sequence_pack(d: Dialect) -> str:
         f"with t as ({tok}), c as ({cum}), s as ({spans}), p as ({packs}) "
         "select source, cast(pack_id as int) as pack_id, "
         "count(*) as docs, "
-        f"sum(least(en, (pack_id + 1) * {PACK_CAP} - 1) "
-        f"  - greatest(st, pack_id * {PACK_CAP}) + 1) as pack_tokens, "
+        # cast: DuckDB sum(BIGINT) is HUGEINT (pandas-canonicalizes to
+        # float64 and hash-mismatches Spark's int64 at the driver)
+        f"cast(sum(least(en, (pack_id + 1) * {PACK_CAP} - 1) "
+        f"  - greatest(st, pack_id * {PACK_CAP}) + 1) as bigint) as pack_tokens, "
         "min(doc_id) as first_doc, max(doc_id) as last_doc "
         "from p group by source, pack_id"
     )
@@ -870,8 +870,8 @@ SPARK_STAGES = {
         lambda d: "with " + _ngram_jaccard_final("svb_stage_ng_shingles"),
     ),
     "embedding_neardup": (
-        (("svb_stage_nd_e", _neardup_spark_e),
-         ("svb_stage_nd_bands", _neardup_spark_bands)),
+        (("svb_stage_nd_e", _neardup_e),
+         ("svb_stage_nd_bands", _neardup_bands)),
         lambda d: "with " + _neardup_final(d, "svb_stage_nd_e", "svb_stage_nd_bands"),
     ),
     "ann_lsh": (

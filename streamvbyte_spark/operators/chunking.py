@@ -72,19 +72,14 @@ def decode_chunked_delta(enc_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..codec import batched
+        from .encode import _flat_binary
         for batch in batches:
-            col = batch.column(batch.schema.get_field_index("encoded"))
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            bufs = col.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32)[
-                col.offset:col.offset + len(col) + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-            base = off[0]
+            enc, eoff = _flat_binary(
+                batch.column(batch.schema.get_field_index("encoded")))
             n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")), dtype=np.int64)
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
             flat, offsets = batched.decode_delta_rows_prev(
-                data[base:off[-1]], off - base, n_toks, prev)
+                enc, eoff, n_toks, prev)
             from .encode import _i32_offsets
             tok = pa.ListArray.from_arrays(
                 pa.array(_i32_offsets(offsets), pa.int32()),
@@ -145,19 +140,14 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
         from ..codec import batched
 
         def extract(batch):
+            from .encode import _flat_binary
             idx = {n: batch.schema.get_field_index(n)
                    for n in ("doc_id", "n_tok", "prev", "encoded")}
             ids = batch.column(idx["doc_id"]).to_numpy(zero_copy_only=False)
             n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
             prev = np.asarray(batch.column(idx["prev"]), dtype=np.int64)
-            col = batch.column(idx["encoded"])
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            bufs = col.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32)[
-                col.offset:col.offset + len(col) + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-            return ids, n_toks, prev, data[off[0]:off[-1]], off - off[0]
+            enc, eoff = _flat_binary(batch.column(idx["encoded"]))
+            return ids, n_toks, prev, enc, eoff
 
         def decode_runs(ids, n_toks, prev, enc, eoff):
             flat, offs = batched.decode_delta_rows_prev(enc, eoff, n_toks, prev)

@@ -53,6 +53,22 @@ def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return vals[base:off[-1]].view(np.uint32), off - base
 
 
+def _flat_binary(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (flat uint8 values, int64 offsets) of an Arrow binary
+    array, slice-safe: rebases the slice's offset window so offsets[0] == 0.
+    THE canonical extraction — decode_table, decode_table_prefix, the
+    chunked decoders, the validate query, and multimodal payload readers all
+    share it (an Arrow-layout fix must land in exactly one place)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+    base = off[0]
+    return data[base:off[-1]], off - base
+
+
 def _i32_offsets(offsets: np.ndarray) -> np.ndarray:
     """int64 -> int32 Arrow offsets with an overflow guard: an Arrow batch
     whose flat payload exceeds 2^31-1 bytes/elements would otherwise WRAP
@@ -141,16 +157,7 @@ def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
         for batch in batches:
             cols = {n: batch.schema.get_field_index(n) for n in
                     ("doc_id", "source", "n_tok", "codec", "encoded", "checksum")}
-            enc_col = batch.column(cols["encoded"])
-            if isinstance(enc_col, pa.ChunkedArray):
-                enc_col = enc_col.combine_chunks()
-            bufs = enc_col.buffers()
-            off_all = np.frombuffer(bufs[1], dtype=np.int32)
-            eoff = off_all[enc_col.offset:enc_col.offset + len(enc_col) + 1].astype(np.int64)
-            ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-            base = eoff[0]
-            enc = ebuf[base:eoff[-1]]
-            eoff = eoff - base
+            enc, eoff = _flat_binary(batch.column(cols["encoded"]))
             n_toks = np.asarray(batch.column(cols["n_tok"]), dtype=np.int64)
             names = batch.column(cols["codec"]).to_pylist()
             cids = np.array([batched.CODEC_ID[n] for n in names], dtype=np.int32)
@@ -190,19 +197,12 @@ def decode_table_prefix(enc_df: DataFrame, max_len: int) -> DataFrame:
         for batch in batches:
             cols = {n: batch.schema.get_field_index(n) for n in
                     ("doc_id", "source", "n_tok", "codec", "encoded")}
-            enc_col = batch.column(cols["encoded"])
-            if isinstance(enc_col, pa.ChunkedArray):
-                enc_col = enc_col.combine_chunks()
-            bufs = enc_col.buffers()
-            off_all = np.frombuffer(bufs[1], dtype=np.int32)
-            eoff = off_all[enc_col.offset:enc_col.offset + len(enc_col) + 1].astype(np.int64)
-            ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-            base = eoff[0]
+            enc, eoff = _flat_binary(batch.column(cols["encoded"]))
             n_toks = np.asarray(batch.column(cols["n_tok"]), dtype=np.int64)
             names = batch.column(cols["codec"]).to_pylist()
             cids = np.array([batched.CODEC_ID[n] for n in names], dtype=np.int32)
             flat, offsets = batched.decode_prefix_rows(
-                ebuf[base:eoff[-1]], eoff - base, n_toks, cids, max_len)
+                enc, eoff, n_toks, cids, max_len)
             tok = pa.ListArray.from_arrays(
                 pa.array(_i32_offsets(offsets), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()),

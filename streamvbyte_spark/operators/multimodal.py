@@ -348,15 +348,10 @@ def decode_image_table(media: DataFrame, out_w: int | None = None,
 
 
 def _flat_bytes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy view of a pa binary array as (flat uint8 buffer, offsets)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    bufs = col.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32)[
-        col.offset:col.offset + len(col) + 1].astype(np.int64)
-    data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-    base = off[0]
-    return data[base:off[-1]], off - base
+    """Zero-copy view of a pa binary array as (flat uint8 buffer, offsets) —
+    alias of the canonical operators.encode._flat_binary."""
+    from .encode import _flat_binary
+    return _flat_binary(col)
 
 
 FRAME_SCHEMA = ("doc_id string, frame_id int, frame_len int, "

@@ -100,11 +100,12 @@ def remap_tokens(tok_df: DataFrame, vocab_df: DataFrame,
 
 def remap_tokens_join(tok_df: DataFrame, vocab_df: DataFrame) -> DataFrame:
     """Shuffle-join remap for vocabularies too large to broadcast (open or
-    hashed id spaces): posexplode tokens -> equi-join the vocab on token ->
+    hashed id spaces): posexplode tokens -> LEFT-join the vocab on token ->
     rebuild arrays ordered by position.  Two shuffles (join on token, re-agg
     on doc_id) instead of the broadcast path's zero — the correct trade when
-    the vocab itself is data-scale.  Inner join: a token missing from the
-    vocab shrinks the rebuilt array, caught by the n_tok recheck."""
+    the vocab itself is data-scale.  A token with no vocab row keeps its
+    position but a NULL new_id; the per-doc n_missing count turns any such
+    doc into an in-query raise_error instead of a silent mis-remap."""
     exploded = tok_df.select(
         "doc_id", "n_tok", "source",
         F.posexplode_outer("tokens").alias("pos", "token"))

@@ -284,18 +284,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scheme0124 = codec == "svb0124"
 
         def run(batches):
+            from .operators.encode import _flat_binary
             for batch in batches:
-                col = batch.column(batch.schema.get_field_index("encoded"))
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                bufs = col.buffers()
-                off_all = np.frombuffer(bufs[1], dtype=np.int32)
-                eoff = off_all[col.offset:col.offset + len(col) + 1].astype(np.int64)
-                ebuf = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
-                base = eoff[0]
+                ebuf, eoff = _flat_binary(
+                    batch.column(batch.schema.get_field_index("encoded")))
                 n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")),
                                     dtype=np.int64)
-                ebuf, eoff = ebuf[base:eoff[-1]], eoff - base
                 if corrupt:
                     # truncate every nonempty stream by one byte in-flight:
                     # validate must reject all of them (negative-path check —
@@ -529,16 +523,31 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # JSON-Lines and read back through tokens_from_jsonl must carry the
     # exact same token arrays (fingerprint vs the documents-derived oracle)
     def jsonl_roundtrip(spark, sf_dir):
+        import glob
         import hashlib
         import os
+        import shutil
         import tempfile
         from .sources import tokens_from_jsonl, write_tokens_jsonl
         # staging path keyed by (sf_dir, pid): stable within a process so
         # repeated gate runs overwrite instead of leaking a corpus-sized
-        # JSONL copy into /tmp per round, but two CONCURRENT gate processes
-        # on the same sf dir can't clobber each other's staging mid-read
+        # JSONL copy per round, and two CONCURRENT gate processes on the
+        # same sf dir can't clobber each other's staging mid-read.  Each
+        # invocation reaps siblings whose owning process is gone, so dead
+        # pids don't accumulate copies in /tmp across rounds.
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        tmp = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}_{os.getpid()}"
+        prefix = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}_"
+        for stale in glob.glob(prefix + "*"):
+            pid_s = stale.rsplit("_", 1)[-1]
+            if pid_s == str(os.getpid()) or not pid_s.isdigit():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid: leave it
+        tmp = prefix + str(os.getpid())
         write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
         back = tokens_from_jsonl(spark, tmp + "/j")
         return back.select(

@@ -19,7 +19,7 @@ import __spark_entry__ as entry
 from streamvbyte_spark.session import get_spark
 
 TEXTS = [
-    "",                       # empty text -> one empty word, token [0... wait, ascii('')]
+    "",                       # empty text -> one empty word -> token 0 (ascii('') = 0 both engines)
     "a",                      # single 1-char word
     "a b",                    # two words: no 3-gram shingle
     "a b c",                  # exactly one shingle

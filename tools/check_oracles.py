@@ -62,6 +62,15 @@ def main():
                 continue
             rel = con.sql(os_[name])
             dcols = rel.columns
+            wide = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+            if wide:
+                # fetchall() masks this (Python ints compare fine) but the
+                # driver's pandas canonicalizer converts HUGEINT to float64
+                # and hash-mismatches Spark's int64 — fail here instead
+                print(f"{name}: WIDE-INT ORACLE COLUMN {wide} — cast to bigint")
+                failures += 1
+                continue
             drows = rel.fetchall()
             a, b = normalize(srows, scols), normalize(drows, dcols)
             if sorted(scols) != sorted(dcols):
