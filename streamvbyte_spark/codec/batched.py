@@ -785,11 +785,17 @@ def encode_delta_rows_prev(flat: np.ndarray, offsets: np.ndarray,
 
 
 def decode_delta_rows_prev(enc: np.ndarray, enc_offsets: np.ndarray,
-                           n_toks: np.ndarray, prev: np.ndarray):
-    """Inverse: decode then per-row prefix sum seeded at prev[r]."""
+                           n_toks: np.ndarray, prev: np.ndarray,
+                           n_values: np.ndarray | None = None):
+    """Inverse: decode then per-row prefix sum seeded at prev[r].
+
+    n_values (optional) decodes only each row's first min(n_values, n_tok)
+    tokens — valid for delta streams because value i depends only on deltas
+    <= i, so a prefix of the stream reconstructs a prefix of the tokens."""
     vals, offsets = _svb_decode_rows(np.ascontiguousarray(enc, dtype=np.uint8),
                                      np.asarray(enc_offsets, dtype=np.int64),
-                                     np.asarray(n_toks, dtype=np.int64), False)
+                                     np.asarray(n_toks, dtype=np.int64), False,
+                                     n_values=n_values)
     out = _segmented_cumsum_u32(vals, offsets)
     nr = offsets[1:] - offsets[:-1]
     out += np.repeat(np.asarray(prev).astype(np.int64).astype(np.uint32), nr)

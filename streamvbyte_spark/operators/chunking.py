@@ -23,8 +23,9 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-CHUNKED_ENC_SCHEMA = ("doc_id string, chunk_id int, n_tok int, prev long, "
-                      "encoded binary, out_bytes bigint")
+CHUNKED_ENC_SCHEMA = ("doc_id string, chunk_id int, tok_start long, "
+                      "n_tok int, prev long, encoded binary, "
+                      "out_bytes bigint")
 
 
 def chunk_tokens(df: DataFrame, chunk_size: int = 4096) -> DataFrame:
@@ -36,6 +37,13 @@ def chunk_tokens(df: DataFrame, chunk_size: int = 4096) -> DataFrame:
     exploded = (df.where(F.col("n_tok") > 0)
                 .select("doc_id", F.explode(chunks).alias("c"))
                 .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                        # tok_start: the chunk's first token's position in
+                        # the document — a PLAIN COLUMN, so a
+                        # truncate-to-max-seq-len consumer can prune whole
+                        # chunks with a pushable predicate before any
+                        # shuffle or decode
+                        (F.col("c.chunk_id").cast("long")
+                         * F.lit(chunk_size)).alias("tok_start"),
                         F.col("c.chunk").alias("chunk")))
     w = Window.partitionBy("doc_id").orderBy("chunk_id")
     return exploded.withColumn(
@@ -57,11 +65,13 @@ def encode_chunked_delta(chunked: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),
                  batch.column(batch.schema.get_field_index("chunk_id")),
+                 batch.column(batch.schema.get_field_index("tok_start")),
                  pa.array(nr.astype(np.int32), pa.int32()),
                  pa.array(prev, pa.int64()),
                  _binary_array(enc, eoff),
                  pa.array(eoff[1:] - eoff[:-1], pa.int64())],
-                names=["doc_id", "chunk_id", "n_tok", "prev", "encoded", "out_bytes"])
+                names=["doc_id", "chunk_id", "tok_start", "n_tok", "prev",
+                       "encoded", "out_bytes"])
 
     return chunked.mapInArrow(run, CHUNKED_ENC_SCHEMA)
 
@@ -109,7 +119,8 @@ def reassemble(decoded_chunks: DataFrame) -> DataFrame:
             .select("doc_id", "tokens", F.size("tokens").alias("n_tok")))
 
 
-def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
+def decode_reassemble_fused(enc_df: DataFrame,
+                            max_len: int | None = None) -> DataFrame:
     """Decode + reassemble AFTER one hash shuffle, whole-batch (mapInArrow).
 
     The separate decode->reassemble pipeline must re-shuffle DECODED tokens
@@ -131,8 +142,23 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
     carried into the next and flushed at iterator end.  Each chunk decodes
     from its stored prev (reference delta contract,
     /root/reference/include/streamvbytedelta.h:17-29) and lands in chunk_id
-    order by construction."""
-    part = (enc_df.select("doc_id", "chunk_id", "n_tok", "prev", "encoded")
+    order by construction.
+
+    max_len (optional) is truncate-to-max-seq-len for the CHUNKED layout —
+    the shape a 10^9-token document actually takes: chunks entirely past the
+    limit are dropped by a plain `tok_start < max_len` filter BEFORE the
+    shuffle (a pushable predicate when the chunked table is read from
+    storage), so neither the wire nor the decoder ever sees the tail; the
+    one straddling chunk prefix-decodes its first (max_len - tok_start)
+    tokens via the delta prefix path."""
+    cols = ["doc_id", "chunk_id", "n_tok", "prev", "encoded"]
+    pruned = enc_df
+    if max_len is not None:
+        if max_len < 1:
+            raise ValueError(f"max_len must be >= 1, got {max_len}")
+        pruned = enc_df.where(F.col("tok_start") < max_len)
+        cols.append("tok_start")
+    part = (pruned.select(*cols)
             .repartition("doc_id")
             .sortWithinPartitions("doc_id", "chunk_id"))
 
@@ -147,10 +173,19 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
             n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
             prev = np.asarray(batch.column(idx["prev"]), dtype=np.int64)
             enc, eoff = _flat_binary(batch.column(idx["encoded"]))
-            return ids, n_toks, prev, enc, eoff
+            if max_len is None:
+                kk = n_toks
+            else:
+                ts = np.asarray(
+                    batch.column(batch.schema.get_field_index("tok_start")),
+                    dtype=np.int64)
+                kk = np.minimum(n_toks, max_len - ts)  # >= 1 by the filter
+            return ids, kk, prev, enc, eoff, n_toks
 
-        def decode_runs(ids, n_toks, prev, enc, eoff):
-            flat, offs = batched.decode_delta_rows_prev(enc, eoff, n_toks, prev)
+        def decode_runs(ids, kk, prev, enc, eoff, n_toks):
+            flat, offs = batched.decode_delta_rows_prev(
+                enc, eoff, n_toks, prev,
+                n_values=None if max_len is None else kk)
             starts = np.concatenate(
                 ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             doc_tok_off = offs[np.concatenate((starts, [ids.size]))]
@@ -172,34 +207,36 @@ def decode_reassemble_fused(enc_df: DataFrame) -> DataFrame:
 
         def merge(parts):
             ids = np.concatenate([p[0] for p in parts])
-            n_toks = np.concatenate([p[1] for p in parts])
+            kk = np.concatenate([p[1] for p in parts])
             prev = np.concatenate([p[2] for p in parts])
             enc = np.concatenate([p[3] for p in parts])
             offs = [parts[0][4]]
             for p in parts[1:]:
                 offs.append(p[4][1:] + (offs[-1][-1] - p[4][0]))
-            return ids, n_toks, prev, enc, np.concatenate(offs)
+            n_toks = np.concatenate([p[5] for p in parts])
+            return ids, kk, prev, enc, np.concatenate(offs), n_toks
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            ids, n_toks, prev, enc, eoff = extract(batch)
+            ids, kk, prev, enc, eoff, n_toks = extract(batch)
             if pend and pend[-1][0][-1] != ids[0]:
                 yield decode_runs(*merge(pend))  # run closed at batch seam
                 pend = []
             nz = np.flatnonzero(ids != ids[-1])
             cut = int(nz[-1] + 1) if nz.size else 0
             if cut:
-                head = (ids[:cut], n_toks[:cut], prev[:cut],
-                        enc[:eoff[cut]], eoff[:cut + 1])
+                head = (ids[:cut], kk[:cut], prev[:cut],
+                        enc[:eoff[cut]], eoff[:cut + 1], n_toks[:cut])
                 # pend (one doc) + head decode together: decode_runs splits
                 # on id boundaries, so the carried run and the batch's other
                 # complete docs come out as separate rows
                 yield decode_runs(*merge(pend + [head])) if pend \
                     else decode_runs(*head)
                 pend = []
-            pend.append((ids[cut:], n_toks[cut:], prev[cut:],
-                         enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut]))
+            pend.append((ids[cut:], kk[cut:], prev[cut:],
+                         enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut],
+                         n_toks[cut:]))
         if pend and sum(p[0].size for p in pend):
             yield decode_runs(*merge(pend))
 

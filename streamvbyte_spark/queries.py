@@ -602,6 +602,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunked_fused_roundtrip"] = chunked_fused_roundtrip
 
+    # truncation over the CHUNKED layout (the realistic shape for documents
+    # too long for one row): chunks past max_len are dropped by a plain
+    # tok_start filter BEFORE the shuffle — the wire and decoder never see
+    # the tail — and the straddling chunk prefix-decodes (delta prefix path)
+    def chunked_truncate_decode(spark, sf_dir, max_len=20):
+        from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
+                                         encode_chunked_delta)
+        post = posting_lists(spark, sf_dir)
+        re = decode_reassemble_fused(
+            encode_chunked_delta(chunk_tokens(post, chunk_size=8)),
+            max_len=max_len)
+        return re.select("doc_id",
+                         F.col("n_tok").cast("int").alias("n_tok"),
+                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+
+    q["chunked_truncate_decode"] = chunked_truncate_decode
+
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
         from .pipeline import curate_documents
@@ -812,6 +829,12 @@ def build_oracles() -> dict[str, str]:
         f"select doc_id, cast(n_tok as int) as n_tok, {fp} as fingerprint "
         f"from ({post})")
     o["chunked_fused_roundtrip"] = o["chunked_roundtrip_postings"]
+    # chunked truncation: first min(20, n_tok) tokens of each posting list
+    # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
+    # prefix path; chunks 3+ never survive the tok_start filter)
+    o["chunked_truncate_decode"] = (
+        f"select doc_id, cast(least(n_tok, 20) as int) as n_tok, "
+        f"{duckdb_fingerprint('tokens[1:20]')} as fingerprint from ({post})")
     # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
     # stopword-ratio gate (int/int double division with the same 0.9 literal
     # on both engines -> identical IEEE outcome), tokenize, auto-codec size

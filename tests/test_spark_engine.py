@@ -298,6 +298,36 @@ def test_chunked_fused_seam_placement(spark):
     assert got == dict(rows)
 
 
+def test_chunked_truncate_decode_boundaries(spark):
+    """Truncating the chunked layout must equal row[:max_len] at every cut
+    placement: mid-chunk, exactly ON a chunk boundary (the boundary chunk is
+    filtered, not prefix-decoded), beyond the doc, and max_len 1 — including
+    with 2-row Arrow batches so carried runs mix with truncation."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    rng = np.random.default_rng(23)
+    rows = [(f"d{j:02d}", np.cumsum(rng.integers(0, 50, n)).tolist())
+            for j, n in enumerate([1, 3, 4, 8, 9, 16, 17, 23, 40])]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int")
+    enc = encode_chunked_delta(chunk_tokens(df, chunk_size=4))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        for max_len in (1, 3, 4, 5, 8, 16, 100):
+            got = {r.doc_id: (list(r.tokens), r.n_tok) for r in
+                   decode_reassemble_fused(enc, max_len=max_len).collect()}
+            want = {d: (t[:max_len], min(len(t), max_len)) for d, t in rows}
+            assert got == want, max_len
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_len"):
+        decode_reassemble_fused(enc, max_len=0)
+
+
 def test_checkpoint_resume_idempotent_across_commit_gap(spark, tok):
     """Crash between the data write and the lineage commit must not
     duplicate rows on rerun: dynamic partition overwrite REPLACES the
