@@ -743,10 +743,13 @@ def q_decontaminate(d: Dialect) -> str:
             + _decontaminate_final(d, "e"))
 
 
-def _decontaminate_final(d: Dialect, e_src: str) -> str:
-    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+def _decontaminate_final(d: Dialect, e_src: str,
+                         msrc: str = "(select min(source) from documents)") -> str:
+    """CTE-list body (no leading WITH): prefix `with ` when standalone.
+    msrc: scalar SQL for the eval-source name — the staged Spark path passes
+    a materialized 1-row view so the three references cost three reads of
+    one row, not three corpus scans."""
     hint = "/*+ BROADCAST(ev) */ " if d.kind == "spark" else ""
-    msrc = "(select min(source) from documents)"
     return (
         f"ev as (select distinct shingle from {e_src} e "
         f" where e.source = {msrc}), "
@@ -879,8 +882,12 @@ SPARK_STAGES = {
         lambda d: "with " + _ann_lsh_final(d, "svb_stage_lsh_b"),
     ),
     "decontaminate": (
-        (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),),
-        lambda d: "with " + _decontaminate_final(d, "svb_stage_decon_shingles"),
+        (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),
+         ("svb_stage_decon_msrc",
+          lambda d: "select min(source) as s from documents")),
+        lambda d: "with " + _decontaminate_final(
+            d, "svb_stage_decon_shingles",
+            msrc="(select s from svb_stage_decon_msrc)"),
     ),
     "ann_ivf": (
         (("svb_stage_ivf_e", _ivf_spark_e),
