@@ -60,6 +60,21 @@ EVENTS = [
 EVENT_QUERIES = ["event_sessions", "events_hourly", "top_users_by_value",
                  "users_intersect"]
 
+# lineitem -> posting lists: single-element lists, duplicate orderkeys
+# (delta 0 at the seam), values at the int32 ceiling, a long 40-element
+# list spanning several chunk_size-8 chunks and the max_len-20 cut
+LINEITEM = (
+    [(1, 7)]                                      # single-element posting
+    + [(2, 5), (2, 5), (2, 5)]                    # all-duplicates posting
+    + [(3, 2**31 - 1), (3, 2**31 - 2), (3, 1)]    # int32-ceiling values
+    + [(4, 10 * j + 3) for j in range(40)]        # 40 elements, 5 chunks
+    + [(5, j + 1) for j in range(8)]              # exactly one chunk
+    + [(6, 2), (6, 2), (6, 9), (6, 9), (6, 9)]    # duplicate runs
+)
+POSTING_QUERIES = ["delta_roundtrip_postings", "delta_size_postings",
+                   "chunked_roundtrip_postings", "chunked_fused_roundtrip",
+                   "chunked_truncate_decode"]
+
 QUERIES = [
     "svb_roundtrip", "svb0124_roundtrip", "auto_roundtrip", "fsst_roundtrip",
     "auto_full_roundtrip", "svb_size", "svb0124_size", "auto_size",
@@ -107,6 +122,10 @@ def edge_env():
         "embedding": [v.tolist() for v in vecs],
     }), f"{tmp}/embeddings.parquet")
     pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in LINEITEM], pa.int64()),
+        "l_orderkey": pa.array([r[1] for r in LINEITEM], pa.int64()),
+    }), f"{tmp}/lineitem.parquet")
+    pq.write_table(pa.table({
         "event_id": [e[0] for e in EVENTS],
         "user_id": [e[1] for e in EVENTS],
         "ts": pa.array([_EV_BASE + _dt.timedelta(microseconds=e[2])
@@ -124,6 +143,8 @@ def edge_env():
         f"create view embeddings as select * from '{tmp}/embeddings.parquet'")
     con.execute(
         f"create view events as select * from '{tmp}/events.parquet'")
+    con.execute(
+        f"create view lineitem as select * from '{tmp}/lineitem.parquet'")
     yield spark, con, tmp
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -160,6 +181,13 @@ def test_edge_events_match_oracles(edge_env):
     duplicate timestamps, half-cent/negative value rounding, DST-night wall
     clock — all value-exact in both engines."""
     _run(edge_env, EVENT_QUERIES)
+
+
+def test_edge_postings_match_oracles(edge_env):
+    """Delta/chunked paths over boundary posting lists: single elements,
+    all-duplicate lists (zero deltas), values at the int32 ceiling, and
+    lists whose length lands exactly on / across chunk boundaries."""
+    _run(edge_env, POSTING_QUERIES)
 
 
 def _run(edge_env, names):
