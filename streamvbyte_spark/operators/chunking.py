@@ -174,18 +174,19 @@ def decode_reassemble_fused(enc_df: DataFrame,
             prev = np.asarray(batch.column(idx["prev"]), dtype=np.int64)
             enc, eoff = _flat_binary(batch.column(idx["encoded"]))
             if max_len is None:
-                kk = n_toks
-            else:
-                ts = np.asarray(
-                    batch.column(batch.schema.get_field_index("tok_start")),
-                    dtype=np.int64)
-                kk = np.minimum(n_toks, max_len - ts)  # >= 1 by the filter
+                # kk == n_toks; carry None so merge doesn't concatenate
+                # the same counts twice on the non-truncating hot path
+                return ids, n_toks, prev, enc, eoff, None
+            ts = np.asarray(
+                batch.column(batch.schema.get_field_index("tok_start")),
+                dtype=np.int64)
+            kk = np.minimum(n_toks, max_len - ts)  # >= 1 by the filter
             return ids, kk, prev, enc, eoff, n_toks
 
         def decode_runs(ids, kk, prev, enc, eoff, n_toks):
             flat, offs = batched.decode_delta_rows_prev(
-                enc, eoff, n_toks, prev,
-                n_values=None if max_len is None else kk)
+                enc, eoff, kk if n_toks is None else n_toks, prev,
+                n_values=None if n_toks is None else kk)
             starts = np.concatenate(
                 ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             doc_tok_off = offs[np.concatenate((starts, [ids.size]))]
@@ -213,7 +214,8 @@ def decode_reassemble_fused(enc_df: DataFrame,
             offs = [parts[0][4]]
             for p in parts[1:]:
                 offs.append(p[4][1:] + (offs[-1][-1] - p[4][0]))
-            n_toks = np.concatenate([p[5] for p in parts])
+            n_toks = (None if parts[0][5] is None
+                      else np.concatenate([p[5] for p in parts]))
             return ids, kk, prev, enc, np.concatenate(offs), n_toks
 
         for batch in batches:
@@ -227,7 +229,8 @@ def decode_reassemble_fused(enc_df: DataFrame,
             cut = int(nz[-1] + 1) if nz.size else 0
             if cut:
                 head = (ids[:cut], kk[:cut], prev[:cut],
-                        enc[:eoff[cut]], eoff[:cut + 1], n_toks[:cut])
+                        enc[:eoff[cut]], eoff[:cut + 1],
+                        None if n_toks is None else n_toks[:cut])
                 # pend (one doc) + head decode together: decode_runs splits
                 # on id boundaries, so the carried run and the batch's other
                 # complete docs come out as separate rows
@@ -236,7 +239,7 @@ def decode_reassemble_fused(enc_df: DataFrame,
                 pend = []
             pend.append((ids[cut:], kk[cut:], prev[cut:],
                          enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut],
-                         n_toks[cut:]))
+                         None if n_toks is None else n_toks[cut:]))
         if pend and sum(p[0].size for p in pend):
             yield decode_runs(*merge(pend))
 

@@ -170,6 +170,10 @@ EMB_TOKENS_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 100
 
 _FP_BODY = "((acc * 31 + t) % 1000000007 + 1000000007) % 1000000007"
 
+# truncation cut shared by the chunked_truncate_decode query AND its oracle
+# (chunk_size 8 -> the cut falls mid-chunk, exercising the delta prefix path)
+TRUNCATE_MAX_LEN = 20
+
 
 def spark_fingerprint(col: str = "tokens") -> str:
     return f"aggregate({col}, cast(0 as bigint), (acc, t) -> {_FP_BODY})"
@@ -606,7 +610,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # too long for one row): chunks past max_len are dropped by a plain
     # tok_start filter BEFORE the shuffle — the wire and decoder never see
     # the tail — and the straddling chunk prefix-decodes (delta prefix path)
-    def chunked_truncate_decode(spark, sf_dir, max_len=20):
+    def chunked_truncate_decode(spark, sf_dir, max_len=TRUNCATE_MAX_LEN):
         from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
                                          encode_chunked_delta)
         post = posting_lists(spark, sf_dir)
@@ -833,8 +837,9 @@ def build_oracles() -> dict[str, str]:
     # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
     # prefix path; chunks 3+ never survive the tok_start filter)
     o["chunked_truncate_decode"] = (
-        f"select doc_id, cast(least(n_tok, 20) as int) as n_tok, "
-        f"{duckdb_fingerprint('tokens[1:20]')} as fingerprint from ({post})")
+        f"select doc_id, cast(least(n_tok, {TRUNCATE_MAX_LEN}) as int) as n_tok, "
+        f"{duckdb_fingerprint(f'tokens[1:{TRUNCATE_MAX_LEN}]')} as fingerprint "
+        f"from ({post})")
     # composed curation pipeline: md5 dedup (min doc_id wins), word-count +
     # stopword-ratio gate (int/int double division with the same 0.9 literal
     # on both engines -> identical IEEE outcome), tokenize, auto-codec size

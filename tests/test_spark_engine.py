@@ -323,8 +323,7 @@ def test_chunked_truncate_decode_boundaries(spark):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    import pytest as _pt
-    with _pt.raises(ValueError, match="max_len"):
+    with pytest.raises(ValueError, match="max_len"):
         decode_reassemble_fused(enc, max_len=0)
 
 
