@@ -90,7 +90,10 @@ def main():
                 # materialized once before the self-join) + the
                 # encoded-bytes-over-the-wire fused chunked decode
                 "dedup_minhash_pairs", "ann_lsh", "embedding_neardup",
-                "chunked_fused_roundtrip"]
+                "chunked_fused_roundtrip",
+                # r4: simhash now one Arrow pandas UDF (was 32 interpreted
+                # HOF passes/doc) — benched for the round-over-round delta
+                "dedup_simhash"]
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x

@@ -240,7 +240,23 @@ def q_dedup_simhash(d: Dialect) -> str:
     """32-bit SimHash over hashed token ids; near-dups share the value.
 
     bit_k(doc) = 1 iff sum over tokens of (2*bit_k(h(t)) - 1) > 0, with
-    h(t) = (A*t + B) mod p. All BIGINT; identical in both engines."""
+    h(t) = (A*t + B) mod p. All BIGINT; identical in both engines.
+
+    Spark side: ONE Arrow-vectorized pandas UDF (functions/text_udfs.
+    doc_simhash) computing the whole 32-bit value per batch — the prior SQL
+    form evaluated 32 separate ``aggregate()`` HOF lambdas per document (each
+    a CodegenFallback interpreted pass over the full token array; the r3
+    verdict's worst remaining hot-path plan).  The DuckDB oracle keeps the
+    32-term fold, so the equality check still proves the UDF bit-for-bit."""
+    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
+    if d.kind == "spark":
+        # pinned-count fanout: the UDF stage is CPU-bound over a possibly
+        # single-row-group file (see _SCAN_FANOUT note above)
+        tok = (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+               f"cast(doc_id as string) as doc_id, {d.tokens()} as tokens "
+               "from documents")
+        return (f"with tok as ({tok}) "
+                "select doc_id, doc_simhash(tokens) as simhash from tok")
     h = f"(cast({SIMHASH_A} as bigint) * t + {SIMHASH_B}) % {MINHASH_P}"
     bit_terms = []
     for k in range(SIMHASH_BITS):
@@ -248,7 +264,6 @@ def q_dedup_simhash(d: Dialect) -> str:
         lam_sum = d.fold0("tokens", f"acc + 2 * ({bit}) - 1")
         bit_terms.append(f"(case when {lam_sum} > 0 then cast({1 << k} as bigint) else 0 end)")
     simhash = " + ".join(bit_terms)
-    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     return f"with tok as ({tok}) select doc_id, ({simhash}) as simhash from tok"
 
 

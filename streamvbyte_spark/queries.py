@@ -653,8 +653,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def make_pipeline(name):
         def run(spark, sf_dir):
             from .functions.embedding_udfs import register_embedding_udfs
+            from .functions.text_udfs import register_text_udfs
             register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
                                     pipeline_sql.NEARDUP_PLANES_PER_BAND)
+            register_text_udfs(spark)
             for t in _pipeline_tables.get(name, ("documents",)):
                 spark.read.parquet(f"{sf_dir}/{t}.parquet") \
                     .createOrReplaceTempView(t)

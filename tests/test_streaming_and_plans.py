@@ -290,6 +290,21 @@ def test_lsh_self_joins_materialize_signatures(spark):
         assert n_py <= allowed, (name, n_py, plan)
 
 
+def test_simhash_plan_is_one_arrow_udf(spark):
+    """dedup_simhash must compute the 32-bit simhash in ONE ArrowEvalPython
+    stage (functions/text_udfs.doc_simhash), not 32 interpreted aggregate()
+    HOF passes per document (r3 verdict item 1)."""
+    import streamvbyte_spark.queries as Q
+    df = Q.build_queries()["dedup_simhash"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # no bit-fold lambdas anywhere in the executed plan
+    assert "aggregate(tokens" not in plan, plan
+    import pandas as pd
+    rows = df.limit(5).toPandas()
+    assert pd.api.types.is_integer_dtype(rows["simhash"])
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Bucketed-by-doc_id tables co-locate the encode-verification join: the
     SortMergeJoin plans with ZERO Exchange (the 'bucketing for co-located
