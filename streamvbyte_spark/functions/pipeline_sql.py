@@ -418,11 +418,22 @@ def _neardup_bands(d: Dialect) -> str:
 
 
 def _neardup_final(d: Dialect, e_src: str, bands_src: str) -> str:
-    """CTE-list body (no leading WITH): prefix `with ` when standalone."""
+    """CTE-list body (no leading WITH): prefix `with ` when standalone.
+
+    Spark side pre-limits with ``order by ... limit 50`` BEFORE the global
+    row_number window: Catalyst plans the limit as TakeOrderedAndProject —
+    per-partition top-50 then a 50-row merge — so the single-partition
+    window sees 50 rows instead of every candidate pair (r3 verdict item 7).
+    The ordering key (dot desc, id_a, id_b) is a total order, so the limit
+    keeps exactly the rows the oracle's unlimited window ranks <= 50."""
     if d.kind == "spark":
         dot, na, nb = "emb_dot_q(ea.embedding, eb.embedding)", "ea.nq", "eb.nq"
     else:
         dot, na, nb = _dot(d, "ea.v", "eb.v"), "ea.nq", "eb.nq"
+    pre_topk = (
+        "top as (select id_a, id_b, dot, na, nb from pairs "
+        " order by dot desc, id_a, id_b limit 50), "
+        if d.kind == "spark" else "top as (select * from pairs), ")
     return (
         "cand as (select a.vec_id as id_a, b.vec_id as id_b "
         f" from {bands_src} a join {bands_src} b on a.band_id = b.band_id "
@@ -431,13 +442,14 @@ def _neardup_final(d: Dialect, e_src: str, bands_src: str) -> str:
         f"pairs as (select id_a, id_b, {dot} as dot, {na} as na, {nb} as nb "
         f" from cand join {e_src} ea on cand.id_a = ea.vec_id "
         f" join {e_src} eb on cand.id_b = eb.vec_id), "
+        + pre_topk +
         # zero-norm guard: zero vectors (padding / failed encodes) co-bucket
         # trivially and would divide by zero under ANSI; define their cosine
         # as 0 (identical CASE text evaluates in both engines)
         "ranked as (select id_a, id_b, dot, "
         " case when na = 0 or nb = 0 then cast(0.0 as double) else "
         " round(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 4) end as cos_sim, "
-        " row_number() over (order by dot desc, id_a, id_b) as rnk from pairs) "
+        " row_number() over (order by dot desc, id_a, id_b) as rnk from top) "
         "select cast(id_a as string) as id_a, cast(id_b as string) as id_b, "
         "cos_sim, cast(rnk as int) as rank from ranked where rnk <= 50"
     )

@@ -29,22 +29,27 @@ CHUNKED_ENC_SCHEMA = ("doc_id string, chunk_id int, tok_start long, "
 
 
 def chunk_tokens(df: DataFrame, chunk_size: int = 4096) -> DataFrame:
-    """tokens -> (doc_id, chunk_id, chunk, prev). Empty docs yield no chunks."""
-    chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(n_tok / {chunk_size}.0) as int) - 1), "
-        f"i -> struct(i as chunk_id, slice(tokens, i * {chunk_size} + 1, {chunk_size}) as chunk))"
-    )
+    """tokens -> (doc_id, chunk_id, chunk, prev). Empty docs yield no chunks.
+
+    Shape: posexplode(sequence(0, n_chunks-1)) + a plain-projection slice()
+    — every expression is whole-stage-codegen'd.  The previous form built
+    per-chunk structs inside a transform() lambda, a CodegenFallback node
+    interpreted per chunk (r3 verdict item 4)."""
+    n_chunks = f"cast(ceil(n_tok / {chunk_size}.0) as int)"
     exploded = (df.where(F.col("n_tok") > 0)
-                .select("doc_id", F.explode(chunks).alias("c"))
-                .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                .select("doc_id", "tokens",
+                        F.posexplode(F.expr(f"sequence(0, {n_chunks} - 1)"))
+                        .alias("chunk_id", "_i"))
+                .select("doc_id", "chunk_id",
                         # tok_start: the chunk's first token's position in
                         # the document — a PLAIN COLUMN, so a
                         # truncate-to-max-seq-len consumer can prune whole
                         # chunks with a pushable predicate before any
                         # shuffle or decode
-                        (F.col("c.chunk_id").cast("long")
+                        (F.col("chunk_id").cast("long")
                          * F.lit(chunk_size)).alias("tok_start"),
-                        F.col("c.chunk").alias("chunk")))
+                        F.expr(f"slice(tokens, chunk_id * {chunk_size} + 1, "
+                               f"{chunk_size})").alias("chunk")))
     w = Window.partitionBy("doc_id").orderBy("chunk_id")
     return exploded.withColumn(
         "prev",

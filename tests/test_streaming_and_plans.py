@@ -326,6 +326,26 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     assert "partition by source order by doc_id" in P.duckdb_sql("sequence_pack")
 
 
+def test_chunk_tokens_plan_fully_codegen(spark):
+    """chunk_tokens must carry no interpreted HOF lambda: the chunk slices
+    are posexplode + plain-projection slice(), all codegen'd (r3 item 4)."""
+    from streamvbyte_spark.operators.chunking import chunk_tokens
+    from streamvbyte_spark.sources import posting_lists
+    ch = chunk_tokens(posting_lists(spark, SF), chunk_size=8)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan, plan
+
+
+def test_neardup_final_pre_topk(spark):
+    """embedding_neardup's global top-50 must plan as TakeOrderedAndProject
+    (per-partition top-k before the single-partition merge), not an
+    all-candidates single-task window sort (r3 verdict item 7)."""
+    import streamvbyte_spark.queries as Q
+    df = Q.build_queries()["embedding_neardup"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Bucketed-by-doc_id tables co-locate the encode-verification join: the
     SortMergeJoin plans with ZERO Exchange (the 'bucketing for co-located
