@@ -92,8 +92,10 @@ def main():
                 "dedup_minhash_pairs", "ann_lsh", "embedding_neardup",
                 "chunked_fused_roundtrip",
                 # r4: simhash now one Arrow pandas UDF (was 32 interpreted
-                # HOF passes/doc) — benched for the round-over-round delta
-                "dedup_simhash"]
+                # HOF passes/doc); auto_full's fsst winners now encode via
+                # the whole-batch kernel (was a per-row registry loop) —
+                # both benched for the round-over-round delta
+                "dedup_simhash", "auto_full_roundtrip"]
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x

@@ -17,11 +17,12 @@ reference spec, README.md:207-244) — tested row-by-row against core.
 Cost model: per-row exact sizes for all 8 codecs computed with segmented
 reductions — including fsst, whose per-row symbol-table cost vectorizes as a
 composite-key sort + lexsort-ranked top-255 (_fsst_costs); argmin per row =
-the auto-selector of select.py, batched.  The default ``auto`` candidate set
-stays the 7 whole-batch-encodable codecs (VECTOR_COST_CODECS); passing
-VECTOR_COST_CODECS_FULL adds fsst to the argmin, with winning rows encoded
-through the per-row registry fallback (a per-row symbol table has no
-whole-batch encode kernel).
+the auto-selector of select.py, batched.  Every codec, fsst included, has a
+whole-batch encode AND decode kernel (_fsst_encode_rows builds all per-row
+symbol tables from one composite-key sort) — no per-row Python remains on
+any hot path.  The default ``auto`` candidate set stays the 7 original
+codecs (VECTOR_COST_CODECS) so driver-facing formats are stable; passing
+VECTOR_COST_CODECS_FULL adds fsst to the argmin (the auto_full_* queries).
 """
 
 from __future__ import annotations
@@ -58,12 +59,14 @@ def _row_base_at(ends: np.ndarray, starts: np.ndarray) -> np.ndarray:
 CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
 CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
 VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
-# codecs with a whole-batch encode kernel (everything but fsst today)
-_WHOLE_BATCH_CODECS = frozenset(VECTOR_COST_CODECS)
-# full candidate set including fsst: its per-row cost is vectorized too
-# (_fsst_costs), but the fsst ENCODE of winning rows runs per-row through
-# the REGISTRY fallback (a per-row symbol table has no whole-batch kernel),
-# so "auto" keeps the 7-codec contract and fsst is opt-in via this tuple
+# every codec has a whole-batch encode kernel (fsst joined in round 4 via
+# _fsst_encode_rows/_fsst_decode_rows — no per-row Python remains on any
+# encode path)
+_WHOLE_BATCH_CODECS = frozenset(CODEC_NAMES)
+# full candidate set including fsst (cost via _fsst_costs, encode via
+# _fsst_encode_rows); the default "auto" keeps the 7-codec contract so the
+# driver-facing auto_size/auto_roundtrip formats stay stable, and fsst is
+# opt-in via this tuple (the auto_full_* queries)
 VECTOR_COST_CODECS_FULL = VECTOR_COST_CODECS + ("fsst",)
 
 
@@ -388,11 +391,149 @@ def _fsst_costs(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     rank = np.arange(srow.size, dtype=np.int64) - np.repeat(row_first, seg_len)
     take = (rank < companions._FSST_MAX_SYMBOLS) & (scnt >= 3)
     k = np.bincount(srow[take], minlength=R)
-    n_hit = np.bincount(srow[take], weights=scnt[take],
-                        minlength=R).astype(np.int64)
+    # int64 accumulation end-to-end: bincount(weights=) sums in float64,
+    # exact only below 2^53 — an implicit ceiling on a function whose
+    # contract is exact byte costs
+    n_hit = np.zeros(R, dtype=np.int64)
+    np.add.at(n_hit, srow[take], scnt[take])
     m = 2 * nr
     cost = 1 + 2 * k + (m + 7) // 8 + n_hit + 2 * (m - n_hit)
     return np.where(nr > 0, cost, 0)
+
+
+def _fsst_encode_rows(flat: np.ndarray, offsets: np.ndarray):
+    """Whole-batch fsst encode, byte-identical per row to
+    companions.fsst_encode (layout: 1B k | k*2B ascending symbol table |
+    ceil(m/8)B escape bitmap | 1B/hit | 2B/escaped pair, m = 2n byte pairs).
+
+    Reuses _fsst_costs' machinery — one composite-key sort groups (row,
+    pair); a stable lexsort ranks each row's distinct pairs by (count desc,
+    pair desc) for the 255-symbol cap — then scatters table bytes, bitmap
+    bits, hit codes and escape literals with segmented placements.  No
+    per-row Python: this removes the last per-row encode loop from the
+    auto_full path (fsst-winning rows previously fell back to the
+    select.REGISTRY loop)."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(R + 1, dtype=np.int64)
+    m = 2 * nr
+    pair_off = 2 * offsets
+    # byte pairs in STREAM order (value i -> little-endian pairs 2i, 2i+1):
+    # unlike _fsst_costs, encode needs positions, not just counts
+    pairs = np.empty(2 * flat.size, dtype=np.uint32)
+    pairs[0::2] = flat & np.uint32(0xFFFF)
+    pairs[1::2] = flat >> np.uint32(16)
+    row_ids = np.repeat(np.arange(R, dtype=np.uint64), m)
+    key = (row_ids << np.uint64(16)) | pairs.astype(np.uint64)
+    # sort + searchsorted instead of np.unique(return_inverse=True): unique's
+    # inverse needs a full argsort; a plain sort plus one binary-search gather
+    # is ~2x cheaper at these sizes
+    skey = np.sort(key)
+    new = np.empty(skey.size, dtype=bool)
+    new[0] = True
+    np.not_equal(skey[1:], skey[:-1], out=new[1:])
+    grp_start = np.flatnonzero(new)
+    uniq = skey[grp_start]
+    cnt = np.diff(np.concatenate([grp_start, [skey.size]]))
+    inverse = np.searchsorted(uniq, key)
+    G = uniq.size
+    grp_row = (uniq >> np.uint64(16)).astype(np.int64)
+    grp_pair = (uniq & np.uint64(0xFFFF)).astype(np.int64)
+    # per-row rank by (count desc, pair desc) — the deterministic tie order
+    # companions._fsst_table uses (lexsort is stable on both sides)
+    order = np.lexsort((-grp_pair, -cnt, grp_row))
+    srow = grp_row[order]
+    row_first = np.concatenate([[0], np.flatnonzero(srow[1:] != srow[:-1]) + 1])
+    seg_len = np.diff(np.concatenate([row_first, [srow.size]]))
+    rank = np.arange(srow.size, dtype=np.int64) - np.repeat(row_first, seg_len)
+    take_ranked = (rank < companions._FSST_MAX_SYMBOLS) & (cnt[order] >= 3)
+    take = np.zeros(G, dtype=bool)
+    take[order] = take_ranked
+    k = np.bincount(grp_row[take], minlength=R).astype(np.int64)
+    k_off = np.concatenate([[0], np.cumsum(k)])
+    # code of a taken group = its ascending-pair rank within the row's taken
+    # set; uniq is (row, pair)-ascending, so taken groups are already in
+    # symbol-table order — one global cumsum gives the table index
+    code_by_group = np.cumsum(take, dtype=np.int64) - 1 - k_off[grp_row]
+    in_table = take[inverse]                 # per pair, original order
+    n_hit = _seg_sum(in_table.astype(np.int64), pair_off)
+    bm_len = (m + 7) // 8
+    sizes = np.where(nr > 0, 1 + 2 * k + bm_len + n_hit + 2 * (m - n_hit), 0)
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    live = nr > 0
+    out[out_offsets[:-1][live]] = k[live].astype(np.uint8)
+    # symbol tables (ascending u16 LE per row)
+    table_bytes = grp_pair[take].astype("<u2").view(np.uint8)
+    _place_segments(out, table_bytes, 2 * k_off, out_offsets[:-1] + 1)
+    # escape bitmap: per-row byte-aligned LSB-first bits (1 = literal),
+    # matching np.packbits(~in_table, bitorder='little') per row
+    bm_off = np.concatenate([[0], np.cumsum(bm_len)])
+    dense = np.zeros(int(bm_off[-1]) * 8, dtype=np.uint8)
+    intra_pair = np.arange(int(pair_off[-1]), dtype=np.int64) - np.repeat(
+        pair_off[:-1], m)
+    dense[np.repeat(8 * bm_off[:-1], m) + intra_pair] = (~in_table).view(np.uint8)
+    bitmap = np.packbits(dense, bitorder="little")
+    _place_segments(out, bitmap, bm_off, out_offsets[:-1] + 1 + 2 * k)
+    # hit codes then escape literals, each row-major in stream order
+    hit_codes = code_by_group[inverse][in_table].astype(np.uint8)
+    hit_off = np.concatenate([[0], np.cumsum(n_hit)])
+    _place_segments(out, hit_codes, hit_off,
+                    out_offsets[:-1] + 1 + 2 * k + bm_len)
+    lit_bytes = pairs[~in_table].astype("<u2").view(np.uint8)
+    lit_off = np.concatenate([[0], np.cumsum(2 * (m - n_hit))])
+    _place_segments(out, lit_bytes, lit_off,
+                    out_offsets[:-1] + 1 + 2 * k + bm_len + n_hit)
+    return out, out_offsets
+
+
+def _fsst_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray,
+                      n_toks: np.ndarray):
+    """Inverse of _fsst_encode_rows, whole-batch: per-pair bitmap-bit gather
+    classifies hit vs literal; segmented exclusive scans index each pair
+    into its row's code / literal stream; table lookups are flat gathers."""
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    live = np.flatnonzero(n_toks > 0)
+    if live.size == 0:
+        return flat, offsets
+    starts = enc_offsets[:-1][live]
+    k = enc[starts].astype(np.int64)
+    nr = n_toks[live]
+    m = 2 * nr
+    bm_len = (m + 7) // 8
+    bm_start = starts + 1 + 2 * k
+    pair_off = np.concatenate([[0], np.cumsum(m)])
+    P = int(pair_off[-1])
+    intra = np.arange(P, dtype=np.int64) - np.repeat(pair_off[:-1], m)
+    bm_byte = np.repeat(bm_start, m) + (intra >> 3)
+    is_lit = ((enc[bm_byte] >> (intra & 7).astype(np.uint8)) & 1).astype(bool)
+    hits = ~is_lit
+    n_hit = _seg_sum(hits.astype(np.int64), pair_off)
+    hit_base = np.concatenate([[0], np.cumsum(n_hit)])[:-1]
+    lit_base = np.concatenate([[0], np.cumsum(m - n_hit)])[:-1]
+    hit_rank = np.cumsum(hits) - 1    # global hit index (valid at hits)
+    lit_rank = np.cumsum(is_lit) - 1
+    codes_start = bm_start + bm_len
+    lit_start = codes_start + n_hit
+    pairs16 = np.empty(P, dtype=np.uint32)
+    code_pos = (np.repeat(codes_start - hit_base, m) + hit_rank)[hits]
+    code = enc[code_pos].astype(np.int64)
+    tpos = np.repeat(starts + 1, m)[hits] + 2 * code
+    pairs16[hits] = enc[tpos].astype(np.uint32) | (
+        enc[tpos + 1].astype(np.uint32) << np.uint32(8))
+    lit_pos = (np.repeat(lit_start - 2 * lit_base, m) + 2 * lit_rank)[is_lit]
+    pairs16[is_lit] = enc[lit_pos].astype(np.uint32) | (
+        enc[lit_pos + 1].astype(np.uint32) << np.uint32(8))
+    # rows hold an even pair count (m = 2n), so the global low/high
+    # interleave reconstructs each value from its own row's pairs
+    vals = pairs16[0::2] | (pairs16[1::2] << np.uint32(16))
+    _place_segments_u32(flat, vals, np.concatenate([[0], np.cumsum(nr)]),
+                        offsets[:-1][live])
+    return flat, offsets
 
 
 def _rle_costs(flat: np.ndarray, offsets: np.ndarray,
@@ -467,6 +608,9 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if name == "dict":
             out, ooff = _dict_encode_rows(flat, offsets)
             return out, ooff, codec_ids
+        if name == "fsst":
+            out, ooff = _fsst_encode_rows(flat, offsets)
+            return out, ooff, codec_ids
 
     def _encode_group(name, g_flat, g_offsets, g_rows):
         if name in ("svb", "svb0124"):
@@ -479,6 +623,8 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
             return _bitpack_encode_rows(g_flat, g_offsets, name == "for")
         if name == "dict":
             return _dict_encode_rows(g_flat, g_offsets)
+        if name == "fsst":
+            return _fsst_encode_rows(g_flat, g_offsets)
         fn = select.REGISTRY[name].encode
         bufs = [fn(g_flat[g_offsets[i]:g_offsets[i + 1]]) for i in range(g_rows)]
         enc = np.frombuffer(b"".join(bufs), dtype=np.uint8)
@@ -501,10 +647,7 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
             # almost-complete token subset (_subset_rows' gather index) costs
             # more than the whole-batch encode itself (measured ~1.1s subset
             # vs ~0.3s full svb encode on an 8M-token batch); the minority
-            # rows' wasted encode work is bounded by < 50% of the batch.
-            # Only for VECTORIZED kernels: fsst's "whole-batch" encode is a
-            # per-row registry loop, where encoding discarded minority rows
-            # costs real per-row sorts for nothing
+            # rows' wasted encode work is bounded by < 50% of the batch
             enc, eoff = _encode_group(name, flat, offsets, R)
             starts = eoff[:-1][rows]
             sz = (eoff[1:] - eoff[:-1])[rows]
@@ -566,6 +709,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
                                     CODEC_NAMES[unique_cids[0]] == "for")
     if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "dict":
         return _dict_decode_rows(enc, enc_offsets, n_toks)
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "fsst":
+        return _fsst_decode_rows(enc, enc_offsets, n_toks)
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
     for cid in unique_cids:
@@ -586,6 +731,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
             vals, voff = _bitpack_decode_rows(sub_enc, sub_eoff, sub_n, name == "for")
         elif name == "dict":
             vals, voff = _dict_decode_rows(sub_enc, sub_eoff, sub_n)
+        elif name == "fsst":
+            vals, voff = _fsst_decode_rows(sub_enc, sub_eoff, sub_n)
         else:
             fn = select.REGISTRY[name].decode
             parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))

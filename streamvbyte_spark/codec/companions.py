@@ -201,8 +201,13 @@ def _fsst_pairs(v: np.ndarray) -> np.ndarray:
 
 def _fsst_table(pair_ids: np.ndarray) -> np.ndarray:
     uniq, counts = np.unique(pair_ids, return_counts=True)
-    # symbols must save space: 2 bytes -> 1 byte only helps if freq*1 > 2 (table cost)
-    order = np.argsort(counts)[::-1]
+    # symbols must save space: 2 bytes -> 1 byte only helps if freq*1 > 2
+    # (table cost).  Rank by (count desc, pair value desc) — lexsort is
+    # STABLE, so the tie order is deterministic; an unstable argsort(counts)
+    # would make WHICH equal-count pairs enter a full (255-cap) table depend
+    # on sort internals, breaking byte-parity with the whole-batch kernel
+    # (batched._fsst_encode_rows) that must reproduce this table exactly.
+    order = np.lexsort((uniq, counts))[::-1]
     take = uniq[order[:_FSST_MAX_SYMBOLS]]
     take = take[counts[order[:_FSST_MAX_SYMBOLS]] >= 3]
     return np.sort(take)

@@ -34,7 +34,8 @@ def gen_mixed(n):
     return (RNG.zipf(1.2, size=n) % 50257).astype(np.uint32)
 
 
-@pytest.mark.parametrize("codec", ["svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle"])
+@pytest.mark.parametrize("codec", ["svb", "svb0124", "svb_delta", "bitpack",
+                                   "for", "dict", "rle", "fsst"])
 def test_fixed_codec_matches_core_per_row(codec):
     arrays, flat, offsets = make_rows(EDGE_LENGTHS, gen_mixed)
     out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec)
@@ -91,6 +92,39 @@ def test_fsst_cost_vectorized_exact():
     for i, a in enumerate(arrays):
         want = companions.fsst_cost(a)
         assert got[i] == want == len(companions.fsst_encode(a)), i
+
+
+def test_fsst_whole_batch_byte_parity_cap_and_ties():
+    """_fsst_encode_rows must reproduce companions.fsst_encode byte-for-byte
+    on the adversarial shapes: a row whose 255-symbol cap binds among
+    EQUAL-count pairs (the tie order decides WHICH pairs enter the table),
+    an all-hits row, an all-escapes row, and empty rows."""
+    from streamvbyte_spark.codec import companions
+    extra = [
+        # 400 distinct pairs, every count == 3: cap + tie order bind
+        np.repeat(np.arange(400, dtype=np.uint32) * 65537 + 7, 3),
+        # heavy repetition: every pair a table hit
+        np.tile(np.arange(8, dtype=np.uint32) * 16909320, 50),
+        # all pairs unique: zero-symbol table, all escapes
+        np.arange(100, dtype=np.uint32) * 131075 + 11,
+        np.zeros(0, np.uint32),
+        np.array([7], np.uint32),
+    ]
+    arrays, flat, offsets = make_rows(EDGE_LENGTHS, gen_mixed)
+    arrays = arrays + extra
+    flat = np.concatenate([flat] + extra).astype(np.uint32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([a.size for a in arrays])]).astype(np.int64)
+    out, ooff = batched._fsst_encode_rows(flat, offsets)
+    for i, a in enumerate(arrays):
+        got = out[ooff[i]:ooff[i + 1]].tobytes()
+        want = companions.fsst_encode(a)
+        assert got == want, f"row {i} len {a.size}"
+        assert len(got) == companions.fsst_cost(a)  # cost == len(encode)
+    n_toks = np.array([a.size for a in arrays], dtype=np.int64)
+    vflat, voff = batched._fsst_decode_rows(out, ooff, n_toks)
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(vflat[voff[i]:voff[i + 1]], a)
 
 
 def test_auto_full_includes_fsst():
