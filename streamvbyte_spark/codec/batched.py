@@ -256,16 +256,31 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
     row_data_base = _row_base_at(ends, offsets[:-1])
     src = _scratch("dec_src", V, idt)
     np.subtract(ends, lens, out=src, casting="unsafe")
-    src -= np.repeat((row_data_base - enc_offsets[:-1] - key_len).astype(idt), nr)
     # ONE unconditional little-endian 4-byte load per value (a stride-1
-    # uint32 view over the padded buffer) + per-length mask LUT: the NumPy
+    # uint32 view over a padded buffer) + per-length mask LUT: the NumPy
     # analog of the reference's unconditional 16B SIMD load + shuffle-mask
     # (src/streamvbyte_x64_decode.c:10-26); pad 4 because a 0124 zero
-    # (len 0) at stream end has src == enc.size.  ~2x the 4-byte-gather
+    # (len 0) at stream end has src == buffer end.  ~2x the 4-byte-gather
     # + shift approach this replaces.
-    enc_p = _scratch("dec_encp", enc.size + 4, np.uint8)
-    enc_p[:enc.size] = enc
-    enc_p[enc.size:] = 0
+    if n_values is None:
+        src -= np.repeat((row_data_base - enc_offsets[:-1] - key_len).astype(idt), nr)
+        enc_p = _scratch("dec_encp", enc.size + 4, np.uint8)
+        enc_p[:enc.size] = enc
+        enc_p[enc.size:] = 0
+    else:
+        # prefix mode: copying the ENTIRE encoded buffer into the padded
+        # scratch would cost O(full stream bytes) per batch; gather only
+        # each row's PREFIX data segment (key_len addresses the data base;
+        # pdata = the prefix's own byte span) so memory traffic stays
+        # O(prefix) end-to-end
+        pdata = _seg_sum(lens, offsets)
+        cd_off = np.concatenate([[0], np.cumsum(pdata)])
+        total = int(cd_off[-1])
+        enc_p = _scratch("dec_encp", total + 4, np.uint8)
+        _gather_segments(enc_p[:total], enc, enc_offsets[:-1] + key_len,
+                         pdata, cd_off)
+        enc_p[total:total + 4] = 0
+        src -= np.repeat((row_data_base - cd_off[:-1]).astype(idt), nr)
     u32 = np.ndarray((enc_p.size - 3,), np.uint32, buffer=enc_p, strides=(1,))
     vals = u32[src]  # fancy-index gather beats np.take's bounds-check path
     vals &= _MASK_BY_LEN[lens]

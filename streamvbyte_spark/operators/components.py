@@ -10,9 +10,10 @@ are almost-cliques, so convergence takes O(cluster diameter) ~ 2-4 rounds):
 
 Each round is one equi-join + one min-aggregation — both shuffle on doc_id,
 and AQE reuses the same hash partitioning across rounds.  Lineage is
-truncated per round with localCheckpoint so the plan stays O(1) deep (on a
-production cluster point spark.sparkContext.setCheckpointDir at durable
-storage and use checkpoint() for fault tolerance across round failures).
+truncated per round via operators.staging.materialize: localCheckpoint by
+default, or a durable checkpoint() against ``spark.svb.stageCheckpointDir``
+when that conf is set (on a production cluster point it at durable storage
+so a lost executor replays from the checkpoint instead of failing the job).
 
 The driver-gate oracle computes the same components exactly with a DuckDB
 recursive CTE (queries.py: dedup_components).
@@ -23,24 +24,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .staging import materialize
+
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """(doc_a, doc_b) candidate pairs -> (doc_id, component_id) where
     component_id = lexicographic min doc_id of the component."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .union(pairs.select(F.col("doc_b").alias("a"),
-                                 F.col("doc_a").alias("b")))
-             .localCheckpoint())
+    edges = materialize(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"),
+                            F.col("doc_a").alias("b"))))
     labels = (edges.select(F.col("a").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")))
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges["b"] == labels["doc_id"])
                .select(F.col("a").alias("doc_id"), "label"))
-        new = (labels.unionByName(nbr)
-               .groupBy("doc_id").agg(F.min("label").alias("label"))
-               .localCheckpoint())
+        new = materialize(
+            labels.unionByName(nbr)
+            .groupBy("doc_id").agg(F.min("label").alias("label")))
         changed = (new.withColumnRenamed("label", "new_label")
                    .join(labels, "doc_id")
                    .where(F.col("new_label") != F.col("label")).count())

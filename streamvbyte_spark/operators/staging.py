@@ -1,0 +1,36 @@
+"""Materialization policy for staged subplans and iterative algorithms.
+
+The self-join pipeline queries materialize their expensive subtrees before
+the final join (queries.SPARK_STAGES), and connected_components truncates
+its lineage every round.  Both default to ``localCheckpoint`` — blocks live
+on executor local storage, which is fast but LOST-EXECUTOR-FATAL on a real
+cluster (the r3 verdict's durability gap).
+
+Setting ``spark.svb.stageCheckpointDir`` (a Spark conf, settable per
+session) switches every such materialization to a reliable ``checkpoint()``
+against that directory: on a production cluster point it at durable storage
+(HDFS/S3) and a lost executor replays from the checkpoint instead of
+killing the query.  Results are identical either way — only the storage of
+the truncated plan differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+STAGE_CHECKPOINT_CONF = "spark.svb.stageCheckpointDir"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly truncate df's lineage to its computed rows.
+
+    localCheckpoint by default; durable checkpoint() when
+    STAGE_CHECKPOINT_CONF names a directory."""
+    spark = df.sparkSession
+    ckdir = spark.conf.get(STAGE_CHECKPOINT_CONF, "")
+    if ckdir:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() != ckdir:
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

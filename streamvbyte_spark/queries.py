@@ -227,6 +227,12 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 # registry
 # ---------------------------------------------------------------------------
 
+# live stage views per (session id, query name): lets a new invocation drop
+# its predecessor's views (releasing their checkpointed plans) while two
+# DIFFERENT concurrent invocations keep disjoint uuid-suffixed names
+_STAGE_VIEWS: dict[tuple[int, str], tuple[str, ...]] = {}
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
@@ -539,6 +545,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same sf dir can't clobber each other's staging mid-read.  Each
         # invocation reaps siblings whose owning process is gone, so dead
         # pids don't accumulate copies in /tmp across rounds.
+        import time
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         prefix = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}_"
         for stale in glob.glob(prefix + "*"):
@@ -546,11 +553,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if pid_s == str(os.getpid()) or not pid_s.isdigit():
                 continue
             try:
+                age = time.time() - os.path.getmtime(stale)
+            except OSError:
+                age = 0.0
+            if age > 86400:
+                # a recycled pid can look alive forever (and PermissionError
+                # rows are never reclaimed by the liveness probe): anything
+                # older than a day is stale regardless of apparent liveness
+                shutil.rmtree(stale, ignore_errors=True)
+                continue
+            try:
                 os.kill(int(pid_s), 0)  # raises if the owner is gone
             except ProcessLookupError:
                 shutil.rmtree(stale, ignore_errors=True)
             except PermissionError:
-                pass  # alive under another uid: leave it
+                pass  # alive under another uid and fresh: leave it
         tmp = prefix + str(os.getpid())
         write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
         back = tokens_from_jsonl(spark, tmp + "/j")
@@ -664,19 +681,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if staged is None:
                 return spark.sql(pipeline_sql.spark_sql(name))
             # self-join queries: materialize the signature/bands pipeline
-            # ONCE (localCheckpoint truncates the plan to the stored rows),
-            # then self-join the materialized view — otherwise Catalyst
-            # inlines the CTE and executes the whole scan->signature subtree
-            # on BOTH join sides (the 100 TB plan flaw; see
-            # pipeline_sql.SPARK_STAGES).  On a production cluster swap
-            # localCheckpoint for checkpoint() on durable storage, or stage
-            # the signature table to parquet.
+            # ONCE (operators.staging.materialize — localCheckpoint, or a
+            # durable checkpoint() when spark.svb.stageCheckpointDir is
+            # set), then self-join the materialized view — otherwise
+            # Catalyst inlines the CTE and executes the whole
+            # scan->signature subtree on BOTH join sides (the 100 TB plan
+            # flaw; see pipeline_sql.SPARK_STAGES).  Stage views get a
+            # per-invocation suffix so two staged queries built and run
+            # concurrently in one session cannot clobber each other's
+            # materialized tables between build and execution; the previous
+            # invocation's views for this query are dropped (same replace
+            # semantics as before, without pinning stale checkpoints).
+            import uuid
+            from .operators.staging import materialize
             d = pipeline_sql.Dialect("spark")
             stages, final = staged
+            tag = uuid.uuid4().hex[:8]
+            mapping = {view: f"{view}_{tag}" for view, _ in stages}
+            renames = sorted(mapping.items(), key=lambda kv: -len(kv[0]))
+            for old_view in _STAGE_VIEWS.pop((id(spark), name), ()):
+                spark.catalog.dropTempView(old_view)
             for view, sql_fn in stages:
-                spark.sql(sql_fn(d)).localCheckpoint(eager=True) \
-                    .createOrReplaceTempView(view)
-            return spark.sql(final(d))
+                sql = sql_fn(d)
+                for o, n in renames:
+                    sql = sql.replace(o, n)
+                materialize(spark.sql(sql)) \
+                    .createOrReplaceTempView(mapping[view])
+            fsql = final(d)
+            for o, n in renames:
+                fsql = fsql.replace(o, n)
+            _STAGE_VIEWS[(id(spark), name)] = tuple(mapping.values())
+            return spark.sql(fsql)
         return run
 
     for name in pipeline_sql.PIPELINE_QUERIES:

@@ -346,6 +346,49 @@ def test_neardup_final_pre_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_durable_checkpoint_stage_mode(spark):
+    """With spark.svb.stageCheckpointDir set, staged views and
+    connected_components use reliable checkpoint() — identical results,
+    checkpoint files actually written (r3 verdict item 5)."""
+    import os
+    import streamvbyte_spark.queries as Q
+    from streamvbyte_spark.operators.components import connected_components
+    from streamvbyte_spark.operators.staging import STAGE_CHECKPOINT_CONF
+    queries = Q.build_queries()
+    base = queries["ann_lsh"](spark, SF).collect()
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string")
+    base_cc = sorted(map(tuple, connected_components(pairs).collect()))
+    tmp = tempfile.mkdtemp(prefix="svb_ck_")
+    try:
+        spark.conf.set(STAGE_CHECKPOINT_CONF, tmp)
+        durable = queries["ann_lsh"](spark, SF).collect()
+        assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
+        durable_cc = sorted(map(tuple, connected_components(pairs).collect()))
+        assert durable_cc == base_cc == [("a", "a"), ("b", "a"), ("c", "a"),
+                                         ("x", "x"), ("y", "x")]
+        walked = [f for _, _, fs in os.walk(tmp) for f in fs]
+        assert walked, "durable mode wrote no checkpoint files"
+    finally:
+        spark.conf.unset(STAGE_CHECKPOINT_CONF)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stage_views_isolated_per_invocation(spark):
+    """Two invocations of the same staged query must not share stage-view
+    names: building query B between building and executing query A used to
+    clobber A's materialized table silently."""
+    import streamvbyte_spark.queries as Q
+    queries = Q.build_queries()
+    df_a = queries["ann_lsh"](spark, SF)      # built, not yet executed
+    df_b = queries["ann_lsh"](spark, SF)      # second build, new views
+    # A's plan resolved against ITS uuid-suffixed view at build time;
+    # executing both after B's build must still agree
+    assert "svb_stage_lsh_b_" in df_a._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, df_a.collect())) == \
+           sorted(map(tuple, df_b.collect()))
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Bucketed-by-doc_id tables co-locate the encode-verification join: the
     SortMergeJoin plans with ZERO Exchange (the 'bucketing for co-located
