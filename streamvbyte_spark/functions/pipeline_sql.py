@@ -802,7 +802,7 @@ PACK_CAP = 256  # tokens per training sequence (small so sf0.01 yields many pack
 PACK_BUCKET_WIDTH = 64
 
 
-def q_sequence_pack(d: Dialect) -> str:
+def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     """Fixed-length training-sequence packing metrics: each source's token
     stream (docs concatenated in doc_id order) is cut every PACK_CAP tokens;
     a doc spans packs floor(start/CAP)..floor(end/CAP).  Output per
@@ -820,12 +820,19 @@ def q_sequence_pack(d: Dialect) -> str:
     offsets with a window over that tiny table, and BROADCAST-joins the
     offsets back: cum = cum_local + bucket_offset, identical to the
     single-window value.  The DuckDB oracle keeps the one-window form, so the
-    gate proves the decomposition exact."""
+    gate proves the decomposition exact.
+
+    The decomposition is exact for ANY bucket expression MONOTONE
+    NON-DECREASING in the doc_id order.  Default: the numeric range bucket
+    doc_id div PACK_BUCKET_WIDTH.  For non-numeric doc_id columns the caller
+    (queries.make_pipeline, which sees the table schema) passes a string-
+    prefix bucket instead — a prefix is monotone under the lexicographic
+    order both engines use for strings."""
     tok = (f"select doc_id, {d.alen(d.tokens())} as n_tok, source "
            "from documents")
     # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
     if d.kind == "spark":
-        bkt = d.idiv("doc_id", str(PACK_BUCKET_WIDTH))
+        bkt = bucket_expr or d.idiv("doc_id", str(PACK_BUCKET_WIDTH))
         cum = (
             "select /*+ BROADCAST(b) */ doc_id, source, n_tok, "
             "cum_local + boff as cum from ("

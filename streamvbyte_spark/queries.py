@@ -679,6 +679,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .createOrReplaceTempView(t)
             staged = pipeline_sql.SPARK_STAGES.get(name)
             if staged is None:
+                if name == "sequence_pack":
+                    # the two-level prefix sum needs a bucket expression
+                    # monotone in the doc_id ORDER: numeric range bucket for
+                    # numeric ids, lexicographic string prefix otherwise
+                    # (schema known only here)
+                    from pyspark.sql.types import NumericType
+                    dtype = spark.table("documents").schema["doc_id"].dataType
+                    bucket = None if isinstance(dtype, NumericType) else \
+                        "substring(cast(doc_id as string), 1, 2)"
+                    return spark.sql(pipeline_sql.q_sequence_pack(
+                        pipeline_sql.Dialect("spark"), bucket_expr=bucket))
                 return spark.sql(pipeline_sql.spark_sql(name))
             # self-join queries: materialize the signature/bands pipeline
             # ONCE (operators.staging.materialize — localCheckpoint, or a
