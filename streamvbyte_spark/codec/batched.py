@@ -853,6 +853,66 @@ def max_compressed_bytes_rows(n_toks: np.ndarray) -> np.ndarray:
     return (n + 3) // 4 + 4 * n + 16
 
 
+# ---------------------------------------------------- roundtrip fingerprint
+
+# constants of queries._FP_BODY — the driver-gate scalar that proves
+# decode(encode(x)) == x: fp = fold over tokens of ((acc*31 + t) mod p,
+# normalized to [0, p)).  Both must stay in sync with the SQL text.
+_FP_P = 1_000_000_007
+_FP_B = 31
+
+_fp_pow = np.ones(1, dtype=np.uint64)  # 31^k mod p, grown on demand
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """Power table 31^k mod p for k < n (process-lifetime cache, grows to the
+    longest row ever seen — the Python extension loop runs once per size)."""
+    global _fp_pow
+    if _fp_pow.size < n:
+        size = max(n, 2 * _fp_pow.size)
+        ext = np.empty(size, np.uint64)
+        ext[:_fp_pow.size] = _fp_pow
+        for i in range(_fp_pow.size, size):
+            ext[i] = ext[i - 1] * _FP_B % _FP_P
+        _fp_pow = ext
+    return _fp_pow
+
+
+def fingerprint_rows(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row polynomial fingerprint, bit-identical to the SQL fold
+    ``aggregate(tokens, 0L, (acc, t) -> ((acc*31 + t) % p + p) % p)``
+    (queries._FP_BODY) that the DuckDB oracles compute over the ORIGINAL
+    tokens.  ``flat`` carries the SIGNED token values (int32 view for
+    decoded streams — zigzag rows are negative); empty rows fold to 0.
+
+    Closed form per row: fp = (sum_j norm(t_j) * 31^(L-1-j)) mod p with
+    norm(t) = t mod p in [0, p) — equal to the left fold because mod is a
+    ring homomorphism.  All products stay < 2^60 (two factors < 2^30) and
+    the one global cumsum stays < 2^61 for any int32-offset Arrow batch, so
+    uint64 arithmetic is exact end-to-end.  Replaces the interpreted
+    CodegenFallback ``aggregate()`` pass (~10x/element; CLAUDE.md) that
+    previously taxed every round-trip query."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nr = offsets[1:] - offsets[:-1]
+    V = int(offsets[-1]) if offsets.size else 0
+    if V == 0:
+        return np.zeros(nr.size, dtype=np.int64)
+    v = np.remainder(np.asarray(flat[:V]).astype(np.int64),
+                     _FP_P).astype(np.uint64)
+    pw = _fp_powers(int(nr.max()))
+    # position-from-end exponent: element at global index g of row i gets
+    # 31^(end_i - 1 - g)
+    rev = np.repeat(offsets[1:], nr)
+    rev -= 1 + np.arange(V, dtype=np.int64)
+    v *= pw[rev]
+    v %= np.uint64(_FP_P)
+    c = np.empty(V + 1, dtype=np.uint64)
+    c[0] = 0
+    np.cumsum(v, out=c[1:])
+    return ((c[offsets[1:]] - c[offsets[:-1]]) %
+            np.uint64(_FP_P)).astype(np.int64)
+
+
 def truncate_rows(enc: np.ndarray, enc_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Drop the LAST byte of every nonempty row segment (corrupt-stream test
     harness: any valid nonzero-count stream becomes length-inconsistent)."""

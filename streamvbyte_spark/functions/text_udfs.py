@@ -66,6 +66,23 @@ def doc_simhash(tokens: pd.Series) -> pd.Series:
     return pd.Series(simhash_batch(lens, flat))
 
 
+@pandas_udf(LongType())
+def doc_fingerprint(tokens: pd.Series) -> pd.Series:
+    """Round-trip polynomial fingerprint of a token array, identical to the
+    SQL fold queries._FP_BODY (vectorized: codec.batched.fingerprint_rows).
+    For tokens produced by a JVM-side stage (JSONL reader, groupBy
+    reassembly) where no decode kernel exists to fuse the fold into; decode
+    paths use the kernels' fingerprint=True mode instead."""
+    from ..codec.batched import fingerprint_rows
+    arrs = [np.asarray(t, dtype=np.int64) for t in tokens]
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+    offsets = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return pd.Series(fingerprint_rows(flat, offsets))
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Register the text-analysis UDFs under stable SQL names."""
     spark.udf.register("doc_simhash", doc_simhash)
+    spark.udf.register("doc_fingerprint", doc_fingerprint)

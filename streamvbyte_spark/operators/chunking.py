@@ -171,7 +171,8 @@ def _flush_doc_batches(doc_ids: np.ndarray, flat: np.ndarray,
 
 
 def decode_reassemble_fused(enc_df: DataFrame,
-                            max_len: int | None = None) -> DataFrame:
+                            max_len: int | None = None,
+                            fingerprint: bool = False) -> DataFrame:
     """Decode + reassemble AFTER one hash shuffle, whole-batch (mapInArrow).
 
     The separate decode->reassemble pipeline must re-shuffle DECODED tokens
@@ -203,7 +204,12 @@ def decode_reassemble_fused(enc_df: DataFrame,
     shuffle (a pushable predicate when the chunked table is read from
     storage), so neither the wire nor the decoder ever sees the tail; the
     one straddling chunk prefix-decodes its first (max_len - tok_start)
-    tokens via the delta prefix path."""
+    tokens via the delta prefix path.
+
+    fingerprint=True emits (doc_id, n_tok, fingerprint) — the per-document
+    polynomial fold computed in-kernel over the reassembled flat vector
+    (codec.batched.fingerprint_rows), never materializing token-array cells
+    (and so also free of the single-doc 2^31 Arrow-cell ceiling)."""
     cols = ["doc_id", "chunk_id", "n_tok", "prev", "encoded"]
     pruned = enc_df
     if max_len is not None:
@@ -243,6 +249,14 @@ def decode_reassemble_fused(enc_df: DataFrame,
             starts = np.concatenate(
                 ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             doc_tok_off = offs[np.concatenate((starts, [ids.size]))]
+            if fingerprint:
+                fp = batched.fingerprint_rows(flat.view(np.int32), doc_tok_off)
+                nr = (doc_tok_off[1:] - doc_tok_off[:-1]).astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids[starts], pa.string()),
+                     pa.array(nr, pa.int32()), pa.array(fp, pa.int64())],
+                    names=["doc_id", "n_tok", "fingerprint"])
+                return
             yield from _flush_doc_batches(ids[starts], flat, doc_tok_off)
 
         # tail run (last doc_id) carried across Arrow batches as a LIST of
@@ -290,4 +304,6 @@ def decode_reassemble_fused(enc_df: DataFrame,
         if pend and sum(p[0].size for p in pend):
             yield from decode_runs(*merge(pend))
 
-    return part.mapInArrow(run, "doc_id string, tokens array<int>, n_tok int")
+    return part.mapInArrow(
+        run, "doc_id string, n_tok int, fingerprint bigint" if fingerprint
+        else "doc_id string, tokens array<int>, n_tok int")

@@ -34,6 +34,7 @@ ENCODED_SCHEMA = (
     "tok_min bigint, tok_max bigint"
 )
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+DECODED_FP_SCHEMA = "doc_id string, n_tok int, source string, fingerprint bigint"
 
 
 def _list_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -95,13 +96,22 @@ def _binary_array(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
 def encode_table(df: DataFrame, codec: str = "auto",
                  candidates: tuple[str, ...] = batched.VECTOR_COST_CODECS,
                  range_partitions: int | None = None,
-                 salt_partitions: int | None = None) -> DataFrame:
+                 salt_partitions: int | None = None,
+                 flat_transform=None) -> DataFrame:
     """Encode tokens -> (codec, encoded, lineage).
 
     range_partitions: repartitionByRange on doc_id so encoded block boundaries
     align with doc_id ranges (scan/prune-friendly at the Iceberg layer).
     salt_partitions: hash-salted repartition that breaks up skewed sources —
     AQE fixes join skew but not UDF-stage skew, so this is explicit.
+    flat_transform: optional elementwise uint32[V] -> uint32[V] numpy
+    function applied to the flat token vector INSIDE the encode kernel — a
+    cheap map-side projection fused into the encode stage instead of a
+    separate column pass (a Spark ``transform()`` HOF over long arrays is a
+    CodegenFallback node interpreted per element, and a pandas-UDF stage
+    pays an extra Arrow crossing of the 4 B/token column).  Lineage
+    (checksum, zone maps) and the round trip describe the TRANSFORMED
+    values.
     """
     if range_partitions:
         df = df.repartitionByRange(range_partitions, "doc_id")
@@ -116,6 +126,8 @@ def encode_table(df: DataFrame, codec: str = "auto",
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("tokens")))
+            if flat_transform is not None:
+                flat = flat_transform(flat)
             out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec,
                                                   candidates=candidates)
             nr = offsets[1:] - offsets[:-1]
@@ -150,8 +162,15 @@ def encode_table(df: DataFrame, codec: str = "auto",
     return df.mapInArrow(run, ENCODED_SCHEMA)
 
 
-def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
-    """Encoded table -> token table; bit-identical to the pre-encode input."""
+def decode_table(enc_df: DataFrame, verify_checksum: bool = True,
+                 fingerprint: bool = False) -> DataFrame:
+    """Encoded table -> token table; bit-identical to the pre-encode input.
+
+    fingerprint=True emits (doc_id, n_tok, source, fingerprint) instead of
+    the token arrays — the round-trip queries' driver-gate shape.  The
+    polynomial fold (codec.batched.fingerprint_rows) runs on the decoded
+    flat vector INSIDE this kernel, so the 4 B/token column never crosses
+    back to the JVM and no interpreted ``aggregate()`` pass remains."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -169,6 +188,16 @@ def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
                 if bad.size:
                     doc = batch.column(cols["doc_id"])[int(bad[0])]
                     raise ValueError(f"checksum mismatch decoding doc_id={doc}")
+            if fingerprint:
+                fp = batched.fingerprint_rows(flat.view(np.int32), offsets)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(cols["doc_id"]),
+                     pa.array(n_toks.astype(np.int32), pa.int32()),
+                     batch.column(cols["source"]),
+                     pa.array(fp, pa.int64())],
+                    names=["doc_id", "n_tok", "source", "fingerprint"],
+                )
+                continue
             tok = pa.ListArray.from_arrays(
                 pa.array(_i32_offsets(offsets), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()),
@@ -183,15 +212,19 @@ def decode_table(enc_df: DataFrame, verify_checksum: bool = True) -> DataFrame:
                 names=["doc_id", "tokens", "n_tok", "source"],
             )
 
-    return enc_df.mapInArrow(run, DECODED_SCHEMA)
+    return enc_df.mapInArrow(
+        run, DECODED_FP_SCHEMA if fingerprint else DECODED_SCHEMA)
 
 
-def decode_table_prefix(enc_df: DataFrame, max_len: int) -> DataFrame:
+def decode_table_prefix(enc_df: DataFrame, max_len: int,
+                        fingerprint: bool = False) -> DataFrame:
     """Decode only the first min(max_len, n_tok) tokens of each document —
     the truncate-to-max-seq-len operator of a training pipeline, pushed into
     the codec: svb-family rows decode O(prefix) work/output via the control
     bytes (codec.batched.decode_prefix_rows), never materializing the tail.
-    Output n_tok is the TRUNCATED length."""
+    Output n_tok is the TRUNCATED length.  fingerprint=True emits the
+    in-kernel polynomial fold of the PREFIX instead of the token arrays
+    (see decode_table)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -203,18 +236,27 @@ def decode_table_prefix(enc_df: DataFrame, max_len: int) -> DataFrame:
             cids = np.array([batched.CODEC_ID[n] for n in names], dtype=np.int32)
             flat, offsets = batched.decode_prefix_rows(
                 enc, eoff, n_toks, cids, max_len)
+            nr = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            if fingerprint:
+                fp = batched.fingerprint_rows(flat.view(np.int32), offsets)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(cols["doc_id"]), pa.array(nr, pa.int32()),
+                     batch.column(cols["source"]), pa.array(fp, pa.int64())],
+                    names=["doc_id", "n_tok", "source", "fingerprint"],
+                )
+                continue
             tok = pa.ListArray.from_arrays(
                 pa.array(_i32_offsets(offsets), pa.int32()),
                 pa.array(flat.view(np.int32), pa.int32()),
             )
-            nr = (offsets[1:] - offsets[:-1]).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(cols["doc_id"]), tok,
                  pa.array(nr, pa.int32()), batch.column(cols["source"])],
                 names=["doc_id", "tokens", "n_tok", "source"],
             )
 
-    return enc_df.mapInArrow(run, DECODED_SCHEMA)
+    return enc_df.mapInArrow(
+        run, DECODED_FP_SCHEMA if fingerprint else DECODED_SCHEMA)
 
 
 def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> int:

@@ -166,6 +166,14 @@ EMB_TOKENS_SPARK = "transform(embedding, x -> cast(floor(cast(x as double) * 100
 # side and the ORIGINAL tokens on the DuckDB side, alongside n_tok.  The fold
 # is normalized to [0, p) so signed (zigzag) token values hash identically in
 # both engines' remainder semantics.
+#
+# Spark-side evaluation: the decode kernels fold the decoded flat vector
+# in-kernel (codec.batched.fingerprint_rows — fingerprint=True modes of
+# decode_table / decode_table_prefix / decode_reassemble_fused /
+# _signed_roundtrip), and JVM-produced token columns go through the
+# doc_fingerprint pandas UDF.  The spark_fingerprint() SQL text below is the
+# REFERENCE form the kernel must match (tests assert parity); the DuckDB
+# oracle renders the same fold via duckdb_fingerprint().
 # ---------------------------------------------------------------------------
 
 _FP_BODY = "((acc * 31 + t) % 1000000007 + 1000000007) % 1000000007"
@@ -189,8 +197,13 @@ def duckdb_fingerprint(col: str = "tokens") -> str:
 # Spark-side helpers
 # ---------------------------------------------------------------------------
 
-def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool) -> DataFrame:
-    """Encode int32 arrays as svb_zigzag / svb_zz_delta streams, decode back."""
+def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool,
+                      fingerprint: bool = False) -> DataFrame:
+    """Encode int32 arrays as svb_zigzag / svb_zz_delta streams, decode back.
+
+    fingerprint=True folds the decoded SIGNED values to the driver-gate
+    scalar in-kernel (batched.fingerprint_rows) — no interpreted
+    aggregate() pass, no token column crossing back to the JVM."""
     codec = "svb_zz_delta" if delta else "svb_zigzag"
 
     def run(batches):
@@ -205,14 +218,24 @@ def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool) -> DataFrame:
             enc, eoff = batched.encode_signed_rows(flat, offsets, delta=delta)
             n_toks = offsets[1:] - offsets[:-1]
             dec_flat, dec_off = batched.decode_signed_rows(enc, eoff, n_toks, delta=delta)
+            ident = batch.column(batch.schema.get_field_index(id_col))
+            if fingerprint:
+                fp = batched.fingerprint_rows(dec_flat, dec_off)
+                nr = (dec_off[1:] - dec_off[:-1]).astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [ident, pa.array(nr, pa.int32()),
+                     pa.array(fp, pa.int64())],
+                    names=[id_col, "n_tok", "fingerprint"])
+                continue
             from .operators.encode import _i32_offsets
             tok = pa.ListArray.from_arrays(pa.array(_i32_offsets(dec_off), pa.int32()),
                                            pa.array(dec_flat, pa.int32()))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(batch.schema.get_field_index(id_col)), tok],
-                names=[id_col, "tokens"])
+            yield pa.RecordBatch.from_arrays([ident, tok],
+                                             names=[id_col, "tokens"])
 
-    return df.mapInArrow(run, f"{id_col} string, tokens array<int>")
+    return df.mapInArrow(
+        run, f"{id_col} string, n_tok int, fingerprint bigint" if fingerprint
+        else f"{id_col} string, tokens array<int>")
 
 
 def _encoded(spark: SparkSession, sf_dir: str, codec: str,
@@ -245,10 +268,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def run(spark, sf_dir):
             dec = decode_table(encode_table(
                 tokens_from_documents(spark, sf_dir) if src == "documents"
-                else posting_lists(spark, sf_dir), codec=codec))
-            return dec.select(
-                "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
-                F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+                else posting_lists(spark, sf_dir), codec=codec),
+                fingerprint=True)
+            return dec.select("doc_id", "n_tok", "source", "fingerprint")
         return run
 
     q["svb_roundtrip"] = make_roundtrip("svb", "documents")
@@ -264,10 +286,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id").cast("string").alias("vec_id"),
             F.expr(EMB_TOKENS_SPARK).alias("tokens"))
-        rt = _signed_roundtrip(emb, "vec_id", delta)
-        return rt.select(
-            "vec_id", F.size("tokens").alias("n_tok"),
-            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+        rt = _signed_roundtrip(emb, "vec_id", delta, fingerprint=True)
+        return rt.select("vec_id", "n_tok", "fingerprint")
 
     q["zigzag_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, False)
     q["zzdelta_roundtrip_embeddings"] = lambda s, d: zigzag_roundtrip(s, d, True)
@@ -348,27 +368,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["max_compressed_bound"] = max_compressed_bound
 
     # -- auto_full: the 8-codec selector including fsst (vectorized
-    # _fsst_costs feeds the argmin; winning rows encode via the per-row
-    # registry path).  Run over the FSST_MIX-mapped token table so fsst
+    # _fsst_costs feeds the argmin; winning rows encode via the whole-batch
+    # fsst kernel).  Run over the FSST_MIX-mapped token table so fsst
     # genuinely wins most rows while short rows pick 'for' — the size oracle
-    # (least over all 8 formulas) checks the complete cost model
-    def _fsst_mix_tokens(spark, sf_dir):
-        return tokens_from_documents(spark, sf_dir).select(
-            "doc_id", F.expr(FSST_MIX_SPARK).alias("tokens"),
-            "n_tok", "source")
+    # (least over all 8 formulas) checks the complete cost model.  The
+    # mapping itself runs as a numpy flat_transform INSIDE the encode
+    # kernel: the FSST_MIX_SPARK transform() HOF form was a CodegenFallback
+    # pass interpreted per token (38M interpreted lambda evals at sf0.1);
+    # the DuckDB oracle keeps the list_transform text.
+    def _fsst_mix_flat(flat):
+        # identical arithmetic to FSST_MIX_SPARK/_DUCK for the NON-NEGATIVE
+        # int32 token ids the tokenizer produces (Spark `div` truncates,
+        # numpy // floors — equal on non-negatives)
+        t = flat.astype(np.int64)
+        return ((16384 + (t % 32) * 256) * 65536
+                + ((t // 97) % 32) * 33 + 1).astype(np.uint32)
 
     def auto_full_size(spark, sf_dir):
-        enc = encode_table(_fsst_mix_tokens(spark, sf_dir), codec="auto",
-                           candidates=batched.VECTOR_COST_CODECS_FULL)
+        enc = encode_table(tokens_from_documents(spark, sf_dir), codec="auto",
+                           candidates=batched.VECTOR_COST_CODECS_FULL,
+                           flat_transform=_fsst_mix_flat)
         return enc.select("doc_id", F.col("out_bytes").alias("size_bytes"))
 
     def auto_full_roundtrip(spark, sf_dir):
-        enc = encode_table(_fsst_mix_tokens(spark, sf_dir), codec="auto",
-                           candidates=batched.VECTOR_COST_CODECS_FULL)
-        dec = decode_table(enc)
-        return dec.select(
-            "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
-            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+        enc = encode_table(tokens_from_documents(spark, sf_dir), codec="auto",
+                           candidates=batched.VECTOR_COST_CODECS_FULL,
+                           flat_transform=_fsst_mix_flat)
+        dec = decode_table(enc, fingerprint=True)
+        return dec.select("doc_id", "n_tok", "source", "fingerprint")
 
     q["auto_full_size"] = auto_full_size
     q["auto_full_roundtrip"] = auto_full_roundtrip
@@ -379,10 +406,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline, verified against the oracle's slice of the original tokens
     def truncate_decode(spark, sf_dir, max_len=32):
         from .operators import decode_table_prefix
-        dec = decode_table_prefix(_encoded(spark, sf_dir, "auto"), max_len)
-        return dec.select(
-            "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
-            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+        dec = decode_table_prefix(_encoded(spark, sf_dir, "auto"), max_len,
+                                  fingerprint=True)
+        return dec.select("doc_id", "n_tok", "source", "fingerprint")
 
     q["truncate_decode"] = truncate_decode
 
@@ -571,9 +597,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tmp = prefix + str(os.getpid())
         write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
         back = tokens_from_jsonl(spark, tmp + "/j")
+        from .functions.text_udfs import doc_fingerprint
         return back.select(
             "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
-            F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+            doc_fingerprint("tokens").alias("fingerprint"))
 
     q["jsonl_roundtrip"] = jsonl_roundtrip
 
@@ -597,6 +624,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # reassemble; identity oracle proves the prev chain threads chunk seams
     # exactly (reference delta contract, include/streamvbytedelta.h:17-29)
     def chunked_roundtrip(spark, sf_dir):
+        from .functions.text_udfs import doc_fingerprint
         from .operators.chunking import (chunk_tokens, decode_chunked_delta,
                                          encode_chunked_delta, reassemble)
         post = posting_lists(spark, sf_dir)
@@ -604,7 +632,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             encode_chunked_delta(chunk_tokens(post, chunk_size=8))))
         return re.select("doc_id",
                          F.col("n_tok").cast("int").alias("n_tok"),
-                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+                         doc_fingerprint("tokens").alias("fingerprint"))
 
     q["chunked_roundtrip_postings"] = chunked_roundtrip
 
@@ -616,10 +644,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          encode_chunked_delta)
         post = posting_lists(spark, sf_dir)
         re = decode_reassemble_fused(
-            encode_chunked_delta(chunk_tokens(post, chunk_size=8)))
-        return re.select("doc_id",
-                         F.col("n_tok").cast("int").alias("n_tok"),
-                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+            encode_chunked_delta(chunk_tokens(post, chunk_size=8)),
+            fingerprint=True)
+        return re.select("doc_id", "n_tok", "fingerprint")
 
     q["chunked_fused_roundtrip"] = chunked_fused_roundtrip
 
@@ -633,10 +660,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         post = posting_lists(spark, sf_dir)
         re = decode_reassemble_fused(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8)),
-            max_len=max_len)
-        return re.select("doc_id",
-                         F.col("n_tok").cast("int").alias("n_tok"),
-                         F.expr(spark_fingerprint("tokens")).alias("fingerprint"))
+            max_len=max_len, fingerprint=True)
+        return re.select("doc_id", "n_tok", "fingerprint")
 
     q["chunked_truncate_decode"] = chunked_truncate_decode
 

@@ -299,3 +299,45 @@ def test_truncate_rows_invalidates_all_nonempty():
     t_out, t_ooff = batched.truncate_rows(out, ooff)
     ok = batched.validate_rows(t_out, t_ooff, n_toks)
     np.testing.assert_array_equal(ok, n_toks == 0)
+
+
+def _fp_fold(vals):
+    """The SQL fold (queries._FP_BODY) the kernel must match exactly."""
+    p = 1_000_000_007
+    acc = 0
+    for t in vals:
+        acc = ((acc * 31 + int(t)) % p + p) % p
+    return acc
+
+
+def test_fingerprint_rows_matches_sql_fold():
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(-2 ** 31, 2 ** 31, size=n).astype(np.int32)
+            for n in [0, 1, 2, 5, 63, 64, 65, 1000, 0, 37, 4097]]
+    flat = np.concatenate(rows)
+    off = np.concatenate([[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    got = batched.fingerprint_rows(flat, off)
+    want = np.array([_fp_fold(r) for r in rows], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    # in-range invariant (the SQL fold normalizes to [0, p))
+    assert (got >= 0).all() and (got < 1_000_000_007).all()
+
+
+def test_fingerprint_rows_unsigned_view_equals_signed():
+    """decode kernels pass flat.view(int32): a token with the sign bit set
+    must fingerprint as its SIGNED int32 value, exactly like the SQL fold
+    over the int token column."""
+    v = np.array([0xFFFFFFFF, 0x80000000, 1, 2 ** 31 - 1], dtype=np.uint32)
+    off = np.array([0, 4], dtype=np.int64)
+    got = batched.fingerprint_rows(v.view(np.int32), off)
+    assert got[0] == _fp_fold([-1, -2 ** 31, 1, 2 ** 31 - 1])
+
+
+def test_fingerprint_rows_empty_and_growth():
+    # empty batch, empty rows, then a row longer than any before (power
+    # table growth path)
+    assert batched.fingerprint_rows(
+        np.zeros(0, np.int32), np.array([0, 0, 0], np.int64)).tolist() == [0, 0]
+    long = np.arange(200_000, dtype=np.int32)
+    got = batched.fingerprint_rows(long, np.array([0, long.size], np.int64))
+    assert got[0] == _fp_fold(long)

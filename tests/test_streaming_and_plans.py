@@ -410,3 +410,25 @@ def test_bucketed_tables_join_without_exchange(spark):
     finally:
         spark.sql("drop table if exists t_orig")
         spark.sql("drop table if exists t_enc")
+
+
+def test_roundtrip_plans_carry_no_interpreted_lambda(spark):
+    """Round-trip/truncate queries fold the driver-gate fingerprint inside
+    the decode kernels (batched.fingerprint_rows) and auto_full maps its
+    tokens via encode_table's flat_transform: the interpreted two-arg fold
+    lambda (lambda acc) and any extra ArrowEvalPython stage must be gone
+    from every plan, and postings-based plans (no text tokenizer, whose
+    per-word lambda is a separate known cost) must carry NO lambda at all."""
+    import streamvbyte_spark.queries as Q
+    queries = Q.build_queries()
+    for name in ("svb_roundtrip", "auto_full_roundtrip", "truncate_decode",
+                 "chunked_fused_roundtrip", "chunked_truncate_decode",
+                 "zigzag_roundtrip_embeddings"):
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lambda acc" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+    for name in ("chunked_fused_roundtrip", "chunked_truncate_decode"):
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lambdafunction" not in plan.lower(), (name, plan)
