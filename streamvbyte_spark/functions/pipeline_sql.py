@@ -243,20 +243,20 @@ def q_dedup_simhash(d: Dialect) -> str:
     h(t) = (A*t + B) mod p. All BIGINT; identical in both engines.
 
     Spark side: ONE Arrow-vectorized pandas UDF (functions/text_udfs.
-    doc_simhash) computing the whole 32-bit value per batch — the prior SQL
-    form evaluated 32 separate ``aggregate()`` HOF lambdas per document (each
-    a CodegenFallback interpreted pass over the full token array; the r3
-    verdict's worst remaining hot-path plan).  The DuckDB oracle keeps the
-    32-term fold, so the equality check still proves the UDF bit-for-bit."""
+    doc_simhash_text) computing tokenizer AND the whole 32-bit value per
+    batch from the raw text — the prior SQL form evaluated an interpreted
+    transform() tokenizer per word plus 32 separate ``aggregate()`` HOF
+    lambdas per document (each a CodegenFallback interpreted pass over the
+    full token array; the r3 verdict's worst remaining hot-path plan).  The
+    DuckDB oracle keeps the tokenizer + 32-term fold, so the equality check
+    still proves the fused UDF bit-for-bit."""
     tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     if d.kind == "spark":
         # pinned-count fanout: the UDF stage is CPU-bound over a possibly
         # single-row-group file (see _SCAN_FANOUT note above)
-        tok = (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
-               f"cast(doc_id as string) as doc_id, {d.tokens()} as tokens "
-               "from documents")
-        return (f"with tok as ({tok}) "
-                "select doc_id, doc_simhash(tokens) as simhash from tok")
+        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+                "cast(doc_id as string) as doc_id, "
+                "doc_simhash_text(text) as simhash from documents")
     h = f"(cast({SIMHASH_A} as bigint) * t + {SIMHASH_B}) % {MINHASH_P}"
     bit_terms = []
     for k in range(SIMHASH_BITS):
@@ -619,7 +619,13 @@ def q_lang_id(d: Dialect) -> str:
 
 def q_fingerprint(d: Dialect) -> str:
     """Rolling polynomial hash over token ids (document fingerprint):
-    fold acc = (acc * 31 + t) mod 1e9+7 — exact BIGINT in both engines."""
+    fold acc = (acc * 31 + t) mod 1e9+7 — exact BIGINT in both engines.
+    Spark side: fused text -> fingerprint pandas UDF (doc_fingerprint_text;
+    same rationale as q_dedup_simhash); the oracle keeps the SQL fold."""
+    if d.kind == "spark":
+        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+                "cast(doc_id as string) as doc_id, "
+                "doc_fingerprint_text(text) as fingerprint from documents")
     fp = d.fold0("tokens", "(acc * 31 + t) % 1000000007")
     tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     return f"with tok as ({tok}) select doc_id, {fp} as fingerprint from tok"
@@ -828,7 +834,9 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     (queries.make_pipeline, which sees the table schema) passes a string-
     prefix bucket instead — a prefix is monotone under the lexicographic
     order both engines use for strings."""
-    tok = (f"select doc_id, {d.alen(d.tokens())} as n_tok, source "
+    # n_tok == word count, so len(split) suffices — no tokenizer lambda
+    # (the transform() token mapping is length-preserving in both engines)
+    tok = (f"select doc_id, {d.alen(d.split('text'))} as n_tok, source "
            "from documents")
     # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
     if d.kind == "spark":

@@ -66,6 +66,88 @@ def doc_simhash(tokens: pd.Series) -> pd.Series:
     return pd.Series(simhash_batch(lens, flat))
 
 
+# --------------------------------------------------------------- tokenizer
+
+def _seg_sums(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums via one cumsum (empty-segment safe)."""
+    c = np.zeros(x.size + 1, dtype=np.int64)
+    np.cumsum(x, out=c[1:])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def tokenize_rows(data: np.ndarray, offsets: np.ndarray):
+    """UTF-8 text buffer -> (flat int32 token ids, int64[T+1] offsets),
+    value-identical to the dialect-paired SQL tokenizer
+    (sqlpair.TOKENIZE_LAMBDA over split(text, ' ') — asserted by a parity
+    test against the Spark expression on the adversarial edge corpus).
+
+    Words are the space-separated substrings; 0x20 never occurs inside a
+    UTF-8 multibyte sequence, so the byte-level split equals the SQL
+    character-level split, and empty texts / repeated spaces yield empty
+    words exactly like split().  Per word w (character positions 1-based):
+      token = cp(w,1) + cp(w,2)*256 + [len(w)>=5] cp(w,3)*65536
+                                    + [len(w)>=8] cp(w,4)*2^24
+    where cp() is the Unicode code point (both engines' ascii()) and len()
+    counts code points; missing positions contribute 0 (ascii('') = 0).
+    Arithmetic runs in int64; a value outside int32 raises, exactly like
+    the ANSI cast both engines apply (a >= 5-char word whose 3rd/4th char
+    is an astral code point — impossible in the driver corpus).  The SQL
+    form is a CodegenFallback transform() lambda interpreted once per
+    word; this kernel is ~20 whole-array passes over the byte buffer."""
+    T = offsets.size - 1
+    total = int(offsets[-1]) if offsets.size else 0
+    if T <= 0:
+        return np.zeros(0, np.int32), np.zeros(1, np.int64)
+    data = data[:total]
+    text_lens = offsets[1:] - offsets[:-1]
+    is_space = data == 0x20
+    n_words = _seg_sums(is_space, offsets) + 1
+    W = int(n_words.sum())
+    tok_off = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(n_words, out=tok_off[1:])
+    if total == 0:
+        return np.zeros(W, np.int32), tok_off
+    # global word id per byte: words begin at text starts and after spaces
+    text_of_byte = np.repeat(np.arange(T, dtype=np.int64), text_lens)
+    spb = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(is_space, out=spb[1:])
+    wid_b = tok_off[text_of_byte] - spb[offsets[:-1]][text_of_byte] + spb[:-1]
+    # character starts: non-space, non-continuation bytes
+    sidx = np.flatnonzero(~is_space & ((data & 0xC0) != 0x80))
+    swid = wid_b[sidx]
+    char_count = np.bincount(swid, minlength=W)
+    cc_off = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(char_count, out=cc_off[1:])
+    rank = np.arange(sidx.size, dtype=np.int64) - cc_off[swid]
+    data_p = np.concatenate([data, np.zeros(3, np.uint8)])
+    cps = np.zeros((4, W), dtype=np.int64)
+    for k in range(4):
+        sel = rank == k
+        pos = sidx[sel]
+        # decode the code point at each char-start byte; the 1-3 bytes past
+        # a short sequence are masked out by np.select (reads stay in-buffer
+        # via the 3-byte pad)
+        b0 = data_p[pos].astype(np.int64)
+        d1 = data_p[pos + 1].astype(np.int64) & 0x3F
+        d2 = data_p[pos + 2].astype(np.int64) & 0x3F
+        d3 = data_p[pos + 3].astype(np.int64) & 0x3F
+        cps[k, swid[sel]] = np.select(
+            [b0 < 0x80, b0 < 0xE0, b0 < 0xF0],
+            [b0,
+             ((b0 & 0x1F) << 6) | d1,
+             ((b0 & 0x0F) << 12) | (d1 << 6) | d2],
+            ((b0 & 0x07) << 18) | (d1 << 12) | (d2 << 6) | d3)
+    tok64 = (cps[0] + cps[1] * 256
+             + np.where(char_count >= 5, cps[2] * 65536, 0)
+             + np.where(char_count >= 8, cps[3] * 16777216, 0))
+    if tok64.size and int(tok64.max()) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "token id overflows int32 (astral code point in a word's "
+            "3rd/4th character) — the ANSI cast in the SQL tokenizer "
+            "raises on the same input")
+    return tok64.astype(np.int32), tok_off
+
+
 @pandas_udf(LongType())
 def doc_fingerprint(tokens: pd.Series) -> pd.Series:
     """Round-trip polynomial fingerprint of a token array, identical to the
@@ -82,7 +164,38 @@ def doc_fingerprint(tokens: pd.Series) -> pd.Series:
     return pd.Series(fingerprint_rows(flat, offsets))
 
 
+def _texts_to_tokens(text: pd.Series):
+    """pandas Series of strings -> (flat int32 tokens, int64 offsets) via
+    the vectorized tokenizer (one Arrow string array, no per-row Python)."""
+    import pyarrow as pa
+
+    from ..operators.encode import _flat_binary
+    data, off = _flat_binary(pa.array(text, pa.string()).cast(pa.binary()))
+    return tokenize_rows(data, off)
+
+
+@pandas_udf(LongType())
+def doc_simhash_text(text: pd.Series) -> pd.Series:
+    """Fused text -> simhash: tokenize_rows + simhash_batch in ONE pandas
+    UDF, so only the TEXT column crosses to Python — the token arrays never
+    exist as a Spark column (the tokens-column form paid an interpreted
+    transform() tokenizer per word plus a second Arrow crossing)."""
+    flat, offsets = _texts_to_tokens(text)
+    return pd.Series(simhash_batch(np.diff(offsets), flat))
+
+
+@pandas_udf(LongType())
+def doc_fingerprint_text(text: pd.Series) -> pd.Series:
+    """Fused text -> rolling-hash document fingerprint (same rationale as
+    doc_simhash_text; fold = codec.batched.fingerprint_rows)."""
+    from ..codec.batched import fingerprint_rows
+    flat, offsets = _texts_to_tokens(text)
+    return pd.Series(fingerprint_rows(flat, offsets))
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Register the text-analysis UDFs under stable SQL names."""
     spark.udf.register("doc_simhash", doc_simhash)
     spark.udf.register("doc_fingerprint", doc_fingerprint)
+    spark.udf.register("doc_simhash_text", doc_simhash_text)
+    spark.udf.register("doc_fingerprint_text", doc_fingerprint_text)

@@ -97,7 +97,7 @@ def encode_table(df: DataFrame, codec: str = "auto",
                  candidates: tuple[str, ...] = batched.VECTOR_COST_CODECS,
                  range_partitions: int | None = None,
                  salt_partitions: int | None = None,
-                 flat_transform=None) -> DataFrame:
+                 flat_transform=None, text_input: bool = False) -> DataFrame:
     """Encode tokens -> (codec, encoded, lineage).
 
     range_partitions: repartitionByRange on doc_id so encoded block boundaries
@@ -112,6 +112,11 @@ def encode_table(df: DataFrame, codec: str = "auto",
     pays an extra Arrow crossing of the 4 B/token column).  Lineage
     (checksum, zone maps) and the round trip describe the TRANSFORMED
     values.
+    text_input: df carries (doc_id, text, source) instead of a tokens
+    column (sources.documents_scan); the vectorized tokenizer
+    (functions.text_udfs.tokenize_rows, value-identical to the SQL
+    tokenizer) runs fused in this kernel, so only the text bytes cross the
+    Arrow boundary and the token column never exists on the wire.
     """
     if range_partitions:
         df = df.repartitionByRange(range_partitions, "doc_id")
@@ -125,7 +130,15 @@ def encode_table(df: DataFrame, codec: str = "auto",
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("tokens")))
+            if text_input:
+                from ..functions.text_udfs import tokenize_rows
+                data, toff = _flat_binary(
+                    batch.column(batch.schema.get_field_index("text"))
+                    .cast(pa.binary()))
+                tflat, offsets = tokenize_rows(data, toff)
+                flat = tflat.view(np.uint32)
+            else:
+                flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("tokens")))
             if flat_transform is not None:
                 flat = flat_transform(flat)
             out, ooff, cids = batched.encode_rows(flat, offsets, codec=codec,

@@ -27,7 +27,7 @@ from .functions.sqlpair import (
     spark_tokens_expr,
 )
 from .operators import decode_table, encode_table
-from .sources import posting_lists, tokens_from_documents
+from .sources import documents_scan, posting_lists, tokens_from_documents
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments (oracle side)
@@ -240,10 +240,14 @@ def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool,
 
 def _encoded(spark: SparkSession, sf_dir: str, codec: str,
              source: str = "documents") -> DataFrame:
-    base = tokens_from_documents(spark, sf_dir) if source == "documents" \
-        else posting_lists(spark, sf_dir)
     cands = batched.VECTOR_COST_CODECS
-    return encode_table(base, codec=codec, candidates=cands)
+    if source == "documents":
+        # tokenizer fused into the encode kernel: only text crosses to
+        # Python, the token column never exists on the wire
+        return encode_table(documents_scan(spark, sf_dir), codec=codec,
+                            candidates=cands, text_input=True)
+    return encode_table(posting_lists(spark, sf_dir), codec=codec,
+                        candidates=cands)
 
 
 # ---------------------------------------------------------------------------
@@ -266,10 +270,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate needs scalar columns (see spark_fingerprint above).
     def make_roundtrip(codec, src):
         def run(spark, sf_dir):
-            dec = decode_table(encode_table(
-                tokens_from_documents(spark, sf_dir) if src == "documents"
-                else posting_lists(spark, sf_dir), codec=codec),
-                fingerprint=True)
+            enc = (encode_table(documents_scan(spark, sf_dir), codec=codec,
+                                text_input=True) if src == "documents"
+                   else encode_table(posting_lists(spark, sf_dir), codec=codec))
+            dec = decode_table(enc, fingerprint=True)
             return dec.select("doc_id", "n_tok", "source", "fingerprint")
         return run
 
@@ -385,15 +389,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 + ((t // 97) % 32) * 33 + 1).astype(np.uint32)
 
     def auto_full_size(spark, sf_dir):
-        enc = encode_table(tokens_from_documents(spark, sf_dir), codec="auto",
+        enc = encode_table(documents_scan(spark, sf_dir), codec="auto",
                            candidates=batched.VECTOR_COST_CODECS_FULL,
-                           flat_transform=_fsst_mix_flat)
+                           flat_transform=_fsst_mix_flat, text_input=True)
         return enc.select("doc_id", F.col("out_bytes").alias("size_bytes"))
 
     def auto_full_roundtrip(spark, sf_dir):
-        enc = encode_table(tokens_from_documents(spark, sf_dir), codec="auto",
+        enc = encode_table(documents_scan(spark, sf_dir), codec="auto",
                            candidates=batched.VECTOR_COST_CODECS_FULL,
-                           flat_transform=_fsst_mix_flat)
+                           flat_transform=_fsst_mix_flat, text_input=True)
         dec = decode_table(enc, fingerprint=True)
         return dec.select("doc_id", "n_tok", "source", "fingerprint")
 
@@ -783,7 +787,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("exact_keep") & F.col("component_id").isNotNull()
             & (F.col("component_id") != F.col("doc_id")))
         kept = F.col("exact_keep") & ~F.col("nd_drop")
-        n_tok = F.expr(f"size({spark_tokens_expr('text')})")
+        # token count == word count (the token map is length-preserving):
+        # size(split()) is fully codegen'd, no tokenizer lambda
+        n_tok = F.size(F.split("text", " ", -1))
         return (j.groupBy("source").agg(
             F.sum(kept.cast("long")).alias("docs_kept"),
             F.sum((~F.col("exact_keep")).cast("long")).alias("dropped_exact"),

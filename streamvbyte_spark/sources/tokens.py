@@ -27,6 +27,18 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> canonical token table, tokens as a JVM-side SQL column.
+
+    This form is for consumers that need the token ARRAYS in the JVM plan
+    (vocab explode, JSONL write): tokens never cross a Python boundary, and
+    Catalyst prunes the transform() away entirely when only n_tok is read.
+    Codec pipelines should NOT start here — encode_table(text_input=True)
+    over documents_scan() runs the vectorized tokenizer
+    (functions.text_udfs.tokenize_rows, value-identical, parity-asserted)
+    inside the encode kernel, so only the ~1 B/char text crosses to Python
+    and the 4 B/token column never exists on the wire.  (A standalone
+    tokenize mapInArrow stage was measured SLOWER than either: it pays two
+    extra Arrow crossings of the token column.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -34,6 +46,14 @@ def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(spark_tokens_expr("text"))).alias("n_tok"),
         F.col("source").alias("source"),
     )
+
+
+def documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw documents projection for encode_table(text_input=True): the
+    tokenizer runs fused inside the encode kernel, not as a column here."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        F.col("source").alias("source"))
 
 
 def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:

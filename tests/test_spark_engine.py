@@ -586,3 +586,59 @@ def test_zone_map_null_for_empty_docs(spark):
     assert rows["e"].tok_min is None and rows["e"].tok_max is None
     assert rows["z"].tok_min == 0 and rows["z"].tok_max == 0
     assert rows["v"].tok_min == 5 and rows["v"].tok_max == 9
+
+
+def test_vectorized_tokenizer_matches_sql_expression(spark):
+    """tokenize_rows (the numpy UTF-8 kernel fused into encode_table
+    text_input=True) must be value-identical to the dialect-paired SQL
+    tokenizer expression (tokens_from_documents) on real testdata AND on
+    adversarial texts (empty, repeated spaces, multibyte, astral-plane
+    emoji, 8+-char words hitting the 2^24 arm)."""
+    import pyarrow as pa
+    from streamvbyte_spark.functions.sqlpair import spark_tokens_expr
+    from streamvbyte_spark.functions.text_udfs import tokenize_rows
+    from streamvbyte_spark.operators.encode import _flat_binary
+
+    def kernel_tokens(texts):
+        data, off = _flat_binary(pa.array(texts, pa.string()).cast(pa.binary()))
+        flat, toff = tokenize_rows(data, off)
+        return [flat[toff[i]:toff[i + 1]].tolist() for i in range(len(texts))]
+
+    rows = (tokens_from_documents(spark, SF)
+            .select("doc_id", "tokens", "n_tok").collect())
+    texts_by_id = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text").collect()}
+    got = kernel_tokens([texts_by_id[r.doc_id] for r in rows])
+    for r, ktok in zip(rows, got):
+        assert r.tokens == ktok and r.n_tok == len(ktok), r.doc_id
+
+    texts = ["", "a", "a b", "a  b", " lead", "trail ", " ", "  ",
+             "héllo wörld ünïcode tęst", "日本語 の テスト 文書 です",
+             "emoji 🙂 in 🚀 text 🌍 here",
+             "longword12345 another-long-word", "dup dup dup"]
+    sql = [r.t for r in spark.createDataFrame(
+        [(t,) for t in texts], "text string").select(
+        F.expr(spark_tokens_expr("text")).alias("t")).collect()]
+    assert kernel_tokens(texts) == sql
+    # int32 overflow (astral char at a >=5-char word 3rd position): BOTH
+    # forms must refuse, like the engines' ANSI cast
+    with pytest.raises(Exception, match="(?i)overflow"):
+        kernel_tokens(["🙂🙂🙂🙂🙂🙂🙂🙂"])
+    with pytest.raises(Exception, match="(?i)overflow"):
+        spark.createDataFrame([("🙂🙂🙂🙂🙂🙂🙂🙂",)], "text string").select(
+            F.expr(spark_tokens_expr("text")).alias("t")).collect()
+
+
+def test_text_input_encode_matches_tokens_encode(spark):
+    """encode_table(text_input=True) over the raw documents scan must emit
+    byte-identical encoded rows to encode_table over the SQL token table."""
+    from streamvbyte_spark.sources import documents_scan
+    a = encode_table(documents_scan(spark, SF), codec="auto",
+                     text_input=True).collect()
+    b = encode_table(tokens_from_documents(spark, SF), codec="auto").collect()
+    ka = sorted((r.doc_id, r.codec, bytes(r.encoded), r.n_tok, r.checksum,
+                 r.tok_min, r.tok_max) for r in a)
+    kb = sorted((r.doc_id, r.codec, bytes(r.encoded), r.n_tok, r.checksum,
+                 r.tok_min, r.tok_max) for r in b)
+    assert ka == kb

@@ -69,10 +69,12 @@ def test_simhash_empty_and_all_empty():
 
 
 def test_spark_simhash_sql_has_no_hof():
-    """The Spark-side SQL must carry ZERO aggregate() lambdas — the whole
-    simhash is one pandas-UDF call (r3 verdict item 1)."""
+    """The Spark-side SQL must carry ZERO aggregate() lambdas — tokenizer
+    AND simhash are ONE fused pandas-UDF call (r3 verdict item 1; r4 fused
+    the tokenizer in too, so no transform() lambda remains either)."""
     sql = P.spark_sql("dedup_simhash")
-    assert "aggregate(" not in sql and "doc_simhash(" in sql, sql
+    assert "aggregate(" not in sql and "doc_simhash_text(" in sql, sql
+    assert "transform(" not in sql, sql
     # the oracle keeps the exact fold (that's what makes the gate a proof)
     assert "aggregate(" not in P.duckdb_sql("dedup_simhash")
     assert "list_reduce" in P.duckdb_sql("dedup_simhash")
