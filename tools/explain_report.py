@@ -21,7 +21,7 @@ HEADLINE = [
     "ann_topk", "events_hourly",
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
-    "ann_ivf",
+    "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -29,10 +29,13 @@ HEADLINE = [
 NO_CARTESIAN = {"embedding_neardup", "dedup_minhash_pairs"}
 
 NOTES = {
-    "auto_roundtrip": "Expected: scan -> ArrowEvalPython/MapInArrow x2, ZERO "
-                      "shuffle Exchanges (map-only encode+decode pipeline).",
-    "auto_size": "Expected: map-only; ReadSchema pruned to the columns the "
-                 "tokenizer needs (doc_id, text, source).",
+    "auto_roundtrip": "Expected: scan -> MapInArrow(tokenize+encode fused) "
+                      "-> MapInArrow(decode+fingerprint fused), ZERO shuffle "
+                      "Exchanges and ZERO HOF lambdas — the token column "
+                      "never exists on the wire in either direction.",
+    "auto_size": "Expected: map-only, ONE MapInArrow (tokenizer fused into "
+                 "the encode kernel); ReadSchema pruned to (doc_id, text, "
+                 "source).",
     "delta_roundtrip_postings": "One Exchange for the groupBy(l_partkey) "
                                 "posting-list build; encode/decode add none.",
     "metrics_by_source": "Partial (map-side) HashAggregate before the "
@@ -73,15 +76,26 @@ NOTES = {
                "final plan joins probes to inverted lists on the cell key "
                "and ranks only probed cells — no full-corpus scoring, no "
                "cartesian, one Arrow stage for the exact per-pair dot.",
-    "truncate_decode": "Map-only: scan -> encode -> PREFIX decode (one "
-                       "MapInArrow reading only each stream's first "
-                       "ceil(n/4) control bytes + 32 tokens of data bytes); "
-                       "ZERO shuffles — truncation never touches the tail.",
-    "sequence_pack": "ONE shuffle on source for the running-sum window; the "
-                     "pack-span explode and the final groupBy reuse the same "
-                     "source partitioning (packing is shard-local by design "
-                     "— a global pack order would serialize on one "
-                     "unpartitioned window task).",
+    "truncate_decode": "Map-only: scan -> fused tokenize+encode -> PREFIX "
+                       "decode (one MapInArrow reading only each stream's "
+                       "first ceil(n/4) control bytes + 32 tokens of data "
+                       "bytes, folding the fingerprint in-kernel); ZERO "
+                       "shuffles — truncation never touches the tail.",
+    "sequence_pack": "Two-level distributed prefix sum: the running-sum "
+                     "window partitions on (source, doc_id-range bucket) — "
+                     "NOT source alone, which would funnel the 80% web "
+                     "source through one task — with per-bucket offsets "
+                     "from a tiny aggregate BROADCAST-joined back; n_tok "
+                     "comes from size(split()), no tokenizer lambda.",
+    "dedup_simhash": "ONE fused pandas UDF (text -> tokenize -> simhash): "
+                     "only the text column crosses to Python, no HOF "
+                     "lambda, no tokens column; REPARTITION hint fans the "
+                     "CPU-bound UDF stage out of a single-row-group scan.",
+    "auto_full_roundtrip": "8-codec selector incl. fsst: fused tokenize + "
+                           "fsst-mix flat_transform + encode in ONE "
+                           "MapInArrow, decode+fingerprint in a second; "
+                           "ZERO shuffles, zero per-row Python (whole-batch "
+                           "fsst kernels), zero HOF lambdas.",
     "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
                                "Exchange (repartition doc_id) + in-partition "
                                "Sort feed ONE PythonMapInArrow running the "
