@@ -175,6 +175,46 @@ def encode_table(df: DataFrame, codec: str = "auto",
     return df.mapInArrow(run, ENCODED_SCHEMA)
 
 
+def size_table(df: DataFrame, codec: str = "auto",
+               candidates: tuple[str, ...] = batched.VECTOR_COST_CODECS,
+               flat_transform=None, text_input: bool = False) -> DataFrame:
+    """Exact per-row encoded size WITHOUT materializing the encoded bytes —
+    the table form of the reference's size-without-encode API
+    (``streamvbyte_compressedbytes``, /root/reference/include/streamvbyte.h:
+    41-52 and src/streamvbyte_encode.c:74,91-108): a pure cost computation
+    over the token values.  ``cost(v) == len(encode(v))`` holds exactly for
+    every codec (tests/test_batched.py parity + the ``auto_size`` least()
+    oracle), so this returns the same ``size_bytes`` an encode pass would,
+    at a fraction of the work — no output allocation, no scatters, no
+    encoded column in the plan.  ``codec='auto'`` returns the selector's
+    min over ``candidates``.  flat_transform/text_input as in
+    encode_table."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if text_input:
+                from ..functions.text_udfs import tokenize_rows
+                data, toff = _flat_binary(
+                    batch.column(batch.schema.get_field_index("text"))
+                    .cast(pa.binary()))
+                tflat, offsets = tokenize_rows(data, toff)
+                flat = tflat.view(np.uint32)
+            else:
+                flat, offsets = _list_to_flat(
+                    batch.column(batch.schema.get_field_index("tokens")))
+            if flat_transform is not None:
+                flat = flat_transform(flat)
+            costs = batched.row_costs(
+                flat, offsets, candidates if codec == "auto" else (codec,))
+            sizes = costs.min(axis=1) if codec == "auto" else costs[:, 0]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("doc_id")),
+                 pa.array(sizes.astype(np.int64), pa.int64())],
+                names=["doc_id", "size_bytes"])
+
+    return df.mapInArrow(run, "doc_id string, size_bytes bigint")
+
+
 def decode_table(enc_df: DataFrame, verify_checksum: bool = True,
                  fingerprint: bool = False) -> DataFrame:
     """Encoded table -> token table; bit-identical to the pre-encode input.

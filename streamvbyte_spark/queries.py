@@ -26,7 +26,7 @@ from .functions.sqlpair import (
     duckdb_tokens_expr,
     spark_tokens_expr,
 )
-from .operators import decode_table, encode_table
+from .operators import decode_table, encode_table, size_table
 from .sources import documents_scan, posting_lists, tokens_from_documents
 
 # ---------------------------------------------------------------------------
@@ -298,9 +298,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- exact sizes (operators 7-9 + companion cost models) -----------------
     def make_size(codec, src):
+        # cost-only path (operators.size_table = the reference's
+        # compressedbytes): exact sizes with no encode pass, no encoded
+        # bytes in the plan; cost==len(encode) is invariant-tested and the
+        # auto_size least() oracle checks the full formula set
         def run(spark, sf_dir):
-            return _encoded(spark, sf_dir, codec, src).select(
-                "doc_id", F.col("out_bytes").alias("size_bytes"))
+            if src == "documents":
+                return size_table(documents_scan(spark, sf_dir), codec=codec,
+                                  text_input=True)
+            return size_table(posting_lists(spark, sf_dir), codec=codec)
         return run
 
     q["svb_size"] = make_size("svb", "documents")
@@ -389,10 +395,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 + ((t // 97) % 32) * 33 + 1).astype(np.uint32)
 
     def auto_full_size(spark, sf_dir):
-        enc = encode_table(documents_scan(spark, sf_dir), codec="auto",
-                           candidates=batched.VECTOR_COST_CODECS_FULL,
-                           flat_transform=_fsst_mix_flat, text_input=True)
-        return enc.select("doc_id", F.col("out_bytes").alias("size_bytes"))
+        return size_table(documents_scan(spark, sf_dir), codec="auto",
+                          candidates=batched.VECTOR_COST_CODECS_FULL,
+                          flat_transform=_fsst_mix_flat, text_input=True)
 
     def auto_full_roundtrip(spark, sf_dir):
         enc = encode_table(documents_scan(spark, sf_dir), codec="auto",

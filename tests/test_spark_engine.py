@@ -642,3 +642,21 @@ def test_text_input_encode_matches_tokens_encode(spark):
     kb = sorted((r.doc_id, r.codec, bytes(r.encoded), r.n_tok, r.checksum,
                  r.tok_min, r.tok_max) for r in b)
     assert ka == kb
+
+
+def test_size_table_matches_encode_out_bytes(spark):
+    """size_table (cost-only, the reference compressedbytes shape) must
+    equal the encode pass's out_bytes for every row and codec path."""
+    from streamvbyte_spark.operators import size_table
+    from streamvbyte_spark.sources import documents_scan, posting_lists
+    for codec in ("auto", "svb", "svb0124", "rle"):
+        got = {r.doc_id: r.size_bytes for r in size_table(
+            documents_scan(spark, SF), codec=codec, text_input=True).collect()}
+        want = {r.doc_id: r.out_bytes for r in encode_table(
+            tokens_from_documents(spark, SF), codec=codec).collect()}
+        assert got == want, codec
+    got = {r.doc_id: r.size_bytes for r in size_table(
+        posting_lists(spark, SF), codec="svb_delta").collect()}
+    want = {r.doc_id: r.out_bytes for r in encode_table(
+        posting_lists(spark, SF), codec="svb_delta").collect()}
+    assert got == want
