@@ -25,15 +25,14 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 
 from streamvbyte_spark import queries as _q  # noqa: E402
 from streamvbyte_spark.operators import encode_table  # noqa: E402
-from streamvbyte_spark.sources import documents_scan  # noqa: E402
+from streamvbyte_spark.sources import tokens_from_documents  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encode the sf0.001 documents token table with the cost-model
-    auto-selector (tokenizer fused into the encode kernel); returns the
-    encoded table with lineage columns."""
-    return encode_table(documents_scan(spark, "/root/testdata/sf0.001"),
-                        codec="auto", text_input=True)
+    auto-selector; returns the encoded table with lineage columns."""
+    tok = tokens_from_documents(spark, "/root/testdata/sf0.001")
+    return encode_table(tok, codec="auto")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -119,15 +119,25 @@ def tokenize_rows(data: np.ndarray, offsets: np.ndarray):
     cc_off = np.zeros(W + 1, dtype=np.int64)
     np.cumsum(char_count, out=cc_off[1:])
     rank = np.arange(sidx.size, dtype=np.int64) - cc_off[swid]
-    data_p = np.concatenate([data, np.zeros(3, np.uint8)])
+    # only the first 4 characters of a word contribute; prune the start-byte
+    # set once instead of filtering rank==k over all starts four times
+    lead = rank < 4
+    sidx, swid, rank = sidx[lead], swid[lead], rank[lead]
+    ascii_only = bool((data[sidx] < 0x80).all())
+    data_p = data if ascii_only else np.concatenate([data, np.zeros(3, np.uint8)])
     cps = np.zeros((4, W), dtype=np.int64)
     for k in range(4):
         sel = rank == k
         pos = sidx[sel]
-        # decode the code point at each char-start byte; the 1-3 bytes past
-        # a short sequence are masked out by np.select (reads stay in-buffer
-        # via the 3-byte pad)
         b0 = data_p[pos].astype(np.int64)
+        if ascii_only:
+            # fast path for the overwhelmingly common batch: every word
+            # start byte is ASCII, cp == the byte itself
+            cps[k, swid[sel]] = b0
+            continue
+        # decode the code point at each char-start byte; the 1-3 bytes past
+        # a short sequence are masked out below (reads stay in-buffer via
+        # the 3-byte pad)
         d1 = data_p[pos + 1].astype(np.int64) & 0x3F
         d2 = data_p[pos + 2].astype(np.int64) & 0x3F
         d3 = data_p[pos + 3].astype(np.int64) & 0x3F

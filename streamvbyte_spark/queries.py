@@ -240,14 +240,14 @@ def _signed_roundtrip(df: DataFrame, id_col: str, delta: bool,
 
 def _encoded(spark: SparkSession, sf_dir: str, codec: str,
              source: str = "documents") -> DataFrame:
-    cands = batched.VECTOR_COST_CODECS
-    if source == "documents":
-        # tokenizer fused into the encode kernel: only text crosses to
-        # Python, the token column never exists on the wire
-        return encode_table(documents_scan(spark, sf_dir), codec=codec,
-                            candidates=cands, text_input=True)
-    return encode_table(posting_lists(spark, sf_dir), codec=codec,
-                        candidates=cands)
+    # JVM-side SQL tokenizer feeding the encode kernel: measured FASTER
+    # than fusing the numpy tokenizer into the kernel at this corpus shape
+    # (0.27s vs 0.35s encode at sf0.1 — Spark's codegen'd string ops beat
+    # the kernel's ~25 gather-heavy passes; see text_udfs.tokenize_rows)
+    base = tokens_from_documents(spark, sf_dir) if source == "documents" \
+        else posting_lists(spark, sf_dir)
+    return encode_table(base, codec=codec,
+                        candidates=batched.VECTOR_COST_CODECS)
 
 
 # ---------------------------------------------------------------------------
@@ -270,10 +270,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate needs scalar columns (see spark_fingerprint above).
     def make_roundtrip(codec, src):
         def run(spark, sf_dir):
-            enc = (encode_table(documents_scan(spark, sf_dir), codec=codec,
-                                text_input=True) if src == "documents"
-                   else encode_table(posting_lists(spark, sf_dir), codec=codec))
-            dec = decode_table(enc, fingerprint=True)
+            dec = decode_table(_encoded(spark, sf_dir, codec, src),
+                               fingerprint=True)
             return dec.select("doc_id", "n_tok", "source", "fingerprint")
         return run
 
@@ -303,10 +301,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bytes in the plan; cost==len(encode) is invariant-tested and the
         # auto_size least() oracle checks the full formula set
         def run(spark, sf_dir):
-            if src == "documents":
-                return size_table(documents_scan(spark, sf_dir), codec=codec,
-                                  text_input=True)
-            return size_table(posting_lists(spark, sf_dir), codec=codec)
+            base = tokens_from_documents(spark, sf_dir) if src == "documents" \
+                else posting_lists(spark, sf_dir)
+            return size_table(base, codec=codec)
         return run
 
     q["svb_size"] = make_size("svb", "documents")
@@ -395,14 +392,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 + ((t // 97) % 32) * 33 + 1).astype(np.uint32)
 
     def auto_full_size(spark, sf_dir):
-        return size_table(documents_scan(spark, sf_dir), codec="auto",
+        return size_table(tokens_from_documents(spark, sf_dir), codec="auto",
                           candidates=batched.VECTOR_COST_CODECS_FULL,
-                          flat_transform=_fsst_mix_flat, text_input=True)
+                          flat_transform=_fsst_mix_flat)
 
     def auto_full_roundtrip(spark, sf_dir):
-        enc = encode_table(documents_scan(spark, sf_dir), codec="auto",
+        enc = encode_table(tokens_from_documents(spark, sf_dir), codec="auto",
                            candidates=batched.VECTOR_COST_CODECS_FULL,
-                           flat_transform=_fsst_mix_flat, text_input=True)
+                           flat_transform=_fsst_mix_flat)
         dec = decode_table(enc, fingerprint=True)
         return dec.select("doc_id", "n_tok", "source", "fingerprint")
 

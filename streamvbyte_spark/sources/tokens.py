@@ -29,16 +29,17 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 def tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> canonical token table, tokens as a JVM-side SQL column.
 
-    This form is for consumers that need the token ARRAYS in the JVM plan
-    (vocab explode, JSONL write): tokens never cross a Python boundary, and
-    Catalyst prunes the transform() away entirely when only n_tok is read.
-    Codec pipelines should NOT start here — encode_table(text_input=True)
-    over documents_scan() runs the vectorized tokenizer
-    (functions.text_udfs.tokenize_rows, value-identical, parity-asserted)
-    inside the encode kernel, so only the ~1 B/char text crosses to Python
-    and the 4 B/token column never exists on the wire.  (A standalone
-    tokenize mapInArrow stage was measured SLOWER than either: it pays two
-    extra Arrow crossings of the token column.)"""
+    THE default input for codec pipelines and JVM consumers, on measurement:
+    at sf0.1 the SQL tokenizer feeding the encode kernel ran 0.27s vs 0.35s
+    for the numpy tokenizer fused inside the kernel (text_input=True) and
+    ~0.52s for a standalone tokenize mapInArrow stage (two extra Arrow
+    crossings of the 4 B/token column).  Spark's codegen'd string ops beat
+    tokenize_rows' ~25 gather-heavy numpy passes at this corpus shape, and
+    for JVM consumers (vocab explode, JSONL write) the tokens never cross a
+    Python boundary at all — Catalyst even prunes the transform() away when
+    only n_tok is read.  The fused alternatives stay available
+    (encode_table(text_input=True), doc_simhash_text/doc_fingerprint_text)
+    for pipelines whose OTHER work already lives Python-side."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -29,13 +29,15 @@ HEADLINE = [
 NO_CARTESIAN = {"embedding_neardup", "dedup_minhash_pairs"}
 
 NOTES = {
-    "auto_roundtrip": "Expected: scan -> MapInArrow(tokenize+encode fused) "
-                      "-> MapInArrow(decode+fingerprint fused), ZERO shuffle "
-                      "Exchanges and ZERO HOF lambdas — the token column "
-                      "never exists on the wire in either direction.",
-    "auto_size": "Expected: map-only, ONE MapInArrow (tokenizer fused into "
-                 "the encode kernel); ReadSchema pruned to (doc_id, text, "
-                 "source).",
+    "auto_roundtrip": "Expected: scan -> JVM tokenizer (measured faster "
+                      "than the fused numpy kernel) -> MapInArrow(encode) "
+                      "-> MapInArrow(decode+fingerprint fused), ZERO "
+                      "shuffle Exchanges; the decoded token column never "
+                      "crosses back (no aggregate() fold, no extra "
+                      "ArrowEvalPython).",
+    "auto_size": "Expected: map-only, ONE MapInArrow running the COST-ONLY "
+                 "kernel (size_table = the reference compressedbytes: no "
+                 "encode pass, no encoded bytes in the plan).",
     "delta_roundtrip_postings": "One Exchange for the groupBy(l_partkey) "
                                 "posting-list build; encode/decode add none.",
     "metrics_by_source": "Partial (map-side) HashAggregate before the "
@@ -76,11 +78,11 @@ NOTES = {
                "final plan joins probes to inverted lists on the cell key "
                "and ranks only probed cells — no full-corpus scoring, no "
                "cartesian, one Arrow stage for the exact per-pair dot.",
-    "truncate_decode": "Map-only: scan -> fused tokenize+encode -> PREFIX "
-                       "decode (one MapInArrow reading only each stream's "
-                       "first ceil(n/4) control bytes + 32 tokens of data "
-                       "bytes, folding the fingerprint in-kernel); ZERO "
-                       "shuffles — truncation never touches the tail.",
+    "truncate_decode": "Map-only: scan -> encode -> PREFIX decode (one "
+                       "MapInArrow reading only each stream's first "
+                       "ceil(n/4) control bytes + 32 tokens of data bytes, "
+                       "folding the fingerprint in-kernel); ZERO shuffles "
+                       "— truncation never touches the tail.",
     "sequence_pack": "Two-level distributed prefix sum: the running-sum "
                      "window partitions on (source, doc_id-range bucket) — "
                      "NOT source alone, which would funnel the 80% web "
@@ -91,11 +93,12 @@ NOTES = {
                      "only the text column crosses to Python, no HOF "
                      "lambda, no tokens column; REPARTITION hint fans the "
                      "CPU-bound UDF stage out of a single-row-group scan.",
-    "auto_full_roundtrip": "8-codec selector incl. fsst: fused tokenize + "
-                           "fsst-mix flat_transform + encode in ONE "
-                           "MapInArrow, decode+fingerprint in a second; "
-                           "ZERO shuffles, zero per-row Python (whole-batch "
-                           "fsst kernels), zero HOF lambdas.",
+    "auto_full_roundtrip": "8-codec selector incl. fsst: fsst-mix token "
+                           "mapping as a numpy flat_transform INSIDE the "
+                           "encode MapInArrow (was a per-token transform() "
+                           "HOF), decode+fingerprint fused in a second; "
+                           "ZERO shuffles, zero per-row Python "
+                           "(whole-batch fsst kernels).",
     "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
                                "Exchange (repartition doc_id) + in-partition "
                                "Sort feed ONE PythonMapInArrow running the "
