@@ -60,13 +60,20 @@ def documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted l_orderkey posting list per part — ascending ints, the classic
     delta-codec input (reference README.md:54 documents delta for sorted
-    data)."""
+    data).
+
+    Groups directly on the STRING-cast key: downstream operators (the
+    chunk-prev window, the fused reassembly) partition on ``doc_id``, and
+    grouping on the bigint then casting breaks Catalyst's partitioning
+    equivalence — hashpartitioning(cast(l_partkey)) is not
+    hashpartitioning(doc_id) to the planner, which re-shuffled the chunked
+    pipelines (3 exchanges; this form plans 2)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
-        li.groupBy(F.col("l_partkey"))
+        li.groupBy(F.col("l_partkey").cast("string").alias("doc_id"))
         .agg(F.sort_array(F.collect_list("l_orderkey")).alias("tokens"))
         .select(
-            F.col("l_partkey").cast("string").alias("doc_id"),
+            "doc_id",
             F.col("tokens").cast("array<int>").alias("tokens"),
             F.size("tokens").alias("n_tok"),
             F.lit("lineitem").alias("source"),

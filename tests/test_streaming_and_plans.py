@@ -432,3 +432,17 @@ def test_roundtrip_plans_carry_no_interpreted_lambda(spark):
         df = queries[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "lambdafunction" not in plan.lower(), (name, plan)
+
+
+def test_chunked_pipeline_reuses_posting_partitioning(spark):
+    """posting_lists groups on the string-cast key so the chunk-prev window
+    reuses the groupBy partitioning: the fused chunked pipeline plans TWO
+    exchanges (groupBy + the fused-decode repartition), not three — grouping
+    on the bigint then casting hid the equivalence from Catalyst."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    from streamvbyte_spark.sources import posting_lists
+    df = decode_reassemble_fused(encode_chunked_delta(
+        chunk_tokens(posting_lists(spark, SF), chunk_size=8)),
+        fingerprint=True)
+    assert count_exchanges(df) == 2, plan_string(df, "simple")
