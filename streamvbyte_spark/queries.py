@@ -564,22 +564,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # JSONL staging format round-trip: the canonical token table written as
     # JSON-Lines and read back through tokens_from_jsonl must carry the
     # exact same token arrays (fingerprint vs the documents-derived oracle)
-    def jsonl_roundtrip(spark, sf_dir):
+    def _staging_dir(sf_dir, fmt):
+        """Per-(sf_dir, format, pid) staging path under /tmp: stable within
+        a process so repeated gate runs overwrite instead of leaking a
+        corpus-sized copy per round, and two CONCURRENT gate processes on
+        the same sf dir can't clobber each other's staging mid-read.  Each
+        invocation reaps siblings whose owning process is gone (or whose
+        mtime is over a day old — a recycled pid can look alive forever),
+        so dead pids don't accumulate copies in /tmp across rounds."""
         import glob
         import hashlib
         import os
         import shutil
         import tempfile
-        from .sources import tokens_from_jsonl, write_tokens_jsonl
-        # staging path keyed by (sf_dir, pid): stable within a process so
-        # repeated gate runs overwrite instead of leaking a corpus-sized
-        # JSONL copy per round, and two CONCURRENT gate processes on the
-        # same sf dir can't clobber each other's staging mid-read.  Each
-        # invocation reaps siblings whose owning process is gone, so dead
-        # pids don't accumulate copies in /tmp across rounds.
         import time
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        prefix = f"{tempfile.gettempdir()}/svb_q_jsonl_{tag}_"
+        prefix = f"{tempfile.gettempdir()}/svb_q_{fmt}_{tag}_"
         for stale in glob.glob(prefix + "*"):
             pid_s = stale.rsplit("_", 1)[-1]
             if pid_s == str(os.getpid()) or not pid_s.isdigit():
@@ -589,9 +589,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             except OSError:
                 age = 0.0
             if age > 86400:
-                # a recycled pid can look alive forever (and PermissionError
-                # rows are never reclaimed by the liveness probe): anything
-                # older than a day is stale regardless of apparent liveness
                 shutil.rmtree(stale, ignore_errors=True)
                 continue
             try:
@@ -600,15 +597,36 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 shutil.rmtree(stale, ignore_errors=True)
             except PermissionError:
                 pass  # alive under another uid and fresh: leave it
-        tmp = prefix + str(os.getpid())
-        write_tokens_jsonl(tokens_from_documents(spark, sf_dir), tmp + "/j")
-        back = tokens_from_jsonl(spark, tmp + "/j")
+        return prefix + str(os.getpid())
+
+    def _staged_format_roundtrip(spark, sf_dir, fmt, writer, reader):
+        """Write the canonical token table through a staging format, read it
+        back, fingerprint — the identity oracle proves the format carries
+        the exact token arrays."""
+        tmp = _staging_dir(sf_dir, fmt)
+        writer(tokens_from_documents(spark, sf_dir), f"{tmp}/s")
+        back = reader(spark, f"{tmp}/s")
         from .functions.text_udfs import doc_fingerprint
         return back.select(
             "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
             doc_fingerprint("tokens").alias("fingerprint"))
 
+    def jsonl_roundtrip(spark, sf_dir):
+        from .sources import tokens_from_jsonl, write_tokens_jsonl
+        return _staged_format_roundtrip(spark, sf_dir, "jsonl",
+                                        write_tokens_jsonl, tokens_from_jsonl)
+
     q["jsonl_roundtrip"] = jsonl_roundtrip
+
+    # ORC staging sibling: Spark-native columnar interchange (schema stored,
+    # column pruning + predicate pushdown like parquet) — the other format
+    # large pipelines stage token tables in
+    def orc_roundtrip(spark, sf_dir):
+        from .sources import tokens_from_orc, write_tokens_orc
+        return _staged_format_roundtrip(spark, sf_dir, "orc",
+                                        write_tokens_orc, tokens_from_orc)
+
+    q["orc_roundtrip"] = orc_roundtrip
 
     # corpus-wide vocabulary remap: frequency-ranked ids shrink the encoded
     # bytes; compare per-source auto-codec output before vs after
@@ -820,6 +838,7 @@ def build_oracles() -> dict[str, str]:
         "auto_roundtrip": identity_doc,
         "fsst_roundtrip": identity_doc,
         "jsonl_roundtrip": identity_doc,
+        "orc_roundtrip": identity_doc,
         "zigzag_roundtrip_embeddings": emb_rt,
         "zzdelta_roundtrip_embeddings": emb_rt,
         "svb_size":

@@ -165,3 +165,28 @@ def tokens_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def write_tokens_jsonl(df: DataFrame, path: str) -> None:
     """Inverse of tokens_from_jsonl (n_tok is derived, not stored)."""
     df.select("doc_id", "tokens", "source").write.mode("overwrite").json(path)
+
+
+def tokens_from_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical token table from ORC files — the columnar staging sibling
+    of the JSONL reader (ORC ships in Spark: schema stored in the file,
+    column pruning and predicate pushdown as with parquet).  NULL token
+    arrays are rejected like everywhere else in the engine (no defined
+    round trip)."""
+    df = spark.read.orc(path)
+    checked = F.when(
+        F.col("tokens").isNull(),
+        F.raise_error(F.concat(F.lit("orc row missing tokens: doc_id="),
+                               F.col("doc_id")))
+    ).otherwise(F.col("tokens"))
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        checked.cast("array<int>").alias("tokens"),
+        F.size(checked).alias("n_tok"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+
+
+def write_tokens_orc(df: DataFrame, path: str) -> None:
+    """Inverse of tokens_from_orc (n_tok is derived, not stored)."""
+    df.select("doc_id", "tokens", "source").write.mode("overwrite").orc(path)
