@@ -142,3 +142,67 @@ def test_auto_encode_roundtrip_and_bound(rows):
     dec, doff = batched.decode_rows(out, ooff, n_toks, cids)
     np.testing.assert_array_equal(dec, flat)
     np.testing.assert_array_equal(doff, offsets)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(arrays(np.int32, st.integers(0, 200),
+                       elements=st.integers(-2**31, 2**31 - 1)),
+                max_size=8))
+def test_fingerprint_rows_equals_fold(rows):
+    flat, offsets = _flatten_signed(rows)
+    got = batched.fingerprint_rows(flat, offsets)
+    p = 1_000_000_007
+    for i, r in enumerate(rows):
+        acc = 0
+        for t in r.tolist():
+            acc = ((acc * 31 + t) % p + p) % p
+        assert got[i] == acc
+
+
+def _flatten_signed(rows):
+    flat = (np.concatenate(rows) if rows else np.zeros(0, np.int32)).astype(np.int32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    return flat, offsets
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+    max_size=6))
+def test_tokenize_rows_equals_python_reference(texts):
+    """Kernel == the SQL tokenizer semantics on arbitrary unicode (python
+    reference mirrors ascii()/substr()/length() exactly; overflow rows are
+    expected to raise like the engines' ANSI cast)."""
+    import pyarrow as pa
+
+    from streamvbyte_spark.functions.text_udfs import tokenize_rows
+    from streamvbyte_spark.operators.encode import _flat_binary
+
+    def tok(w):
+        cps = [ord(c) for c in w]
+
+        def cp(i):
+            return cps[i] if i < len(cps) else 0
+        v = cp(0) + cp(1) * 256
+        if len(cps) >= 5:
+            v += cp(2) * 65536
+        if len(cps) >= 8:
+            v += cp(3) * 16777216
+        return v
+
+    want, overflow = [], False
+    for t in texts:
+        row = [tok(w) for w in t.split(" ")]
+        overflow = overflow or any(v > 2**31 - 1 for v in row)
+        want.append(row)
+    data, off = _flat_binary(pa.array(texts, pa.string()).cast(pa.binary()))
+    if overflow:
+        try:
+            tokenize_rows(data, off)
+        except ValueError:
+            return  # matches the engines' ANSI cast refusal
+        raise AssertionError("expected overflow rejection")
+    flat, toff = tokenize_rows(data, off)
+    got = [flat[toff[i]:toff[i + 1]].tolist() for i in range(len(texts))]
+    assert got == want
