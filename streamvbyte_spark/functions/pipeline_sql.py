@@ -800,6 +800,7 @@ def _decontaminate_final(d: Dialect, e_src: str,
 
 
 PACK_CAP = 256  # tokens per training sequence (small so sf0.01 yields many packs)
+CURATE_MIN_TOK = 5  # curation_pipeline length gate (shared with its oracle)
 # doc_id-range bucket width for the two-level prefix sum: bucket = doc_id div
 # WIDTH is monotone in doc_id, so per-bucket local sums + broadcast bucket
 # offsets reproduce the per-source running sum exactly.  Small enough that

@@ -817,6 +817,51 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.when(kept, n_tok).otherwise(0)).alias("sum_tok_kept")))
 
     q["curate_neardup_metrics"] = curate_neardup_metrics
+
+    # -- the full pretraining-curation composite: every stage a 100 TB job
+    # runs between raw documents and the dataloader, in ONE oracle-checked
+    # query.  Policy order (documented, applied on both sides): exact-dup
+    # losers drop first, then contaminated docs, then too-short docs; the
+    # survivors are priced in packs (PACK_CAP) and auto-codec bytes.
+    def curation_pipeline(spark, sf_dir):
+        """scan -> exact dedup (md5 window) -> eval-set decontamination
+        (staged broadcast shingle join, reused from `decontaminate`) ->
+        length gate -> per-source pack count + encoded-byte budget
+        (cost-only size_table).  Everything JVM-side except the two Arrow
+        kernels (shingle hashing inside the staged decontaminate, cost
+        model inside size_table)."""
+        decon = make_pipeline("decontaminate")(spark, sf_dir)
+        base = spark.sql(
+            "select cast(doc_id as string) as doc_id, source, "
+            "size(split(text, ' ')) as n_tok, "
+            "row_number() over (partition by md5(text) "
+            "                   order by cast(doc_id as string)) as rn "
+            "from documents "
+            "where source != (select min(source) from documents)")
+        sizes = size_table(tokens_from_documents(spark, sf_dir), codec="auto")
+        j = (base.join(decon.select("doc_id", "contaminated"), "doc_id")
+                 .join(sizes, "doc_id"))
+        keep = ((F.col("rn") == 1) & ~F.col("contaminated")
+                & (F.col("n_tok") >= pipeline_sql.CURATE_MIN_TOK))
+        agg = j.groupBy("source").agg(
+            F.count("*").alias("docs_in"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("dropped_dup"),
+            F.sum(((F.col("rn") == 1) & F.col("contaminated"))
+                  .cast("long")).alias("dropped_contaminated"),
+            F.sum(((F.col("rn") == 1) & ~F.col("contaminated")
+                   & (F.col("n_tok") < pipeline_sql.CURATE_MIN_TOK))
+                  .cast("long")).alias("dropped_short"),
+            F.sum(keep.cast("long")).alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+            .alias("sum_tok_kept"),
+            F.sum(F.when(keep, F.col("size_bytes")).otherwise(0))
+            .alias("sum_auto_bytes"))
+        return agg.withColumn(
+            "n_packs",
+            F.expr(f"cast((sum_tok_kept + {pipeline_sql.PACK_CAP} - 1) "
+                   f"div {pipeline_sql.PACK_CAP} as bigint)"))
+
+    q["curation_pipeline"] = curation_pipeline
     return q
 
 
@@ -1074,4 +1119,44 @@ def build_oracles() -> dict[str, str]:
         "sum(case when exact_keep and not nd_drop then "
         f"cast(len({duckdb_tokens_expr('text')}) as int) else 0 end)::bigint as sum_tok_kept "
         "from j group by source")
+
+    # end-to-end curation composite: dedup -> decontaminate -> length gate
+    # -> pack/byte budget, one SQL (policy order matches the Spark side:
+    # dup losers drop first, then contaminated, then short)
+    _mt = pipeline_sql.CURATE_MIN_TOK
+    _cap = pipeline_sql.PACK_CAP
+    _sh_duck = pipeline_sql._shingle_rows(
+        pipeline_sql.Dialect("duckdb"), "source")
+    _keep = f"(rn = 1 and not contaminated and n_tok >= {_mt})"
+    o["curation_pipeline"] = (
+        f"with sh as ({_sh_duck}), "
+        "ev as (select distinct shingle from sh "
+        " where source = (select min(source) from documents)), "
+        "hits as (select sh.doc_id from sh join ev on sh.shingle = ev.shingle "
+        " where sh.source != (select min(source) from documents) "
+        " group by sh.doc_id), "
+        "base as (select cast(doc_id as varchar) as doc_id, source, "
+        " cast(len(string_split(text, ' ')) as int) as n_tok, "
+        f" {duckdb_tokens_expr('text')} as tokens, "
+        " row_number() over (partition by md5(text) "
+        "  order by cast(doc_id as varchar)) as rn "
+        " from documents "
+        " where source != (select min(source) from documents)), "
+        "f as (select base.*, (hits.doc_id is not null) as contaminated "
+        " from base left join hits on base.doc_id = hits.doc_id) "
+        "select source, "
+        "count(*)::bigint as docs_in, "
+        "sum(case when rn > 1 then 1 else 0 end)::bigint as dropped_dup, "
+        "sum(case when rn = 1 and contaminated then 1 else 0 end)::bigint "
+        " as dropped_contaminated, "
+        f"sum(case when rn = 1 and not contaminated and n_tok < {_mt} "
+        " then 1 else 0 end)::bigint as dropped_short, "
+        f"sum(case when {_keep} then 1 else 0 end)::bigint as docs_kept, "
+        f"sum(case when {_keep} then n_tok else 0 end)::bigint "
+        " as sum_tok_kept, "
+        f"sum(case when {_keep} then {duckdb_size_auto('tokens', 'n_tok')} "
+        " else 0 end)::bigint as sum_auto_bytes, "
+        f"((sum(case when {_keep} then n_tok else 0 end)::bigint "
+        f" + {_cap} - 1) // {_cap})::bigint as n_packs "
+        "from f group by source")
     return o
