@@ -446,3 +446,110 @@ def test_chunked_pipeline_reuses_posting_partitioning(spark):
         chunk_tokens(posting_lists(spark, SF), chunk_size=8)),
         fingerprint=True)
     assert count_exchanges(df) == 2, plan_string(df, "simple")
+
+
+def test_zone_map_pruning_pushes_to_written_encoded_table(spark):
+    """The zone-map story at the STORAGE layer: write the encoded table
+    (with tok_min/tok_max lineage) as parquet sorted by doc_id, read it
+    back with a token-range predicate — the filter must reach the scan
+    (PushedFilters), where parquet row-group min/max stats prune encoded
+    blocks WITHOUT decoding any payload, and the surviving rows must match
+    the in-memory zone_map_prune answer exactly."""
+    from streamvbyte_spark.operators import encode_table
+    from streamvbyte_spark.sources import tokens_from_documents
+    tmp = tempfile.mkdtemp(prefix="svb_zm_")
+    try:
+        enc = encode_table(tokens_from_documents(spark, SF), codec="auto")
+        # sortWithinPartitions clusters doc/token ranges so row-group stats
+        # are tight — the same reason an Iceberg table would sort-order
+        enc.sortWithinPartitions("tok_min").write.mode("overwrite") \
+           .parquet(f"{tmp}/encoded")
+        lo, hi = 1000, 20000
+        back = (spark.read.parquet(f"{tmp}/encoded")
+                .where((F.col("tok_max") >= lo) & (F.col("tok_min") <= hi)))
+        plan = plan_string(back, "formatted")
+        assert "GreaterThanOrEqual(tok_max,1000)" in plan, plan
+        assert "LessThanOrEqual(tok_min,20000)" in plan, plan
+        want = sorted(r.doc_id for r in enc.where(
+            (F.col("tok_max") >= lo) & (F.col("tok_min") <= hi))
+            .select("doc_id").collect())
+        got = sorted(r.doc_id for r in back.select("doc_id").collect())
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_sessionization_matches_batch(spark):
+    """Gap-based sessionization as a stateful stream: sessions split across
+    micro-batches must come out EXACTLY as the batch query computes them
+    (q_event_sessions).  A far-future sentinel per user closes every real
+    session; the sentinel's own open session stays in state, unemitted."""
+    import streamvbyte_spark.queries as Q
+    from streamvbyte_spark.streaming.sessionize import (SESSION_GAP_US,
+                                                        sessionize_stream)
+    tmp = tempfile.mkdtemp(prefix="svb_sess_")
+    try:
+        ep_expr = ("(cast(datediff(cast(ts as date), date'1970-01-01') as bigint)"
+                   " * 86400000000 + (cast(date_format(ts, 'HH') as bigint) * 3600"
+                   " + cast(date_format(ts, 'mm') as bigint) * 60"
+                   " + cast(date_format(ts, 'ss') as bigint)) * 1000000"
+                   " + cast(date_format(ts, 'SSSSSS') as bigint))")
+        ev = (spark.read.parquet(f"{SF}/events.parquet")
+              .selectExpr("cast(user_id as string) as user_id",
+                          "cast(event_id as string) as event_id",
+                          f"{ep_expr} as ep"))
+        med, mx = ev.selectExpr("percentile_approx(ep, 0.5)",
+                                "max(ep)").first()
+        ev.where(F.col("ep") <= med).coalesce(1) \
+          .write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        sentinels = (ev.select("user_id").distinct()
+                     .selectExpr("user_id", "'zz_final' as event_id",
+                                 f"cast({int(mx) + 10 * SESSION_GAP_US} "
+                                 "as long) as ep"))
+        ev.where(F.col("ep") > med).union(sentinels).coalesce(1) \
+          .write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream
+                  .schema("user_id string, event_id string, ep long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(tmp + "/in/*"))
+        q = (sessionize_stream(stream).writeStream
+             .format("memory").queryName("sessions").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = sorted(map(tuple, spark.sql("select * from sessions").collect()))
+        want = sorted((str(r[0]),) + tuple(r[1:])
+                      for r in Q.build_queries()["event_sessions"](
+                          spark, SF).collect())
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_sessionization_idle_flush(spark):
+    """Continuous mode: with idle_flush armed, a user's open session is
+    emitted by the processing-time timeout once the stream goes quiet."""
+    from streamvbyte_spark.streaming.sessionize import sessionize_stream
+    tmp = tempfile.mkdtemp(prefix="svb_sessfl_")
+    try:
+        spark.createDataFrame(
+            [("u1", "e1", 1_000_000), ("u1", "e2", 2_000_000)],
+            "user_id string, event_id string, ep long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        stream = (spark.readStream
+                  .schema("user_id string, event_id string, ep long")
+                  .parquet(tmp + "/in/*"))
+        q = (sessionize_stream(stream, idle_flush=500).writeStream
+             .format("memory").queryName("sess_flush").outputMode("update")
+             .trigger(processingTime="1 second").start())
+        try:
+            import time
+            deadline = time.time() + 60
+            rows = []
+            while time.time() < deadline and not rows:
+                time.sleep(1)
+                rows = spark.sql("select * from sess_flush").collect()
+        finally:
+            q.stop()
+        assert [tuple(r) for r in rows] == [("u1", 1, 2, 1)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
