@@ -250,13 +250,13 @@ def q_dedup_simhash(d: Dialect) -> str:
     full token array; the r3 verdict's worst remaining hot-path plan).  The
     DuckDB oracle keeps the tokenizer + 32-term fold, so the equality check
     still proves the fused UDF bit-for-bit."""
-    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     if d.kind == "spark":
         # pinned-count fanout: the UDF stage is CPU-bound over a possibly
         # single-row-group file (see _SCAN_FANOUT note above)
         return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
                 "cast(doc_id as string) as doc_id, "
                 "doc_simhash_text(text) as simhash from documents")
+    tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     h = f"(cast({SIMHASH_A} as bigint) * t + {SIMHASH_B}) % {MINHASH_P}"
     bit_terms = []
     for k in range(SIMHASH_BITS):
@@ -841,7 +841,17 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
            "from documents")
     # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
     if d.kind == "spark":
-        bkt = bucket_expr or d.idiv("doc_id", str(PACK_BUCKET_WIDTH))
+        # the default numeric range bucket NULLs out (or, under ANSI,
+        # raises) on non-numeric doc_ids; a NULL bucket would silently
+        # empty the broadcast equi-join, so fail loudly with the remedy
+        # (queries.make_pipeline passes a string-prefix bucket_expr when
+        # the schema says doc_id is not numeric)
+        default_bkt = d.idiv("try_cast(doc_id as bigint)",
+                             str(PACK_BUCKET_WIDTH))
+        bkt = bucket_expr or (
+            f"coalesce({default_bkt}, cast(raise_error(concat("
+            "'sequence_pack: non-numeric doc_id ', doc_id, "
+            "' needs an explicit monotone bucket_expr')) as bigint))")
         cum = (
             "select /*+ BROADCAST(b) */ doc_id, source, n_tok, "
             "cum_local + boff as cum from ("

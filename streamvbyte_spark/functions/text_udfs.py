@@ -47,8 +47,17 @@ def simhash_batch(lens: np.ndarray, flat: np.ndarray) -> np.ndarray:
     offsets = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     h = (SIMHASH_A * flat.astype(np.int64) + SIMHASH_B) % SIMHASH_P
-    # (V, 32) vote matrix in int8 (+1 / -1), reduced per row in int64
-    votes = (((h[:, None] >> _BIT_SHIFTS) & 1) * 2 - 1).astype(np.int8)
+    # (V, 32) vote matrix in int8 (+1 / -1), reduced per row in int64.
+    # Built one bit-column at a time: the broadcast form
+    # ((h[:, None] >> shifts) & 1) materializes (V, 32) int64 temporaries —
+    # ~256 B/token transient on a sandbox whose first-touch memory is the
+    # documented bottleneck; this peaks at one V-sized int64 temp + the
+    # int8 matrix itself
+    votes = np.empty((h.size, SIMHASH_BITS), dtype=np.int8)
+    for k in range(SIMHASH_BITS):
+        np.copyto(votes[:, k], (h >> k) & 1, casting="unsafe")
+    votes *= 2
+    votes -= 1
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
     if not nonempty.any():
@@ -67,13 +76,6 @@ def doc_simhash(tokens: pd.Series) -> pd.Series:
 
 
 # --------------------------------------------------------------- tokenizer
-
-def _seg_sums(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-segment sums via one cumsum (empty-segment safe)."""
-    c = np.zeros(x.size + 1, dtype=np.int64)
-    np.cumsum(x, out=c[1:])
-    return c[offsets[1:]] - c[offsets[:-1]]
-
 
 def tokenize_rows(data: np.ndarray, offsets: np.ndarray):
     """UTF-8 text buffer -> (flat int32 token ids, int64[T+1] offsets),
@@ -99,18 +101,20 @@ def tokenize_rows(data: np.ndarray, offsets: np.ndarray):
     if T <= 0:
         return np.zeros(0, np.int32), np.zeros(1, np.int64)
     data = data[:total]
+    if total == 0:
+        return np.zeros(T, np.int32), np.arange(T + 1, dtype=np.int64)
     text_lens = offsets[1:] - offsets[:-1]
     is_space = data == 0x20
-    n_words = _seg_sums(is_space, offsets) + 1
+    # ONE cumsum over the byte buffer serves both the per-text word counts
+    # and the per-byte word ids
+    spb = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(is_space, out=spb[1:])
+    n_words = spb[offsets[1:]] - spb[offsets[:-1]] + 1
     W = int(n_words.sum())
     tok_off = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(n_words, out=tok_off[1:])
-    if total == 0:
-        return np.zeros(W, np.int32), tok_off
     # global word id per byte: words begin at text starts and after spaces
     text_of_byte = np.repeat(np.arange(T, dtype=np.int64), text_lens)
-    spb = np.zeros(total + 1, dtype=np.int64)
-    np.cumsum(is_space, out=spb[1:])
     wid_b = tok_off[text_of_byte] - spb[offsets[:-1]][text_of_byte] + spb[:-1]
     # character starts: non-space, non-continuation bytes
     sidx = np.flatnonzero(~is_space & ((data & 0xC0) != 0x80))
@@ -176,11 +180,13 @@ def doc_fingerprint(tokens: pd.Series) -> pd.Series:
 
 def _texts_to_tokens(text: pd.Series):
     """pandas Series of strings -> (flat int32 tokens, int64 offsets) via
-    the vectorized tokenizer (one Arrow string array, no per-row Python)."""
+    the vectorized tokenizer (one Arrow string array, no per-row Python).
+    NULL text raises like every other fused path (operators.encode
+    _text_to_flat) — the SQL forms yield NULL, not token [0]."""
     import pyarrow as pa
 
-    from ..operators.encode import _flat_binary
-    data, off = _flat_binary(pa.array(text, pa.string()).cast(pa.binary()))
+    from ..operators.encode import _text_to_flat
+    data, off = _text_to_flat(pa.array(text, pa.string()))
     return tokenize_rows(data, off)
 
 

@@ -70,6 +70,19 @@ def _flat_binary(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data[base:off[-1]], off - base
 
 
+def _text_to_flat(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Text column -> (utf8 bytes, offsets) for the fused tokenizer, with
+    the same loud NULL rejection as _list_to_flat: the SQL tokenizer turns
+    NULL text into NULL tokens (no defined round trip), while a silent
+    null-as-empty here would emit token [0] and diverge from the oracle."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("text column contains NULLs; filter or coalesce "
+                         "to '' before the fused tokenizer")
+    return _flat_binary(col.cast(pa.binary()))
+
+
 def _i32_offsets(offsets: np.ndarray) -> np.ndarray:
     """int64 -> int32 Arrow offsets with an overflow guard: an Arrow batch
     whose flat payload exceeds 2^31-1 bytes/elements would otherwise WRAP
@@ -132,9 +145,8 @@ def encode_table(df: DataFrame, codec: str = "auto",
         for batch in batches:
             if text_input:
                 from ..functions.text_udfs import tokenize_rows
-                data, toff = _flat_binary(
-                    batch.column(batch.schema.get_field_index("text"))
-                    .cast(pa.binary()))
+                data, toff = _text_to_flat(
+                    batch.column(batch.schema.get_field_index("text")))
                 tflat, offsets = tokenize_rows(data, toff)
                 flat = tflat.view(np.uint32)
             else:
@@ -194,9 +206,8 @@ def size_table(df: DataFrame, codec: str = "auto",
         for batch in batches:
             if text_input:
                 from ..functions.text_udfs import tokenize_rows
-                data, toff = _flat_binary(
-                    batch.column(batch.schema.get_field_index("text"))
-                    .cast(pa.binary()))
+                data, toff = _text_to_flat(
+                    batch.column(batch.schema.get_field_index("text")))
                 tflat, offsets = tokenize_rows(data, toff)
                 flat = tflat.view(np.uint32)
             else:

@@ -20,17 +20,27 @@ from pyspark.sql import DataFrame
 
 STAGE_CHECKPOINT_CONF = "spark.svb.stageCheckpointDir"
 
+# raw conf value LAST APPLIED per SparkContext: setCheckpointDir stores
+# dir/<random-UUID> and getCheckpointDir() returns that qualified path, so
+# comparing getCheckpointDir() against the raw conf never matches — the
+# set-once guard must track what WE set (keyed weakly by context identity;
+# a restarted context gets a fresh id and re-applies)
+_applied_ckdir: dict[int, str] = {}
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly truncate df's lineage to its computed rows.
 
     localCheckpoint by default; durable checkpoint() when
-    STAGE_CHECKPOINT_CONF names a directory."""
+    STAGE_CHECKPOINT_CONF names a directory (applied to the SparkContext
+    once per distinct conf value — every set would mkdir a fresh
+    UUID-suffixed subdirectory per call and stomp a caller-set dir)."""
     spark = df.sparkSession
     ckdir = spark.conf.get(STAGE_CHECKPOINT_CONF, "")
     if ckdir:
         sc = spark.sparkContext
-        if sc.getCheckpointDir() != ckdir:
+        if _applied_ckdir.get(id(sc)) != ckdir:
             sc.setCheckpointDir(ckdir)
+            _applied_ckdir[id(sc)] = ckdir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -585,18 +585,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if pid_s == str(os.getpid()) or not pid_s.isdigit():
                 continue
             try:
-                age = time.time() - os.path.getmtime(stale)
-            except OSError:
-                age = 0.0
-            if age > 86400:
-                shutil.rmtree(stale, ignore_errors=True)
-                continue
-            try:
                 os.kill(int(pid_s), 0)  # raises if the owner is gone
             except ProcessLookupError:
                 shutil.rmtree(stale, ignore_errors=True)
+                continue
             except PermissionError:
-                pass  # alive under another uid and fresh: leave it
+                pass  # can't verify liveness: fall through to the age check
+            try:
+                age = time.time() - os.path.getmtime(stale)
+            except OSError:
+                age = 0.0
+            if age > 7 * 86400:
+                # an apparently-alive pid can be a recycled pid holding the
+                # slot forever; a week-old staging dir is reclaimed even
+                # then (liveness is checked FIRST — reaping a provably-live
+                # owner's dir on age alone would break its lazy reads)
+                shutil.rmtree(stale, ignore_errors=True)
         return prefix + str(os.getpid())
 
     def _staged_format_roundtrip(spark, sf_dir, fmt, writer, reader):
@@ -758,18 +762,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stages, final = staged
             tag = uuid.uuid4().hex[:8]
             mapping = {view: f"{view}_{tag}" for view, _ in stages}
-            renames = sorted(mapping.items(), key=lambda kv: -len(kv[0]))
+
+            def rename(sql):
+                # token-boundary substitution: a view name that is a PREFIX
+                # of another (or echoed inside a longer identifier) must not
+                # be rewritten mid-identifier — plain str.replace silently
+                # corrupts the SQL in that case
+                import re as _re
+                return _re.sub(
+                    r"\b(" + "|".join(map(_re.escape, mapping)) + r")\b",
+                    lambda m: mapping[m.group(1)], sql)
             for old_view in _STAGE_VIEWS.pop((id(spark), name), ()):
                 spark.catalog.dropTempView(old_view)
             for view, sql_fn in stages:
-                sql = sql_fn(d)
-                for o, n in renames:
-                    sql = sql.replace(o, n)
-                materialize(spark.sql(sql)) \
+                materialize(spark.sql(rename(sql_fn(d)))) \
                     .createOrReplaceTempView(mapping[view])
-            fsql = final(d)
-            for o, n in renames:
-                fsql = fsql.replace(o, n)
+            fsql = rename(final(d))
             _STAGE_VIEWS[(id(spark), name)] = tuple(mapping.values())
             return spark.sql(fsql)
         return run

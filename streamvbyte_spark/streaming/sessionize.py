@@ -52,11 +52,18 @@ def _sessionize_body(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
     user = key[0]
     if state.hasTimedOut:
         # idle flush: the open session is now provably closed (no event can
-        # legally arrive inside its gap window any more)
+        # legally arrive inside its gap window any more).  KEEP the state
+        # (events = 0 marks "no open session"): removing it would reset the
+        # per-user session counter — a later event would re-emit session_no
+        # values already delivered (colliding in update-mode sinks) — and
+        # would drop the cross-batch ordering guard's l_ep
         sn, s_ep, l_ep, n = state.get
-        state.remove()
-        yield pd.DataFrame([[user, sn, n, (l_ep - s_ep) // 1_000_000]],
-                           columns=_OUT_COLS)
+        state.update((sn, l_ep, l_ep, 0))
+        if n > 0:
+            yield pd.DataFrame([[user, sn, n, (l_ep - s_ep) // 1_000_000]],
+                               columns=_OUT_COLS)
+        else:
+            yield pd.DataFrame(columns=_OUT_COLS)
         return
 
     frames = [p for p in pdf_iter if len(p)]
@@ -79,7 +86,10 @@ def _sessionize_body(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
         sn, s_ep, l_ep, n = 0, 0, None, 0
 
     brk = np.empty(eps.size, dtype=bool)
-    brk[0] = l_ep is None or (int(eps[0]) - l_ep) > SESSION_GAP_US
+    # n == 0: the previous open session was already flushed by a timeout —
+    # nothing to merge or emit, the first event necessarily starts session
+    # sn+1 (l_ep is retained only for the ordering guard above)
+    brk[0] = l_ep is None or n == 0 or (int(eps[0]) - l_ep) > SESSION_GAP_US
     np.greater(eps[1:] - eps[:-1], SESSION_GAP_US, out=brk[1:])
     seg = np.cumsum(brk)  # 0 while continuing the open session
     starts = np.flatnonzero(brk)
@@ -87,7 +97,7 @@ def _sessionize_body(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
     # per segment: [bounds[i], bounds[i+1]) — segment 0 may be empty (batch
     # opens with a break); merge segment 0 into the carried open session
     out = []
-    if state.exists and brk[0]:
+    if state.exists and brk[0] and n > 0:
         # the batch's first event broke the gap: the CARRIED open session
         # is now provably closed — emit it (dropping it silently loses one
         # session per user at every micro-batch seam that lands on a gap)

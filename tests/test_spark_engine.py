@@ -660,3 +660,27 @@ def test_size_table_matches_encode_out_bytes(spark):
     want = {r.doc_id: r.out_bytes for r in encode_table(
         posting_lists(spark, SF), codec="svb_delta").collect()}
     assert got == want
+
+
+def test_fused_text_paths_reject_null_text(spark):
+    """NULL text must raise loudly on every fused-tokenizer path (the SQL
+    forms yield NULL tokens; silently tokenizing null-as-'' would emit
+    token [0] and diverge from the oracles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from streamvbyte_spark.functions.text_udfs import doc_fingerprint_text
+    from streamvbyte_spark.operators import size_table
+    tmp = tempfile.mkdtemp(prefix="svb_nulltext_")
+    try:
+        pq.write_table(pa.table({
+            "doc_id": ["a", "b"], "text": ["ok doc", None],
+            "source": ["s", "s"]}), f"{tmp}/documents.parquet")
+        docs = spark.read.parquet(f"{tmp}/documents.parquet")
+        with pytest.raises(Exception, match="NULL"):
+            encode_table(docs, codec="auto", text_input=True).collect()
+        with pytest.raises(Exception, match="NULL"):
+            size_table(docs, codec="auto", text_input=True).collect()
+        with pytest.raises(Exception, match="NULL"):
+            docs.select(doc_fingerprint_text("text")).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

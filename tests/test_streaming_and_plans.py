@@ -315,7 +315,8 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     import streamvbyte_spark.queries as Q
     sql = P.spark_sql("sequence_pack")
     w = P.PACK_BUCKET_WIDTH
-    assert f"partition by source, (doc_id div {w})" in sql, sql
+    assert (f"partition by source, coalesce((try_cast(doc_id as bigint) "
+            f"div {w})" in sql), sql
     # the only partition-by-source-alone window is over the tiny per-bucket
     # totals table (one row per bucket), keyed by the bsrc alias
     assert "partition by source order by doc_id" not in sql, sql
@@ -553,3 +554,59 @@ def test_streaming_sessionization_idle_flush(spark):
         assert [tuple(r) for r in rows] == [("u1", 1, 2, 1)]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_sessionization_counter_survives_idle_flush(spark):
+    """Events arriving AFTER an idle flush must continue the per-user
+    session numbering (a removed state would restart at 1, colliding with
+    the already-emitted session in an update-mode sink)."""
+    import time
+    from streamvbyte_spark.streaming.sessionize import sessionize_stream
+    tmp = tempfile.mkdtemp(prefix="svb_sessfl2_")
+    try:
+        spark.createDataFrame(
+            [("u1", "e1", 1_000_000)],
+            "user_id string, event_id string, ep long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        stream = (spark.readStream
+                  .schema("user_id string, event_id string, ep long")
+                  .parquet(tmp + "/in/*"))
+        q = (sessionize_stream(stream, idle_flush=500).writeStream
+             .format("memory").queryName("sess_flush2").outputMode("update")
+             .trigger(processingTime="1 second").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not spark.sql(
+                    "select * from sess_flush2").collect():
+                time.sleep(1)
+            # second wave: two events, themselves gap-separated — sessions
+            # 2 and 3 (session 3 flushes on the next idle timeout)
+            spark.createDataFrame(
+                [("u1", "e2", 10_000_000_000), ("u1", "e3", 20_000_000_000)],
+                "user_id string, event_id string, ep long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+            deadline = time.time() + 60
+            rows = []
+            while time.time() < deadline and len(rows) < 3:
+                time.sleep(1)
+                rows = spark.sql("select * from sess_flush2").collect()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, rows))
+        assert got == [("u1", 1, 1, 0), ("u1", 2, 1, 0),
+                       ("u1", 3, 1, 0)], got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sequence_pack_default_bucket_fails_loudly_on_string_ids(spark):
+    """pipeline_sql.spark_sql('sequence_pack') without a bucket_expr on a
+    string-doc_id corpus must RAISE (a NULL numeric bucket would silently
+    empty the broadcast equi-join), naming the remedy."""
+    import pyarrow as pa
+    import streamvbyte_spark.functions.pipeline_sql as P
+    spark.createDataFrame(
+        [("d00", "a b c", "s")], "doc_id string, text string, source string"
+    ).createOrReplaceTempView("documents")
+    with pytest.raises(Exception, match="bucket_expr"):
+        spark.sql(P.spark_sql("sequence_pack")).collect()
