@@ -172,7 +172,8 @@ def _flush_doc_batches(doc_ids: np.ndarray, flat: np.ndarray,
 
 def decode_reassemble_fused(enc_df: DataFrame,
                             max_len: int | None = None,
-                            fingerprint: bool = False) -> DataFrame:
+                            fingerprint: bool = False,
+                            fanout: int | None = None) -> DataFrame:
     """Decode + reassemble AFTER one hash shuffle, whole-batch (mapInArrow).
 
     The separate decode->reassemble pipeline must re-shuffle DECODED tokens
@@ -217,8 +218,12 @@ def decode_reassemble_fused(enc_df: DataFrame,
             raise ValueError(f"max_len must be >= 1, got {max_len}")
         pruned = enc_df.where(F.col("tok_start") < max_len)
         cols.append("tok_start")
+    # fanout pins the repartition count: AQE's byte-based coalescing can
+    # collapse a count-less repartition of byte-small-but-CPU-heavy chunk
+    # data to a handful of tasks (CLAUDE.md); callers that know the decode
+    # stage is CPU-bound pass an explicit width
     part = (pruned.select(*cols)
-            .repartition("doc_id")
+            .repartition(*((fanout, "doc_id") if fanout else ("doc_id",)))
             .sortWithinPartitions("doc_id", "chunk_id"))
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
