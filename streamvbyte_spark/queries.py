@@ -27,7 +27,7 @@ from .functions.sqlpair import (
     spark_tokens_expr,
 )
 from .operators import decode_table, encode_table, size_table
-from .sources import documents_scan, posting_lists, tokens_from_documents
+from .sources import posting_lists, tokens_from_documents
 
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragments (oracle side)
