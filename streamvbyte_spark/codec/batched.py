@@ -374,8 +374,9 @@ def _fsst_costs(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     Layout cost (companions.py FSST section): 1B table size k + 2k B symbol
     table + ceil(m/8) B escape bitmap + 1 B per table hit + 2 B per escaped
     pair, where m = 2n byte pairs and the table holds the top-255 pairs by
-    (count desc, pair value desc — np.argsort(counts)[::-1] over
-    value-sorted uniques reverses ties to descending value) with count >= 3.
+    (count desc, pair value desc) with count >= 3 — the stable lexsort order
+    companions._fsst_table and _fsst_encode_rows use (an unstable argsort
+    left the tie order implementation-defined; same lexsort below).
 
     Whole-batch: one composite-key sort groups (row, pair); a lexsort ranks
     each row's distinct pairs for the 255 cap; bincount reduces k and n_hit

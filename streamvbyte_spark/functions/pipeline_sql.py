@@ -721,13 +721,40 @@ def q_nation_revenue(d: Dialect) -> str:
 
 
 def q_token_quantiles(d: Dialect) -> str:
-    """Exact DISCRETE quantiles (value at rank ceil(p*n), ties broken by
-    doc_id) of per-document word counts by source — written as window rank
-    math because Spark's percentile() is continuous-interpolated while
-    DuckDB's quantile_disc ranks differently; this form is identical integer
-    arithmetic in both engines.  Scale shape: one shuffle on source for the
-    window, tiny output."""
+    """Exact DISCRETE quantiles (value at rank ceil(p*n)) of per-document
+    word counts by source — written as rank math because Spark's
+    percentile() is continuous-interpolated while DuckDB's quantile_disc
+    ranks differently; this form is identical integer arithmetic in both
+    engines.
+
+    Scale shape (Spark side): exact rank SELECTION over the VALUE-COUNT
+    table.  A per-document ``row_number() over (partition by source order by
+    n, doc_id)`` ranks every document of a source in ONE window task — with
+    80% of a 2x10^10-doc corpus in one source that task sees ~1.6x10^10 rows
+    (the r4 verdict's scale flaw).  Instead: ``group by source, n`` first
+    (map-side partial agg; the distinct word-count domain is tiny), then a
+    cumulative-count window over that small table, then pick the FIRST value
+    whose cumulative count reaches rank r = greatest(1, ceil(p*cnt)).  The
+    value at global rank r under (n, doc_id) order is min{n : cum(n) >= r}
+    — the doc_id tiebreak only permutes docs with EQUAL n, never the value
+    at a rank — so the decomposition is exact.  The DuckDB oracle keeps the
+    single-window row_number form, so the driver gate proves equivalence
+    (the sequence_pack playbook)."""
     w = _words(d)
+    if d.kind == "spark":
+        picks = ", ".join(
+            f"min(case when cum_c >= greatest(1, cast(ceil({p} * cnt) as "
+            f"bigint)) then n end) as p{int(p * 100)}"
+            for p in (0.25, 0.5, 0.75, 0.95))
+        return (
+            f"with b as (select source, {d.alen(w)} as n from documents), "
+            "vc as (select source, n, count(*) as c from b group by source, n), "
+            "cum as (select source, n, "
+            " sum(c) over (partition by source order by n "
+            "  rows between unbounded preceding and current row) as cum_c, "
+            " sum(c) over (partition by source) as cnt from vc) "
+            f"select source, {picks} from cum group by source"
+        )
     base = (f"select source, cast(doc_id as string) as doc_id, "
             f"{d.alen(w)} as n from documents")
     picks = ", ".join(

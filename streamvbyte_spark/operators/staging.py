@@ -16,6 +16,8 @@ the truncated plan differs.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 STAGE_CHECKPOINT_CONF = "spark.svb.stageCheckpointDir"
@@ -23,9 +25,11 @@ STAGE_CHECKPOINT_CONF = "spark.svb.stageCheckpointDir"
 # raw conf value LAST APPLIED per SparkContext: setCheckpointDir stores
 # dir/<random-UUID> and getCheckpointDir() returns that qualified path, so
 # comparing getCheckpointDir() against the raw conf never matches — the
-# set-once guard must track what WE set (keyed weakly by context identity;
-# a restarted context gets a fresh id and re-applies)
-_applied_ckdir: dict[int, str] = {}
+# set-once guard must track what WE set.  Keyed WEAKLY by the context object
+# itself (an id()-keyed dict can alias a restarted context allocated at the
+# same address and skip the re-apply), and double-checked against
+# getCheckpointDir() actually being set on the JVM side.
+_applied_ckdir: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -39,8 +43,8 @@ def materialize(df: DataFrame) -> DataFrame:
     ckdir = spark.conf.get(STAGE_CHECKPOINT_CONF, "")
     if ckdir:
         sc = spark.sparkContext
-        if _applied_ckdir.get(id(sc)) != ckdir:
+        if _applied_ckdir.get(sc) != ckdir or sc.getCheckpointDir() is None:
             sc.setCheckpointDir(ckdir)
-            _applied_ckdir[id(sc)] = ckdir
+            _applied_ckdir[sc] = ckdir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -260,6 +260,26 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 _STAGE_VIEWS: dict[tuple[int, str], tuple[str, ...]] = {}
 
 
+def _string_bucket_expr(spark) -> str:
+    """Monotone string-prefix bucket for NON-NUMERIC doc_ids, prefix length
+    derived from the data: longest common prefix of the min and max doc_id
+    (== the common prefix of ALL ids under the lexicographic order both
+    engines use) + 2 characters.  A FIXED 2-char prefix silently collapses
+    uniform-prefix corpora (``doc0000001``, ...) into ONE bucket,
+    degenerating the two-level prefix sum back into the single-task funnel
+    it exists to avoid (r4 verdict item 3) — and correctness is unaffected,
+    so no gate would ever catch it.  LCP+1 already guarantees >= 2 distinct
+    buckets whenever two distinct ids exist (the ids differ at position
+    LCP+1); +2 adds fan-out.  Cost: one column-pruned min/max scan of doc_id
+    at build time (map-side partial agg, two strings back to the driver).
+    Reads the registered ``documents`` temp view."""
+    import os.path as _osp
+    row = spark.sql("select min(cast(doc_id as string)) as lo, "
+                    "max(cast(doc_id as string)) as hi from documents").first()
+    lcp = len(_osp.commonprefix([row["lo"] or "", row["hi"] or ""]))
+    return f"substring(cast(doc_id as string), 1, {lcp + 2})"
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
@@ -570,8 +590,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus-sized copy per round, and two CONCURRENT gate processes on
         the same sf dir can't clobber each other's staging mid-read.  Each
         invocation reaps siblings whose owning process is gone (or whose
-        mtime is over a day old — a recycled pid can look alive forever),
-        so dead pids don't accumulate copies in /tmp across rounds."""
+        mtime is over a WEEK old — a recycled pid can look alive forever),
+        so dead pids don't accumulate copies in /tmp across rounds.  Our own
+        dir's mtime is touched on every use, so a genuinely long-lived live
+        owner is never age-reaped by a sibling."""
         import glob
         import hashlib
         import os
@@ -601,7 +623,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # then (liveness is checked FIRST — reaping a provably-live
                 # owner's dir on age alone would break its lazy reads)
                 shutil.rmtree(stale, ignore_errors=True)
-        return prefix + str(os.getpid())
+        mine = prefix + str(os.getpid())
+        try:
+            os.utime(mine)  # keep a long-lived live owner past the age reap
+        except OSError:
+            pass  # first use: the writer creates it
+        return mine
 
     def _staged_format_roundtrip(spark, sf_dir, fmt, writer, reader):
         """Write the canonical token table through a staging format, read it
@@ -655,7 +682,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from .functions.text_udfs import doc_fingerprint
         from .operators.chunking import (chunk_tokens, decode_chunked_delta,
                                          encode_chunked_delta, reassemble)
-        post = posting_lists(spark, sf_dir)
+        # string_key: the chunk-prev window + reassembly reuse the groupBy
+        # partitioning (2 exchanges, plan-tested) — worth the slower groupBy
+        # HERE, unlike the flat delta queries (sources.posting_lists)
+        post = posting_lists(spark, sf_dir, string_key=True)
         re = reassemble(decode_chunked_delta(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8))))
         return re.select("doc_id",
@@ -670,7 +700,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def chunked_fused_roundtrip(spark, sf_dir):
         from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
                                          encode_chunked_delta)
-        post = posting_lists(spark, sf_dir)
+        post = posting_lists(spark, sf_dir, string_key=True)
         re = decode_reassemble_fused(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8)),
             fingerprint=True)
@@ -685,7 +715,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def chunked_truncate_decode(spark, sf_dir, max_len=TRUNCATE_MAX_LEN):
         from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
                                          encode_chunked_delta)
-        post = posting_lists(spark, sf_dir)
+        post = posting_lists(spark, sf_dir, string_key=True)
         re = decode_reassemble_fused(
             encode_chunked_delta(chunk_tokens(post, chunk_size=8)),
             max_len=max_len, fingerprint=True)
@@ -720,6 +750,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": ("embeddings",),
     }
 
+    # queries built on the two-level distributed prefix sum: their sql_fn
+    # takes a bucket_expr MONOTONE in the doc_id order (schema known only
+    # at run time: numeric range bucket for numeric ids, derived
+    # lexicographic string prefix otherwise)
+    _bucketed_pack_queries = ("sequence_pack", "pack_sequences")
+
     def make_pipeline(name):
         def run(spark, sf_dir):
             from .functions.embedding_udfs import register_embedding_udfs
@@ -732,16 +768,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .createOrReplaceTempView(t)
             staged = pipeline_sql.SPARK_STAGES.get(name)
             if staged is None:
-                if name == "sequence_pack":
-                    # the two-level prefix sum needs a bucket expression
-                    # monotone in the doc_id ORDER: numeric range bucket for
-                    # numeric ids, lexicographic string prefix otherwise
-                    # (schema known only here)
+                if name in _bucketed_pack_queries:
                     from pyspark.sql.types import NumericType
                     dtype = spark.table("documents").schema["doc_id"].dataType
                     bucket = None if isinstance(dtype, NumericType) else \
-                        "substring(cast(doc_id as string), 1, 2)"
-                    return spark.sql(pipeline_sql.q_sequence_pack(
+                        _string_bucket_expr(spark)
+                    return spark.sql(pipeline_sql.PIPELINE_QUERIES[name](
                         pipeline_sql.Dialect("spark"), bucket_expr=bucket))
                 return spark.sql(pipeline_sql.spark_sql(name))
             # self-join queries: materialize the signature/bands pipeline

@@ -57,27 +57,37 @@ def documents_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source"))
 
 
-def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def posting_lists(spark: SparkSession, sf_dir: str,
+                  string_key: bool = False) -> DataFrame:
     """Sorted l_orderkey posting list per part — ascending ints, the classic
     delta-codec input (reference README.md:54 documents delta for sorted
     data).
 
-    Groups directly on the STRING-cast key: downstream operators (the
-    chunk-prev window, the fused reassembly) partition on ``doc_id``, and
-    grouping on the bigint then casting breaks Catalyst's partitioning
-    equivalence — hashpartitioning(cast(l_partkey)) is not
-    hashpartitioning(doc_id) to the planner, which re-shuffled the chunked
-    pipelines (3 exchanges; this form plans 2)."""
+    string_key=True groups directly on the STRING-cast key: downstream
+    operators of the CHUNKED pipelines (the chunk-prev window, the fused
+    reassembly) partition on ``doc_id``, and grouping on the bigint then
+    casting breaks Catalyst's partitioning equivalence —
+    hashpartitioning(cast(l_partkey)) is not hashpartitioning(doc_id) to the
+    planner, which re-shuffled those pipelines (3 exchanges; this form plans
+    2, plan-tested).
+
+    The default groups on the native BIGINT key and casts AFTER the agg:
+    the string-key groupBy costs ~1.8x more (A/B at sf0.1: 0.53 s bigint vs
+    0.97 s string — string hashing + comparison on the shuffle key), and
+    FLAT consumers (encode/size tables are map-only) never reuse the
+    partitioning, so they shouldn't pay for it (r4 verdict item 2)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.groupBy(F.col("l_partkey").cast("string").alias("doc_id"))
+    key = F.col("l_partkey").cast("string") if string_key else F.col("l_partkey")
+    grouped = (
+        li.groupBy(key.alias("doc_id"))
         .agg(F.sort_array(F.collect_list("l_orderkey")).alias("tokens"))
-        .select(
-            "doc_id",
-            F.col("tokens").cast("array<int>").alias("tokens"),
-            F.size("tokens").alias("n_tok"),
-            F.lit("lineitem").alias("source"),
-        )
+    )
+    doc_id = F.col("doc_id") if string_key else F.col("doc_id").cast("string")
+    return grouped.select(
+        doc_id.alias("doc_id"),
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.size("tokens").alias("n_tok"),
+        F.lit("lineitem").alias("source"),
     )
 
 

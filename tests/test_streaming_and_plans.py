@@ -327,12 +327,39 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     assert "partition by source order by doc_id" in P.duckdb_sql("sequence_pack")
 
 
+def test_token_quantiles_value_count_decomposition(spark):
+    """token_quantiles must rank over the tiny (source, word-count)
+    VALUE-COUNT table, never per-document rows: a ``row_number() over
+    (partition by source order by n, doc_id)`` window funnels every document
+    of a skewed source through one task (r4 verdict item 1).  The DuckDB
+    oracle keeps the per-document rank form, so the driver gate proves the
+    rank-selection decomposition exact."""
+    from streamvbyte_spark.functions import pipeline_sql as P
+    import streamvbyte_spark.queries as Q
+    sql = P.spark_sql("token_quantiles")
+    assert "row_number" not in sql, sql
+    assert "group by source, n" in sql, sql           # value-count reduction
+    assert "order by n, doc_id" not in sql, sql       # no per-doc window
+    # the oracle keeps the single-window per-document rank form
+    osql = P.duckdb_sql("token_quantiles")
+    assert "row_number() over (partition by source order by n, doc_id)" in osql
+    df = Q.build_queries()["token_quantiles"](spark, SF)
+    plan = plan_string(df, "simple")
+    # every Window in the plan sits ABOVE the (source, n) value-count
+    # aggregation (plans print root-first, so above == smaller index) —
+    # i.e. its input is the aggregated table, not per-doc rows
+    import re
+    vc_agg = re.search(r"HashAggregate\(keys=\[source#\d+, n#\d+\]", plan)
+    assert vc_agg, plan
+    assert "Window" in plan and plan.index("Window") < vc_agg.start(), plan
+
+
 def test_chunk_tokens_plan_fully_codegen(spark):
     """chunk_tokens must carry no interpreted HOF lambda: the chunk slices
     are posexplode + plain-projection slice(), all codegen'd (r3 item 4)."""
     from streamvbyte_spark.operators.chunking import chunk_tokens
     from streamvbyte_spark.sources import posting_lists
-    ch = chunk_tokens(posting_lists(spark, SF), chunk_size=8)
+    ch = chunk_tokens(posting_lists(spark, SF, string_key=True), chunk_size=8)
     plan = ch._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan, plan
 
@@ -436,15 +463,17 @@ def test_roundtrip_plans_carry_no_interpreted_lambda(spark):
 
 
 def test_chunked_pipeline_reuses_posting_partitioning(spark):
-    """posting_lists groups on the string-cast key so the chunk-prev window
-    reuses the groupBy partitioning: the fused chunked pipeline plans TWO
-    exchanges (groupBy + the fused-decode repartition), not three — grouping
-    on the bigint then casting hid the equivalence from Catalyst."""
+    """posting_lists(string_key=True) groups on the string-cast key so the
+    chunk-prev window reuses the groupBy partitioning: the fused chunked
+    pipeline plans TWO exchanges (groupBy + the fused-decode repartition),
+    not three — grouping on the bigint then casting hides the equivalence
+    from Catalyst (which is why the FLAT delta queries default to the
+    faster bigint groupBy instead: they never reuse the partitioning)."""
     from streamvbyte_spark.operators.chunking import (
         chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
     from streamvbyte_spark.sources import posting_lists
     df = decode_reassemble_fused(encode_chunked_delta(
-        chunk_tokens(posting_lists(spark, SF), chunk_size=8)),
+        chunk_tokens(posting_lists(spark, SF, string_key=True), chunk_size=8)),
         fingerprint=True)
     assert count_exchanges(df) == 2, plan_string(df, "simple")
 
@@ -610,3 +639,43 @@ def test_sequence_pack_default_bucket_fails_loudly_on_string_ids(spark):
     ).createOrReplaceTempView("documents")
     with pytest.raises(Exception, match="bucket_expr"):
         spark.sql(P.spark_sql("sequence_pack")).collect()
+
+
+def test_sequence_pack_string_bucket_derived_multibucket(spark):
+    """Uniform-prefix string doc_ids (``doc%09d``) through the real query
+    path: the derived string bucket (LCP of min/max + 2) must spread the
+    two-level prefix sum over MANY buckets — the old fixed 2-char prefix
+    put every such doc in ONE bucket, silently restoring the single-task
+    funnel (r4 verdict item 3) — and the result must still match the DuckDB
+    single-window oracle exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __spark_entry__ as entry
+    import streamvbyte_spark.queries as Q
+    from streamvbyte_spark.queries import _string_bucket_expr
+    tmp = tempfile.mkdtemp(prefix="svb_pack_str_")
+    try:
+        docs = [(f"doc{i:09d}", ("w " * ((i % 7) * 3 + 1)).strip(),
+                 "web" if i % 5 else "code") for i in range(60)]
+        pq.write_table(pa.table({
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "source": [d[2] for d in docs],
+        }), f"{tmp}/documents.parquet")
+        df = Q.build_queries()["sequence_pack"](spark, tmp)
+        got = sorted(map(tuple, df.collect()))
+        # the view is registered by the query build; the derived bucket
+        # must fan out (the ids share a 10-char prefix, so 2 chars give 1)
+        expr = _string_bucket_expr(spark)
+        n_buckets = spark.sql(
+            f"select count(distinct {expr}) as n from documents").first()["n"]
+        assert n_buckets > 8, (expr, n_buckets)
+        con = duckdb.connect()
+        con.execute("create view documents as "
+                    f"select * from '{tmp}/documents.parquet'")
+        want = sorted(map(tuple,
+                          con.sql(entry.oracle_sql()["sequence_pack"]).fetchall()))
+        assert got == want, (got[:3], want[:3])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
