@@ -836,6 +836,53 @@ CURATE_MIN_TOK = 5  # curation_pipeline length gate (shared with its oracle)
 PACK_BUCKET_WIDTH = 64
 
 
+def _default_pack_bucket(d: Dialect) -> str:
+    """Spark-side default doc_id-range bucket for the two-level prefix sum.
+    The numeric range bucket NULLs out (or, under ANSI, raises) on
+    non-numeric doc_ids; a NULL bucket would silently empty the broadcast
+    equi-join, so fail loudly with the remedy (queries.make_pipeline passes
+    a derived string-prefix bucket_expr when the schema says doc_id is not
+    numeric)."""
+    default_bkt = d.idiv("try_cast(doc_id as bigint)",
+                         str(PACK_BUCKET_WIDTH))
+    return (
+        f"coalesce({default_bkt}, cast(raise_error(concat("
+        "'sequence_pack: non-numeric doc_id ', doc_id, "
+        "' needs an explicit monotone bucket_expr')) as bigint))")
+
+
+def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:
+    """SELECT text computing the exact per-source running token sum ``cum``
+    over the docs of table ``t`` (columns doc_id, source, n_tok{carry})
+    ordered by doc_id — the TWO-LEVEL distributed prefix sum on the Spark
+    side (level 1 windows within (source, bucket); level 2 broadcast-joins
+    per-bucket prefix offsets computed over the tiny bucket-totals table),
+    the plain single per-source window on DuckDB (the oracle form the gate
+    proves equivalent).  Exact for any ``bkt`` monotone non-decreasing in
+    the doc_id order.  ``carry``: comma-prefixed extra columns of t
+    threaded through the level-1 side (e.g. ``", tokens"``)."""
+    if d.kind == "spark":
+        return (
+            f"select /*+ BROADCAST(b) */ doc_id, source, n_tok{carry}, "
+            "cum_local + boff as cum from ("
+            f"select doc_id, source, n_tok{carry}, {bkt} as bkt, "
+            "cast(sum(cast(n_tok as bigint)) over (partition by source, "
+            f"{bkt} order by doc_id rows between unbounded preceding and "
+            "current row) as bigint) as cum_local from t where n_tok > 0"
+            ") w join (select bsrc, bbkt, "
+            "cast(sum(btot) over (partition by bsrc order by bbkt rows "
+            "between unbounded preceding and current row) - btot as bigint) "
+            "as boff from (select source as bsrc, "
+            f"{bkt} as bbkt, sum(cast(n_tok as bigint)) as btot "
+            f"from t where n_tok > 0 group by source, {bkt})"
+            ") b on w.source = b.bsrc and w.bkt = b.bbkt")
+    # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
+    return (f"select doc_id, source, n_tok{carry}, "
+            "cast(sum(cast(n_tok as bigint)) over (partition by source "
+            "order by doc_id rows between unbounded preceding and current row)"
+            " as bigint) as cum from t where n_tok > 0")
+
+
 def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     """Fixed-length training-sequence packing metrics: each source's token
     stream (docs concatenated in doc_id order) is cut every PACK_CAP tokens;
@@ -866,38 +913,8 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     # (the transform() token mapping is length-preserving in both engines)
     tok = (f"select doc_id, {d.alen(d.split('text'))} as n_tok, source "
            "from documents")
-    # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
-    if d.kind == "spark":
-        # the default numeric range bucket NULLs out (or, under ANSI,
-        # raises) on non-numeric doc_ids; a NULL bucket would silently
-        # empty the broadcast equi-join, so fail loudly with the remedy
-        # (queries.make_pipeline passes a string-prefix bucket_expr when
-        # the schema says doc_id is not numeric)
-        default_bkt = d.idiv("try_cast(doc_id as bigint)",
-                             str(PACK_BUCKET_WIDTH))
-        bkt = bucket_expr or (
-            f"coalesce({default_bkt}, cast(raise_error(concat("
-            "'sequence_pack: non-numeric doc_id ', doc_id, "
-            "' needs an explicit monotone bucket_expr')) as bigint))")
-        cum = (
-            "select /*+ BROADCAST(b) */ doc_id, source, n_tok, "
-            "cum_local + boff as cum from ("
-            f"select doc_id, source, n_tok, {bkt} as bkt, "
-            "cast(sum(cast(n_tok as bigint)) over (partition by source, "
-            f"{bkt} order by doc_id rows between unbounded preceding and "
-            "current row) as bigint) as cum_local from t where n_tok > 0"
-            ") w join (select bsrc, bbkt, "
-            "cast(sum(btot) over (partition by bsrc order by bbkt rows "
-            "between unbounded preceding and current row) - btot as bigint) "
-            "as boff from (select source as bsrc, "
-            f"{bkt} as bbkt, sum(cast(n_tok as bigint)) as btot "
-            f"from t where n_tok > 0 group by source, {bkt})"
-            ") b on w.source = b.bsrc and w.bkt = b.bbkt")
-    else:
-        cum = ("select doc_id, source, n_tok, "
-               "cast(sum(cast(n_tok as bigint)) over (partition by source "
-               "order by doc_id rows between unbounded preceding and current row)"
-               " as bigint) as cum from t where n_tok > 0")
+    bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
+    cum = _two_level_cum_sql(d, bkt)
     spans = ("select doc_id, source, n_tok, cum - n_tok as st, cum - 1 as en "
              "from c")
     p0 = d.idiv("st", str(PACK_CAP))
@@ -921,6 +938,79 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     )
 
 
+def q_pack_sequences(d: Dialect, bucket_expr: str | None = None) -> str:
+    """The MATERIALIZED pack writer: emit the actual fixed-length training
+    sequences that ``sequence_pack``'s manifest only prices — per (source,
+    pack_id), the pack's token payload, reported through the driver gate as
+    (n_tok, polynomial fingerprint) because array columns cannot cross it
+    (the round-trip queries' convention).  This is the last step between
+    the engine and a dataloader: pack p of a source holds tokens
+    [p*PACK_CAP, (p+1)*PACK_CAP) of the source's documents concatenated in
+    doc_id order; a document spanning a cut continues into the next pack
+    (no padding in this accounting), so every pack but a source's last
+    holds exactly PACK_CAP tokens.
+
+    Scale shape: per-doc pack spans come from the same TWO-LEVEL distributed
+    prefix sum as sequence_pack (_two_level_cum_sql — no per-source
+    single-task window); each doc then explodes into only the packs it
+    touches, its per-pack segment cut by a codegen'd slice() (no
+    interpreted lambda over token arrays); one groupBy(source, pack_id)
+    reassembles segments in stream order — keys are fine-grained (one per
+    PACK_CAP tokens), so no skew, and cells stay <= PACK_CAP tokens, so the
+    fused-reassembly 2 GiB Arrow concerns don't apply.  The reassembly
+    shuffle carries raw token ids (4 B/token) once; a byte-budgeted
+    production writer would ship svb-encoded segments over the wire instead
+    (operators/chunking's measured 1.49 B/token).  The fingerprint fold
+    runs in the vectorized doc_fingerprint kernel (one Arrow crossing of
+    the packed tokens), not an interpreted aggregate() HOF.  The DuckDB
+    oracle rebuilds the identical packs from the single-window form, so the
+    driver gate proves the whole decomposition (prefix sum + spanning +
+    reassembly order) exact."""
+    tok = (f"select doc_id, source, tokens, {d.alen('tokens')} as n_tok "
+           f"from (select doc_id, source, {d.tokens()} as tokens "
+           "from documents)")
+    bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
+    cum = _two_level_cum_sql(d, bkt, carry=", tokens")
+    spans = ("select doc_id, source, tokens, cum - n_tok as st, cum - 1 as en "
+             "from c")
+    cap = str(PACK_CAP)
+    p0, p1 = d.idiv("st", cap), d.idiv("en", cap)
+    seg_st = f"greatest(st, pack_id * {cap})"
+    seg_en = f"least(en, (pack_id + 1) * {cap} - 1)"
+    if d.kind == "spark":
+        packs = (
+            f"select source, pack_id, {seg_st} as seg_st, "
+            f"slice(tokens, cast({seg_st} - st + 1 as int), "
+            f"cast({seg_en} - {seg_st} + 1 as int)) as seg "
+            f"from s lateral view explode(sequence({p0}, {p1})) _t as pack_id")
+        # array_sort on (st, seg) structs orders by the distinct st field;
+        # the .seg extraction is GetArrayStructFields (codegen'd, no lambda)
+        asm = ("select source, pack_id, "
+               "flatten(array_sort(collect_list("
+               "named_struct('st', seg_st, 'seg', seg))).seg) as toks "
+               "from p group by source, pack_id")
+        return (
+            f"with t as ({tok}), c as ({cum}), s as ({spans}), "
+            f"p as ({packs}), g as ({asm}) "
+            "select source, cast(pack_id as int) as pack_id, "
+            "size(toks) as n_tok, doc_fingerprint(toks) as fingerprint "
+            "from g")
+    packs_u = (f"select source, st, en, tokens, "
+               f"unnest(range({p0}, {p1} + 1)) as pack_id from s")
+    segs = (f"select source, pack_id, {seg_st} as seg_st, "
+            f"tokens[({seg_st} - st + 1):({seg_en} - st + 1)] as seg "
+            "from pu")
+    asm = ("select source, pack_id, "
+           "flatten(list(seg order by seg_st)) as toks "
+           "from p group by source, pack_id")
+    fp = d.fold0("toks", "(acc * 31 + t) % 1000000007")
+    return (
+        f"with t as ({tok}), c as ({cum}), s as ({spans}), "
+        f"pu as ({packs_u}), p as ({segs}), g as ({asm}) "
+        "select source, cast(pack_id as int) as pack_id, "
+        f"cast(len(toks) as int) as n_tok, {fp} as fingerprint from g")
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -940,6 +1030,7 @@ PIPELINE_QUERIES = {
     "event_sessions": q_event_sessions,
     "nation_revenue": q_nation_revenue,
     "sequence_pack": q_sequence_pack,
+    "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
 }
 

@@ -83,7 +83,8 @@ QUERIES = [
     "zone_map_prune", "truncate_decode", "token_count", "quality_score",
     "lang_id", "fingerprint", "dedup_exact", "dedup_simhash",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-    "top_terms", "token_quantiles", "sequence_pack", "decontaminate",
+    "top_terms", "token_quantiles", "sequence_pack", "pack_sequences",
+    "decontaminate",
     "jsonl_roundtrip", "orc_roundtrip", "curation_pipeline",
     "metrics_by_source", "metrics_by_codec", "multimodal_features",
     "image_decode_stats", "audio_decode_stats", "curate_metrics",

@@ -327,6 +327,35 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     assert "partition by source order by doc_id" in P.duckdb_sql("sequence_pack")
 
 
+def test_pack_sequences_two_level_and_full_packs(spark):
+    """The materialized pack writer must (a) reuse the two-level prefix-sum
+    shape (broadcast per-bucket offsets; never a per-source single-task
+    window over per-doc rows), (b) carry no interpreted lambda over the
+    PACKED token arrays (slice + GetArrayStructFields are codegen'd; the
+    tokenizer transform() over words is the known separate cost), and
+    (c) emit every pack of a source EXCEPT its last with exactly PACK_CAP
+    tokens — the doc-spanning continuation invariant a dataloader relies
+    on."""
+    from streamvbyte_spark.functions import pipeline_sql as P
+    import streamvbyte_spark.queries as Q
+    sql = P.spark_sql("pack_sequences")
+    w = P.PACK_BUCKET_WIDTH
+    assert (f"partition by source, coalesce((try_cast(doc_id as bigint) "
+            f"div {w})" in sql), sql
+    assert "partition by source order by doc_id" not in sql, sql
+    df = Q.build_queries()["pack_sequences"](spark, SF)
+    assert "BroadcastHashJoin" in plan_string(df, "simple")
+    rows = df.collect()
+    last = {}
+    for r in rows:
+        last[r["source"]] = max(last.get(r["source"], -1), r["pack_id"])
+    for r in rows:
+        if r["pack_id"] < last[r["source"]]:
+            assert r["n_tok"] == P.PACK_CAP, (r["source"], r["pack_id"],
+                                              r["n_tok"])
+    assert any(r["n_tok"] < P.PACK_CAP for r in rows)  # tail packs exist
+
+
 def test_token_quantiles_value_count_decomposition(spark):
     """token_quantiles must rank over the tiny (source, word-count)
     VALUE-COUNT table, never per-document rows: a ``row_number() over
