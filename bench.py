@@ -36,7 +36,9 @@ AVG_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_AVG_LEN", "512"))
 
 def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
     """Encode (auto) + decode the synthetic token table; returns best-of-reps
-    metrics (first pass doubles as warm-up when reps > 1).
+    metrics plus the raw per-pass times (the driver artifact must show
+    whether a round-over-round delta exceeds this sandbox's session spread
+    — single measurements swing 2-3x; see BENCH/BASELINE.md).
 
     The input table is generated+cached once (generation is not timed).  All
     encode reps run BEFORE the encoded table is persisted — Spark's cache
@@ -67,6 +69,8 @@ def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
         "tokens": n_tokens,
         "encode_sec": t_enc,
         "decode_sec": t_dec,
+        "encode_passes": [round(t, 3) for t in enc_times],
+        "decode_passes": [round(t, 3) for t in dec_times],
         "encode_tok_per_sec": n_tokens / t_enc,
         "decode_tok_per_sec": n_tokens / t_dec,
         "bytes_per_token": out_bytes / n_tokens,
@@ -95,25 +99,33 @@ def main():
                 # HOF passes/doc); auto_full's fsst winners now encode via
                 # the whole-batch kernel (was a per-row registry loop) —
                 # both benched for the round-over-round delta
-                "dedup_simhash", "auto_full_roundtrip"]
+                "dedup_simhash", "auto_full_roundtrip",
+                # r5: the materialized pack writer (two-level prefix sum +
+                # pack reassembly — new operator, new headline coverage)
+                "pack_sequences"]
+    passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x
         # (CLAUDE.md "Environment quirks"; see BENCH/BASELINE.md's
-        # auto_roundtrip noise analysis)
+        # auto_roundtrip noise analysis).  The per-pass lists go into the
+        # JSON so the artifact itself shows whether a round-over-round
+        # delta exceeds the session spread (r4 verdict item 5).
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        passes[name] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            passes[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(passes[name])
 
     # throughput job (perf.c framing); best of 3, first pass doubles as warm-up
     tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2, reps=3)
     timings["throughput_encode"] = round(tp["encode_sec"], 3)
     timings["throughput_decode"] = round(tp["decode_sec"], 3)
+    passes["throughput_encode"] = tp["encode_passes"]
+    passes["throughput_decode"] = tp["decode_passes"]
 
     total = sum(timings.values())
     result = {
@@ -121,6 +133,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_passes": passes,
         "sf": SF_DIR,
         "tokens": tp["tokens"],
         "encode_tok_per_sec": round(tp["encode_tok_per_sec"]),

@@ -966,9 +966,12 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None) -> str:
     oracle rebuilds the identical packs from the single-window form, so the
     driver gate proves the whole decomposition (prefix sum + spanning +
     reassembly order) exact."""
-    tok = (f"select doc_id, source, tokens, {d.alen('tokens')} as n_tok "
-           f"from (select doc_id, source, {d.tokens()} as tokens "
-           "from documents)")
+    # n_tok from len(split), NOT len(tokens): the token map is
+    # length-preserving, and the bucket-totals side of the two-level cum
+    # (which Catalyst inlines as a second scan of t, pruned to n_tok) must
+    # not pay the tokenizer transform() just to count words
+    tok = (f"select doc_id, source, {d.tokens()} as tokens, "
+           f"{d.alen(d.split('text'))} as n_tok from documents")
     bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
     cum = _two_level_cum_sql(d, bkt, carry=", tokens")
     spans = ("select doc_id, source, tokens, cum - n_tok as st, cum - 1 as en "

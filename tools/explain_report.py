@@ -22,6 +22,7 @@ HEADLINE = [
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
     "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
+    "pack_sequences", "token_quantiles",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -99,6 +100,20 @@ NOTES = {
                            "HOF), decode+fingerprint fused in a second; "
                            "ZERO shuffles, zero per-row Python "
                            "(whole-batch fsst kernels).",
+    "pack_sequences": "Materialized pack writer: the same two-level prefix "
+                      "sum as sequence_pack (window on (source, bucket), "
+                      "broadcast offsets), then a codegen'd slice() span "
+                      "explode and a fine-grained groupBy(source, pack_id) "
+                      "reassembly.  4 exchanges, of which TWO carry tokens "
+                      "(the level-1 window + the reassembly — SCALE.md "
+                      "prices both legs); the bucket-totals side computes "
+                      "n_tok from size(split()), never the tokenizer; the "
+                      "fingerprint fold is one ArrowEvalPython over the "
+                      "packed arrays, no interpreted HOF.",
+    "token_quantiles": "Exact rank selection over the VALUE-COUNT table: "
+                       "partial-agg groupBy(source, n) reduces per-doc rows "
+                       "map-side; both windows run over that tiny table — "
+                       "no per-document window task anywhere.",
     "chunked_fused_roundtrip": "The mitigation, in the plan: the final "
                                "Exchange (repartition doc_id) + in-partition "
                                "Sort feed ONE PythonMapInArrow running the "
