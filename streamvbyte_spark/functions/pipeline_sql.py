@@ -581,9 +581,27 @@ def q_token_count(d: Dialect) -> str:
 
 def q_quality_score(d: Dialect) -> str:
     """Length/stopword/diversity heuristics (the classic pre-training quality
-    gates), all integer-ratio math rounded at the end."""
+    gates), all integer-ratio math rounded at the end.
+
+    Spark side: the three per-word counts come from ONE fused Arrow word-
+    stats UDF (text_udfs.quality_counts — split/dictionary-encode/is_in in
+    Arrow C++), not interpreted filter()/array_distinct HOF lambdas per
+    word; the ratio division + round stays SQL on identical integers, so
+    both engines do the same IEEE ops.  The DuckDB oracle keeps the HOF
+    form, proving the kernel's counts exact."""
     w = _words(d)
     n = d.alen(w)
+    if d.kind == "spark":
+        n, stops, distinct = "s.n_words", "s.stops", "s.n_distinct"
+        return (
+            f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ doc_id, "
+            f"{n} as n_words, "
+            f"round(cast(length(text) - {n} + 1 as double) / {n}, 4) as avg_word_len, "
+            f"round(cast({stops} as double) / {n}, 4) as stopword_ratio, "
+            f"round(cast({distinct} as double) / {n}, 4) as distinct_ratio "
+            "from (select cast(doc_id as string) as doc_id, text, "
+            "quality_counts(text) as s from documents)"
+        )
     stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
     stops = d.alen(d.afilter(w, f"x -> x in ({stop_in})"))
     distinct = d.alen(d.adistinct(w))
@@ -599,12 +617,17 @@ def q_quality_score(d: Dialect) -> str:
 
 def q_lang_id(d: Dialect) -> str:
     """N-gram/stopword language-ID heuristic: argmax of per-language marker
-    hits with a fixed tie order (en > es > de > fr > unknown)."""
-    w = _words(d)
-    hits = {}
-    for lang, markers in LANG_MARKERS.items():
-        marker_in = ", ".join(f"'{m}'" for m in markers)
-        hits[lang] = d.alen(d.afilter(w, f"x -> x in ({marker_in})"))
+    hits with a fixed tie order (en > es > de > fr > unknown).  Spark side:
+    marker hits from one fused Arrow word-stats UDF (text_udfs.lang_counts,
+    no distinct pass); the argmax cases stay SQL."""
+    if d.kind == "spark":
+        hits = {lang: f"s.l_{lang}" for lang in LANG_MARKERS}
+    else:
+        w = _words(d)
+        hits = {}
+        for lang, markers in LANG_MARKERS.items():
+            marker_in = ", ".join(f"'{m}'" for m in markers)
+            hits[lang] = d.alen(d.afilter(w, f"x -> x in ({marker_in})"))
     cases = (
         f"case when {hits['en']} >= {hits['es']} and {hits['en']} >= {hits['de']} "
         f" and {hits['en']} >= {hits['fr']} and {hits['en']} > 0 then 'en' "
@@ -613,6 +636,11 @@ def q_lang_id(d: Dialect) -> str:
         f"when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de' "
         f"when {hits['fr']} > 0 then 'fr' else 'unknown' end"
     )
+    if d.kind == "spark":
+        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ doc_id, "
+                f"{cases} as lang_pred, lang as lang_true "
+                "from (select cast(doc_id as string) as doc_id, lang, "
+                "lang_counts(text) as s from documents)")
     return (f"select cast(doc_id as string) as doc_id, {cases} as lang_pred, "
             "lang as lang_true from documents")
 

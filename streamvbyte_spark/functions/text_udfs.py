@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -219,9 +220,81 @@ def doc_fingerprint_text(text: pd.Series) -> pd.Series:
     return pd.Series(fingerprint_rows(flat, offsets))
 
 
+# --------------------------------------------------------------- word stats
+
+def wordstats_batch(texts, marker_sets, distinct: bool) -> dict:
+    """Per-row word statistics over an Arrow string array, entirely in
+    Arrow C++ kernels + segmented numpy reductions: split_pattern(' ')
+    (verified identical to both engines' split — empty text -> [''],
+    repeated/leading/trailing spaces keep empty words), dictionary_encode
+    for exact distinct-by-string-content, is_in for marker membership.
+    Replaces the interpreted per-word filter()/array_distinct HOF lambdas
+    of q_quality_score / q_lang_id (r4 verdict item 8 — the last
+    interpreted per-element lambdas in any registry query's hot stage).
+
+    marker_sets: ((out_name, (word, ...)), ...); distinct=False skips the
+    sort-based distinct count (lang-ID doesn't need it).
+    Returns {name: int64[R]} with n_words always present."""
+    import pyarrow.compute as pc
+    words = pc.split_pattern(texts, pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = np.asarray(words.offsets, dtype=np.int64)
+    off = off - off[0]
+    flat = pc.list_flatten(words)
+    R = len(texts)
+    n_words = np.diff(off)
+    row_ids = np.repeat(np.arange(R, dtype=np.int64), n_words)
+    out = {"n_words": n_words}
+    if distinct:
+        # exact distinct word count per row: dictionary codes give each
+        # DISTINCT STRING one integer; one composite-key sort segments
+        # them per row (codes < 2^31 — the flat word count bounds them)
+        codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
+        key = (row_ids << np.int64(32)) | codes
+        key.sort()
+        new = np.ones(key.size, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        out["n_distinct"] = np.bincount(key[new] >> np.int64(32), minlength=R)
+    for name, markers in marker_sets:
+        m = np.asarray(pc.is_in(flat, value_set=pa.array(list(markers))))
+        out[name] = np.bincount(row_ids[m], minlength=R)
+    return out
+
+
+def make_wordstats_udf(marker_sets, distinct: bool):
+    """Struct-returning pandas UDF over text: (n_words[, n_distinct],
+    *marker counts) as int32 fields — the ratio/argmax math stays SQL on
+    both engines, so no cross-engine float ever leaves Python."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    fields = [StructField("n_words", IntegerType())]
+    if distinct:
+        fields.append(StructField("n_distinct", IntegerType()))
+    fields += [StructField(name, IntegerType()) for name, _ in marker_sets]
+    schema = StructType(fields)
+
+    @pandas_udf(schema)
+    def stats(text: pd.Series) -> pd.DataFrame:
+        col = pa.array(text, type=pa.string())
+        if col.null_count:
+            raise ValueError("NULL text in word-stats input; "
+                             "filter or coalesce to '' first")
+        res = wordstats_batch(col, marker_sets, distinct)
+        return pd.DataFrame(
+            {f.name: res[f.name].astype(np.int32) for f in fields})
+
+    return stats
+
+
 def register_text_udfs(spark: SparkSession) -> None:
     """Register the text-analysis UDFs under stable SQL names."""
+    from .pipeline_sql import LANG_MARKERS, STOPWORDS
     spark.udf.register("doc_simhash", doc_simhash)
     spark.udf.register("doc_fingerprint", doc_fingerprint)
     spark.udf.register("doc_simhash_text", doc_simhash_text)
     spark.udf.register("doc_fingerprint_text", doc_fingerprint_text)
+    spark.udf.register("quality_counts", make_wordstats_udf(
+        (("stops", STOPWORDS),), distinct=True))
+    spark.udf.register("lang_counts", make_wordstats_udf(
+        tuple((f"l_{k}", v) for k, v in LANG_MARKERS.items()),
+        distinct=False))

@@ -305,6 +305,20 @@ def test_simhash_plan_is_one_arrow_udf(spark):
     assert pd.api.types.is_integer_dtype(rows["simhash"])
 
 
+def test_quality_lang_plans_one_arrow_udf(spark):
+    """quality_score / lang_id must take their per-word counts from ONE
+    fused Arrow word-stats UDF (split/dictionary/is_in in Arrow C++), not
+    interpreted filter()/array_distinct HOF lambdas per word (r4 verdict
+    item 8) — and the struct fields must not re-evaluate the UDF."""
+    import streamvbyte_spark.queries as Q
+    queries = Q.build_queries()
+    for name in ("quality_score", "lang_id"):
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, (name, plan)
+        assert "lambdafunction" not in plan, (name, plan)
+
+
 def test_sequence_pack_two_level_prefix_sum(spark):
     """sequence_pack's per-source running sum must be the two-level shape:
     the document-volume window partitions on (source, doc_id-range bucket) —

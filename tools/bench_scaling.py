@@ -70,8 +70,36 @@ def main():
     return pairs
 
 
+PRESERVE_MARKER = "<!-- manual notes below; bench_scaling preserves this region -->"
+
+# static context sections used only when no existing file carries a
+# preserved manual-notes region (first run in a fresh tree)
+_DEFAULT_TAIL = """
+## Reference measured on THIS hardware (apples-to-apples context)
+
+The reference's own perf harness (`make perf && ./perf` against
+/root/reference, cc -O3, SSE4.1), run on this sandbox: **1.33e9 uints/s
+encode, 2.48e9 uints/s decode**, single core, 500K uints repeated 100x
+(fully L2-cache-resident). Our NumPy kernel under identical conditions is
+~25-60x slower per core on a hot-cache microbench, as expected for
+interpreter-orchestrated NumPy vs SIMD C; the engine's claim is compressed
+size <= the reference always, the codec set + auto-selection the reference
+lacks, and linear scale-out (the reference has no distributed story).
+"""
+
+
 def _write_md(pairs: list[dict]):
     os.makedirs("BENCH", exist_ok=True)
+    # round-note sections below the marker are hand-written per round —
+    # carry them through the rewrite instead of stomping them
+    tail = _DEFAULT_TAIL
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if PRESERVE_MARKER in old:
+            tail = old.split(PRESERVE_MARKER, 1)[1]
+    except OSError:
+        pass
     r0 = pairs[0]
     ns = ",".join(str(p["n_cores"]) for p in pairs)
     tables = ""
@@ -113,37 +141,7 @@ embarrassingly parallel (map-only, zero shuffle — see PLANS.md plan shapes),
 so per-executor throughput is flat in executor count until the source/sink
 saturates.
 
-## auto_roundtrip r2 "regression": measured noise, not a kernel cost
-
-BENCH_r02 recorded auto_roundtrip at 0.970 s vs r1's 0.745 s. Re-measured
-in round 3 at the same sf0.1 / local[32] with one warm-up + SIX timed
-passes: **[1.028, 0.634, 0.656, 0.694, 0.605, 0.674] s** — best 0.605,
-median 0.665, worst 1.028. The r2 number sits inside this ~1.7x spread
-(CLAUDE.md documents 2-3x single-measurement swings on this sandbox's
-first-touch-slow memory); the best/median are BELOW r1, so the
-dominant-group encode fast path (codec/batched.py encode_rows) did not
-regress the kernel. bench.py takes best-of-3 per headline query (was
-best-of-2 in r2) to make recorded numbers less likely to catch two bad
-passes.
-
-## Reference measured on THIS hardware (apples-to-apples context)
-
-The reference's own perf harness (`make perf && ./perf` against
-/root/reference, cc -O3, SSE4.1), run on this sandbox: **1.33e9 uints/s
-encode, 2.48e9 uints/s decode**, single core, 500K uints repeated 100x
-(fully L2-cache-resident). Our NumPy kernel under identical conditions:
-~55e6 encode / ~41e6 decode per core (after the strided-u32 scatter/gather
-rewrites) — a SIMD C library still beats interpreter-orchestrated NumPy
-~25-60x per core on a hot-cache microbench, as expected. The engine's claim
-is therefore NOT single-core kernel parity; it is (a) compressed size <= the
-reference always (verified per-row by oracle), (b) the codec set +
-cost-model auto-selection the reference lacks, and (c) linear scale-out: the
-whole-pipeline Spark path (storage -> Arrow -> kernel -> Arrow -> storage)
-sustains tens of millions of tokens/s at local[32] (BENCH_r*.json) and
-scales near-linearly until the single shared memory bus saturates, which is
-the regime a 10^12-sequence corpus actually runs in — the reference has no
-distributed story at all.
-""")
+{PRESERVE_MARKER}{tail}""")
 
 
 if __name__ == "__main__":
