@@ -100,9 +100,9 @@ def main():
                 # the whole-batch kernel (was a per-row registry loop) —
                 # both benched for the round-over-round delta
                 "dedup_simhash", "auto_full_roundtrip",
-                # r5: the materialized pack writer (two-level prefix sum +
-                # pack reassembly — new operator, new headline coverage)
-                "pack_sequences"]
+                # r5: the materialized pack writers — SQL form (raw-token
+                # wire) vs the encoded-wire operator, benched side by side
+                "pack_sequences", "pack_sequences_encoded"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

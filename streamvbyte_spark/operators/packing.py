@@ -1,0 +1,253 @@
+"""Encoded-wire materialized pack writer.
+
+``queries.pack_sequences`` (the SQL form) ships raw token ids over BOTH of
+its heavy shuffle legs — the prefix-sum window and the (source, pack_id)
+reassembly — 2 × 4 B/token, 80 TB at N = 10^13 tokens (SCALE.md).  This
+operator is the byte-budgeted variant: every shuffled row carries the
+svb-ENCODED bytes (measured ~1.49 B/token for the auto family; svb here),
+so both legs together move ~30 TB instead.  Identical results by
+construction, and proven: the registry entry shares `pack_sequences`'
+DuckDB oracle (the single-window raw-token rebuild), so the driver gate
+checks this plan's output value-for-value against the SQL algorithm.
+
+Pipeline (three mapInArrow stages, two token-bearing shuffles):
+
+1. map-only whole-batch svb encode of each document
+   (codec.batched.encode_rows — reference stream format,
+   /root/reference/README.md:195-244);
+2. the two-level distributed prefix sum as DataFrame ops — the level-1
+   window's shuffle carries the ENCODED column; the per-bucket totals come
+   from the CHEAP pre-encode side (column-pruned to n_tok, so the second
+   documents scan never tokenizes or encodes) and broadcast back;
+3. map-only decode -> cut each doc into its per-pack segments (a
+   partition of the doc's token range, so the segment offsets are just
+   cut points into the decoded flat vector) -> re-encode each segment;
+4. repartition on (source, pack_id) + in-partition sort, then one
+   segmented mapInArrow decode+concat+fingerprint per pack run (the
+   decode_reassemble_fused pattern with a composite run key; tail runs
+   carried across Arrow batch boundaries).
+
+A pack is <= cap tokens, so per-run state is tiny and the 2 GiB Arrow
+flush concerns of whole-document reassembly don't apply.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..codec import batched
+from .encode import _binary_array, _flat_binary, _list_to_flat
+
+# doc_id-range bucket width shared with the SQL pack queries
+from ..functions.pipeline_sql import PACK_BUCKET_WIDTH, PACK_CAP
+
+_SEG_SCHEMA = ("source string, pack_id long, seg_st long, n_seg int, "
+               "encoded binary")
+_SVB = batched.CODEC_ID["svb"]
+
+
+def default_numeric_order(df: DataFrame) -> tuple[Column, Column]:
+    """(order key, bucket) for numeric doc_ids — fails loudly on a
+    non-numeric id (a NULL key would silently misplace the doc), naming
+    the remedy, exactly like the SQL form's default bucket."""
+    key_sql = (
+        "coalesce(try_cast(doc_id as bigint), cast(raise_error(concat("
+        "'pack_tokens_encoded: non-numeric doc_id ', doc_id, "
+        "' needs an explicit monotone (order, bucket)')) as bigint))")
+    # integer div, NOT `/`: Column `/` is double division, which silently
+    # loses precision past 2^53 on large ids
+    return F.expr(key_sql), F.expr(f"({key_sql}) div {PACK_BUCKET_WIDTH}")
+
+
+def derived_string_order(df: DataFrame) -> tuple[Column, Column]:
+    """(order key, bucket) for string doc_ids: lexicographic order with the
+    LCP-derived prefix bucket (queries._string_bucket_expr rationale — a
+    fixed prefix length silently collapses uniform-prefix corpora to one
+    bucket).  Costs one column-pruned min/max scan of doc_id."""
+    import os.path as _osp
+    row = df.agg(F.min(F.col("doc_id").cast("string")).alias("lo"),
+                 F.max(F.col("doc_id").cast("string")).alias("hi")).first()
+    lcp = len(_osp.commonprefix([row["lo"] or "", row["hi"] or ""]))
+    key = F.col("doc_id").cast("string")
+    return key, F.substring(key, 1, lcp + 2)
+
+
+def _encode_docs(tok: DataFrame) -> DataFrame:
+    """Map-only whole-batch svb encode; output keeps only what the window
+    needs (doc_id for the order key is re-derived from the carried id)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("doc_id", "source", "tokens", "n_tok")}
+            flat, off = _list_to_flat(batch.column(idx["tokens"]))
+            out, ooff, _ = batched.encode_rows(flat, off, codec="svb")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(idx["doc_id"]), batch.column(idx["source"]),
+                 batch.column(idx["n_tok"]), _binary_array(out, ooff)],
+                names=["doc_id", "source", "n_tok", "encoded"])
+
+    return tok.mapInArrow(
+        run, "doc_id string, source string, n_tok int, encoded binary")
+
+
+def _slice_segments(cum: DataFrame, cap: int) -> DataFrame:
+    """Decode each doc, cut its pack segments (vectorized span math over
+    the whole batch), re-encode every segment — map-only, no Python per
+    row.  Segment offsets are cut points into the decoded flat vector
+    because a doc's segments partition its token range."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("source", "st", "n_tok", "encoded")}
+            enc, eoff = _flat_binary(batch.column(idx["encoded"]))
+            n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
+            st = np.asarray(batch.column(idx["st"]), dtype=np.int64)
+            cids = np.full(n_toks.size, _SVB, dtype=np.int32)
+            flat, offs = batched.decode_rows(enc, eoff, n_toks, cids)
+            en = st + n_toks - 1
+            p0, p1 = st // cap, en // cap
+            nsp = p1 - p0 + 1
+            doc_of_seg = np.repeat(np.arange(nsp.size, dtype=np.int64), nsp)
+            first = np.zeros(nsp.size, dtype=np.int64)
+            np.cumsum(nsp[:-1], out=first[1:])
+            seg_rank = np.arange(doc_of_seg.size, dtype=np.int64) \
+                - np.repeat(first, nsp)
+            pack_id = p0[doc_of_seg] + seg_rank
+            seg_st = np.maximum(st[doc_of_seg], pack_id * cap)
+            seg_en = np.minimum(en[doc_of_seg], (pack_id + 1) * cap - 1)
+            n_seg = seg_en - seg_st + 1
+            # cut points: each doc's first segment starts at its flat start;
+            # consecutive segments abut, and the next doc's first segment
+            # starts where this doc ends — so appending the global end
+            # yields valid row offsets for the whole batch
+            g0 = offs[doc_of_seg] + (seg_st - st[doc_of_seg])
+            seg_offsets = np.concatenate([g0, [offs[-1]]])
+            out, ooff, _ = batched.encode_rows(flat, seg_offsets, codec="svb")
+            src = batch.column(idx["source"]).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src[doc_of_seg], pa.string()),
+                 pa.array(pack_id, pa.int64()),
+                 pa.array(seg_st, pa.int64()),
+                 pa.array(n_seg.astype(np.int32), pa.int32()),
+                 _binary_array(out, ooff)],
+                names=["source", "pack_id", "seg_st", "n_seg", "encoded"])
+
+    return cum.mapInArrow(run, _SEG_SCHEMA)
+
+
+def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
+                        order_bucket: tuple[Column, Column] | None = None,
+                        fanout: int | None = None) -> DataFrame:
+    """tok (doc_id, tokens, n_tok, source) -> (source, pack_id, n_tok,
+    fingerprint) with both token-bearing shuffles carrying ENCODED bytes.
+
+    order_bucket: (order key, monotone bucket) columns over doc_id —
+    default `default_numeric_order`; pass `derived_string_order(tok)` for
+    string-id corpora.  fanout pins the reassembly repartition width (AQE's
+    byte-based coalescing under-parallelizes CPU-heavy-but-byte-small
+    encoded stages; CLAUDE.md)."""
+    okey, bkt = order_bucket or default_numeric_order(tok)
+    nz = tok.where(F.col("n_tok") > 0)
+    enc = (_encode_docs(nz)
+           .withColumn("okey", okey).withColumn("bkt", bkt))
+    w1 = (Window.partitionBy("source", "bkt").orderBy("okey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lvl = enc.withColumn("cum_local",
+                         F.sum(F.col("n_tok").cast("long")).over(w1))
+    # totals from the cheap pre-encode side: column pruning reduces this
+    # scan to n_tok (for documents-derived tables Catalyst simplifies
+    # size(transform(split)) to size(split) — no tokenizer, no encode)
+    tot = (nz.withColumn("bkt", bkt)
+           .groupBy("source", "bkt")
+           .agg(F.sum(F.col("n_tok").cast("long")).alias("btot")))
+    w2 = (Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = tot.withColumn(
+        "boff", (F.sum("btot").over(w2) - F.col("btot")).cast("long")
+    ).select("source", "bkt", "boff")
+    cum = (lvl.join(F.broadcast(offs), ["source", "bkt"])
+           .withColumn("st", F.col("cum_local") + F.col("boff")
+                       - F.col("n_tok").cast("long"))
+           .select("source", "st", "n_tok", "encoded"))
+    segs = _slice_segments(cum, cap)
+    part = (segs.repartition(*((fanout, "source", "pack_id") if fanout
+                               else ("source", "pack_id")))
+            .sortWithinPartitions("source", "pack_id", "seg_st"))
+
+    def asm(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # tail run (last (source, pack_id)) carried across Arrow batches as
+        # a list of slabs, concatenated once when the run closes — same
+        # O(K) policy as chunking.decode_reassemble_fused
+        pend: list[tuple] = []
+
+        def extract(batch):
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("source", "pack_id", "n_seg", "encoded")}
+            src = batch.column(idx["source"]).to_numpy(zero_copy_only=False)
+            pid = np.asarray(batch.column(idx["pack_id"]), dtype=np.int64)
+            nseg = np.asarray(batch.column(idx["n_seg"]), dtype=np.int64)
+            enc, eoff = _flat_binary(batch.column(idx["encoded"]))
+            return src, pid, nseg, enc, eoff
+
+        def merge(parts):
+            src = np.concatenate([p[0] for p in parts])
+            pid = np.concatenate([p[1] for p in parts])
+            nseg = np.concatenate([p[2] for p in parts])
+            enc = np.concatenate([p[3] for p in parts])
+            offs = [parts[0][4]]
+            for p in parts[1:]:
+                offs.append(p[4][1:] + (offs[-1][-1] - p[4][0]))
+            return src, pid, nseg, enc, np.concatenate(offs)
+
+        def flush(src, pid, nseg, enc, eoff):
+            cids = np.full(nseg.size, _SVB, dtype=np.int32)
+            flat, offs = batched.decode_rows(enc, eoff, nseg, cids)
+            brk = (src[1:] != src[:-1]) | (pid[1:] != pid[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+            run_off = offs[np.concatenate((starts, [nseg.size]))]
+            fp = batched.fingerprint_rows(flat.view(np.int32), run_off)
+            n_tok = (run_off[1:] - run_off[:-1]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src[starts], pa.string()),
+                 pa.array(pid[starts].astype(np.int32), pa.int32()),
+                 pa.array(n_tok, pa.int32()),
+                 pa.array(fp, pa.int64())],
+                names=["source", "pack_id", "n_tok", "fingerprint"])
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            src, pid, nseg, enc, eoff = extract(batch)
+            if pend and (pend[-1][0][-1] != src[0]
+                         or pend[-1][1][-1] != pid[0]):
+                yield from flush(*merge(pend))  # run closed at the seam
+                pend = []
+            last = (src != src[-1]) | (pid != pid[-1])
+            nz_ = np.flatnonzero(last)
+            cut = int(nz_[-1] + 1) if nz_.size else 0
+            if cut:
+                head = (src[:cut], pid[:cut], nseg[:cut],
+                        enc[:eoff[cut]], eoff[:cut + 1])
+                if pend:
+                    yield from flush(*merge(pend + [head]))
+                else:
+                    yield from flush(*head)
+                pend = []
+            pend.append((src[cut:], pid[cut:], nseg[cut:],
+                         enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut]))
+        if pend and sum(p[0].size for p in pend):
+            yield from flush(*merge(pend))
+
+    return part.mapInArrow(
+        asm, "source string, pack_id int, n_tok int, fingerprint bigint")

@@ -902,6 +902,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    f"div {pipeline_sql.PACK_CAP} as bigint)"))
 
     q["curation_pipeline"] = curation_pipeline
+
+    # encoded-wire pack writer: identical packs to `pack_sequences`, but
+    # both token-bearing shuffles (prefix-sum window + reassembly) carry
+    # svb-ENCODED bytes (~1.49 B/token) instead of raw ids (4 B/token) —
+    # the 30 TB-vs-80 TB line of SCALE.md.  Shares pack_sequences' DuckDB
+    # oracle, so the gate proves the encoded plan value-identical to the
+    # raw-token SQL algorithm.
+    def pack_sequences_encoded(spark, sf_dir):
+        from pyspark.sql.types import NumericType
+        from .operators.packing import (derived_string_order,
+                                        pack_tokens_encoded)
+        tok = tokens_from_documents(spark, sf_dir)
+        dtype = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .schema["doc_id"].dataType
+        ob = None if isinstance(dtype, NumericType) \
+            else derived_string_order(tok)
+        return pack_tokens_encoded(tok, order_bucket=ob)
+
+    q["pack_sequences_encoded"] = pack_sequences_encoded
     return q
 
 
@@ -1118,6 +1137,9 @@ def build_oracles() -> dict[str, str]:
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)
+    # the encoded-wire pack writer computes the SAME packs as the SQL form
+    # — one oracle proves both plans
+    o["pack_sequences_encoded"] = o["pack_sequences"]
     # exact connected components via recursive CTE: propagate every
     # reachable label (UNION dedups, so the fixpoint terminates), then
     # min per node = lexicographic min doc_id of its component

@@ -370,6 +370,27 @@ def test_pack_sequences_two_level_and_full_packs(spark):
     assert any(r["n_tok"] < P.PACK_CAP for r in rows)  # tail packs exist
 
 
+def test_pack_sequences_encoded_plan_shape(spark):
+    """The encoded-wire pack writer: three mapInArrow stages (doc encode,
+    decode+slice+re-encode, segmented pack decode), the two-level broadcast
+    offsets join, and exactly FOUR shuffle exchanges — of which the two
+    token-bearing ones (prefix-sum window, pack reassembly) carry the svb
+    ENCODED column by construction (their input stages emit binary, the
+    token arrays never survive past the first mapInArrow).  Values are
+    proven by sharing pack_sequences' DuckDB oracle."""
+    import streamvbyte_spark.queries as Q
+    df = Q.build_queries()["pack_sequences_encoded"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert plan.count("MapInArrow") == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(df) == 4, plan
+    got = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
+           for r in df.collect()}
+    want = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
+            for r in Q.build_queries()["pack_sequences"](spark, SF).collect()}
+    assert got == want
+
+
 def test_token_quantiles_value_count_decomposition(spark):
     """token_quantiles must rank over the tiny (source, word-count)
     VALUE-COUNT table, never per-document rows: a ``row_number() over

@@ -22,7 +22,7 @@ HEADLINE = [
     "curate_metrics", "multimodal_frames", "chunked_roundtrip_postings",
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
     "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
-    "pack_sequences", "token_quantiles",
+    "pack_sequences", "token_quantiles", "pack_sequences_encoded",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -110,6 +110,16 @@ NOTES = {
                       "n_tok from size(split()), never the tokenizer; the "
                       "fingerprint fold is one ArrowEvalPython over the "
                       "packed arrays, no interpreted HOF.",
+    "pack_sequences_encoded": "The byte-budgeted pack writer "
+                              "(operators/packing.py): THREE MapInArrow "
+                              "stages (doc svb-encode; decode+slice+"
+                              "re-encode after the window; segmented pack "
+                              "decode after the reassembly) — both "
+                              "token-bearing exchanges carry the ENCODED "
+                              "binary column (~1.5 B/token), never raw "
+                              "token arrays; bucket-totals broadcast as in "
+                              "sequence_pack.  Same oracle as "
+                              "pack_sequences proves value-identity.",
     "token_quantiles": "Exact rank selection over the VALUE-COUNT table: "
                        "partial-agg groupBy(source, n) reduces per-doc rows "
                        "map-side; both windows run over that tiny table — "
