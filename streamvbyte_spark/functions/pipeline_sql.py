@@ -864,19 +864,36 @@ CURATE_MIN_TOK = 5  # curation_pipeline length gate (shared with its oracle)
 PACK_BUCKET_WIDTH = 64
 
 
+def monotone_numeric_key_sql(label: str, remedy: str) -> str:
+    """THE numeric doc_id key policy, shared by every two-level-prefix-sum
+    consumer (the SQL pack queries and operators/packing.py): bigint value
+    order, failing LOUDLY on a non-numeric id — a NULL key would silently
+    misplace docs (empty broadcast equi-join / wrong window order) — with
+    the caller-specific remedy named."""
+    return ("coalesce(try_cast(doc_id as bigint), cast(raise_error(concat("
+            f"'{label}: non-numeric doc_id ', doc_id, "
+            f"' needs {remedy}')) as bigint))")
+
+
+def lcp_prefix_len(lo: str, hi: str) -> int:
+    """THE string-bucket prefix-length policy (shared by
+    queries._string_bucket_expr and packing.derived_string_order): longest
+    common prefix of the min/max id (== the LCP of ALL ids under
+    lexicographic order) + 2 — LCP+1 already guarantees >= 2 distinct
+    buckets whenever two distinct ids exist; +2 adds fan-out.  A FIXED
+    prefix length silently collapses uniform-prefix corpora to one bucket
+    (r4 verdict item 3)."""
+    import os.path as _osp
+    return len(_osp.commonprefix([lo or "", hi or ""])) + 2
+
+
 def _default_pack_bucket(d: Dialect) -> str:
-    """Spark-side default doc_id-range bucket for the two-level prefix sum.
-    The numeric range bucket NULLs out (or, under ANSI, raises) on
-    non-numeric doc_ids; a NULL bucket would silently empty the broadcast
-    equi-join, so fail loudly with the remedy (queries.make_pipeline passes
-    a derived string-prefix bucket_expr when the schema says doc_id is not
-    numeric)."""
-    default_bkt = d.idiv("try_cast(doc_id as bigint)",
-                         str(PACK_BUCKET_WIDTH))
-    return (
-        f"coalesce({default_bkt}, cast(raise_error(concat("
-        "'sequence_pack: non-numeric doc_id ', doc_id, "
-        "' needs an explicit monotone bucket_expr')) as bigint))")
+    """Spark-side default doc_id-range bucket for the two-level prefix sum
+    (queries.make_pipeline passes a derived string-prefix bucket_expr when
+    the schema says doc_id is not numeric)."""
+    return d.idiv(monotone_numeric_key_sql(
+        "sequence_pack", "an explicit monotone bucket_expr"),
+        str(PACK_BUCKET_WIDTH))
 
 
 def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:

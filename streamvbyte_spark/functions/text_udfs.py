@@ -70,15 +70,16 @@ def simhash_batch(lens: np.ndarray, flat: np.ndarray) -> np.ndarray:
 
 def series_to_flat(ser: pd.Series, dtype=None):
     """pandas object Series of numeric sequences (what a pandas UDF receives
-    for an array column) -> (flat int64 values, int64[R+1] offsets) through
-    ONE ``pa.array`` conversion — the per-row walk happens in Arrow C++, not
-    a Python ``np.asarray`` list comprehension per row (r4 verdict item 4).
-    NULL rows are rejected loudly (no defined fold), like every fused
-    extraction in operators.encode."""
-    import pyarrow as pa
+    for an array column) -> (flat values, int64[R+1] offsets) through ONE
+    ``pa.array`` conversion — the per-row walk happens in Arrow C++, not a
+    Python ``np.asarray`` list comprehension per row (r4 verdict item 4).
+    NULL rows AND null elements inside a row are rejected loudly: an
+    element null would otherwise surface as a float64 flat with NaN and a
+    silently-wrong fold (the replaced per-row np.asarray raised)."""
     col = pa.array(ser, type=pa.list_(dtype or pa.int64()))
-    if col.null_count:
-        raise ValueError("NULL array in UDF input; filter or coalesce first")
+    if col.null_count or col.values.null_count:
+        raise ValueError("NULL array or NULL element in UDF input; "
+                         "filter or coalesce first")
     off = np.asarray(col.offsets, dtype=np.int64)
     base = off[0]
     return np.asarray(col.values)[base:off[-1]], off - base

@@ -52,13 +52,12 @@ _SVB = batched.CODEC_ID["svb"]
 
 
 def default_numeric_order(df: DataFrame) -> tuple[Column, Column]:
-    """(order key, bucket) for numeric doc_ids — fails loudly on a
-    non-numeric id (a NULL key would silently misplace the doc), naming
-    the remedy, exactly like the SQL form's default bucket."""
-    key_sql = (
-        "coalesce(try_cast(doc_id as bigint), cast(raise_error(concat("
-        "'pack_tokens_encoded: non-numeric doc_id ', doc_id, "
-        "' needs an explicit monotone (order, bucket)')) as bigint))")
+    """(order key, bucket) for numeric doc_ids — the SAME loud-failure key
+    policy as the SQL pack queries (pipeline_sql.monotone_numeric_key_sql:
+    a NULL key would silently misplace the doc)."""
+    from ..functions.pipeline_sql import monotone_numeric_key_sql
+    key_sql = monotone_numeric_key_sql(
+        "pack_tokens_encoded", "an explicit monotone (order, bucket)")
     # integer div, NOT `/`: Column `/` is double division, which silently
     # loses precision past 2^53 on large ids
     return F.expr(key_sql), F.expr(f"({key_sql}) div {PACK_BUCKET_WIDTH}")
@@ -66,15 +65,14 @@ def default_numeric_order(df: DataFrame) -> tuple[Column, Column]:
 
 def derived_string_order(df: DataFrame) -> tuple[Column, Column]:
     """(order key, bucket) for string doc_ids: lexicographic order with the
-    LCP-derived prefix bucket (queries._string_bucket_expr rationale — a
-    fixed prefix length silently collapses uniform-prefix corpora to one
-    bucket).  Costs one column-pruned min/max scan of doc_id."""
-    import os.path as _osp
+    LCP-derived prefix bucket — the SAME prefix-length policy as the SQL
+    pack queries (pipeline_sql.lcp_prefix_len).  Costs one column-pruned
+    min/max scan of doc_id."""
+    from ..functions.pipeline_sql import lcp_prefix_len
     row = df.agg(F.min(F.col("doc_id").cast("string")).alias("lo"),
                  F.max(F.col("doc_id").cast("string")).alias("hi")).first()
-    lcp = len(_osp.commonprefix([row["lo"] or "", row["hi"] or ""]))
     key = F.col("doc_id").cast("string")
-    return key, F.substring(key, 1, lcp + 2)
+    return key, F.substring(key, 1, lcp_prefix_len(row["lo"], row["hi"]))
 
 
 def _encode_docs(tok: DataFrame) -> DataFrame:
@@ -134,9 +132,10 @@ def _slice_segments(cum: DataFrame, cap: int) -> DataFrame:
             g0 = offs[doc_of_seg] + (seg_st - st[doc_of_seg])
             seg_offsets = np.concatenate([g0, [offs[-1]]])
             out, ooff, _ = batched.encode_rows(flat, seg_offsets, codec="svb")
-            src = batch.column(idx["source"]).to_numpy(zero_copy_only=False)
+            # Arrow-native gather: no per-segment Python str objects
+            src = batch.column(idx["source"]).take(pa.array(doc_of_seg))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(src[doc_of_seg], pa.string()),
+                [src,
                  pa.array(pack_id, pa.int64()),
                  pa.array(seg_st, pa.int64()),
                  pa.array(n_seg.astype(np.int32), pa.int32()),
@@ -154,13 +153,23 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
 
     order_bucket: (order key, monotone bucket) columns over doc_id —
     default `default_numeric_order`; pass `derived_string_order(tok)` for
-    string-id corpora.  fanout pins the reassembly repartition width (AQE's
-    byte-based coalescing under-parallelizes CPU-heavy-but-byte-small
-    encoded stages; CLAUDE.md)."""
+    string-id corpora.  fanout pins the width of BOTH heavy exchanges —
+    the level-1 window's (via an explicit pre-repartition whose
+    partitioning the window reuses) and the reassembly's: AQE's byte-based
+    coalescing collapses CPU-heavy-but-byte-small ENCODED stages to one
+    task (CLAUDE.md; verified at 600k tokens -> 1 partition).  Defaults to
+    the session's shuffle-partition count."""
     okey, bkt = order_bucket or default_numeric_order(tok)
+    if fanout is None:
+        fanout = int(tok.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
     nz = tok.where(F.col("n_tok") > 0)
     enc = (_encode_docs(nz)
-           .withColumn("okey", okey).withColumn("bkt", bkt))
+           .withColumn("okey", okey).withColumn("bkt", bkt)
+           # explicit numbered repartition on the window's keys: the window
+           # reuses this partitioning (no second exchange) and a
+           # user-numbered exchange is exempt from AQE coalescing
+           .repartition(fanout, "source", "bkt"))
     w1 = (Window.partitionBy("source", "bkt").orderBy("okey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     lvl = enc.withColumn("cum_local",
@@ -181,8 +190,7 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
                        - F.col("n_tok").cast("long"))
            .select("source", "st", "n_tok", "encoded"))
     segs = _slice_segments(cum, cap)
-    part = (segs.repartition(*((fanout, "source", "pack_id") if fanout
-                               else ("source", "pack_id")))
+    part = (segs.repartition(fanout, "source", "pack_id")
             .sortWithinPartitions("source", "pack_id", "seg_st"))
 
     def asm(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

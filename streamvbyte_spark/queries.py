@@ -272,12 +272,14 @@ def _string_bucket_expr(spark) -> str:
     buckets whenever two distinct ids exist (the ids differ at position
     LCP+1); +2 adds fan-out.  Cost: one column-pruned min/max scan of doc_id
     at build time (map-side partial agg, two strings back to the driver).
-    Reads the registered ``documents`` temp view."""
-    import os.path as _osp
+    Reads the registered ``documents`` temp view.  The prefix-length policy
+    itself is shared with the encoded pack operator
+    (pipeline_sql.lcp_prefix_len)."""
+    from .functions.pipeline_sql import lcp_prefix_len
     row = spark.sql("select min(cast(doc_id as string)) as lo, "
                     "max(cast(doc_id as string)) as hi from documents").first()
-    lcp = len(_osp.commonprefix([row["lo"] or "", row["hi"] or ""]))
-    return f"substring(cast(doc_id as string), 1, {lcp + 2})"
+    n = lcp_prefix_len(row["lo"], row["hi"])
+    return f"substring(cast(doc_id as string), 1, {n})"
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -329,8 +329,8 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     import streamvbyte_spark.queries as Q
     sql = P.spark_sql("sequence_pack")
     w = P.PACK_BUCKET_WIDTH
-    assert (f"partition by source, coalesce((try_cast(doc_id as bigint) "
-            f"div {w})" in sql), sql
+    assert ("partition by source, (coalesce(try_cast(doc_id as bigint)"
+            in sql and f"div {w})" in sql), sql
     # the only partition-by-source-alone window is over the tiny per-bucket
     # totals table (one row per bucket), keyed by the bsrc alias
     assert "partition by source order by doc_id" not in sql, sql
@@ -354,8 +354,8 @@ def test_pack_sequences_two_level_and_full_packs(spark):
     import streamvbyte_spark.queries as Q
     sql = P.spark_sql("pack_sequences")
     w = P.PACK_BUCKET_WIDTH
-    assert (f"partition by source, coalesce((try_cast(doc_id as bigint) "
-            f"div {w})" in sql), sql
+    assert ("partition by source, (coalesce(try_cast(doc_id as bigint)"
+            in sql and f"div {w})" in sql), sql
     assert "partition by source order by doc_id" not in sql, sql
     df = Q.build_queries()["pack_sequences"](spark, SF)
     assert "BroadcastHashJoin" in plan_string(df, "simple")
@@ -384,6 +384,10 @@ def test_pack_sequences_encoded_plan_shape(spark):
     assert plan.count("MapInArrow") == 3, plan
     assert "BroadcastHashJoin" in plan, plan
     assert count_exchanges(df) == 4, plan
+    # both heavy exchanges are NUMBERED repartitions, exempt from AQE's
+    # byte-based coalescing — a count-less repartition of the byte-small
+    # ENCODED column collapses the CPU-heavy codec stages to ONE task
+    assert plan.count("REPARTITION_BY_NUM") == 2, plan
     got = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
            for r in df.collect()}
     want = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])

@@ -66,14 +66,15 @@ NOTES = {
                       "Exchange for the final groupBy(source).",
     "multimodal_frames": "Map-only 1:N frame explode inside a single "
                          "MapInArrow; ZERO shuffles.",
-    "chunked_roundtrip_postings": "THREE exchanges: postings build "
-                                  "(l_partkey), window lag for prev "
-                                  "(doc_id), reassembly groupBy (doc_id "
-                                  "again — mapInArrow drops the partitioning "
-                                  "guarantee, so Catalyst must re-shuffle; "
-                                  "at scale fuse decode+reassemble into one "
-                                  "applyInPandas, or write chunks as-is and "
-                                  "reassemble lazily at read time).",
+    "chunked_roundtrip_postings": "TWO exchanges: the string-key postings "
+                                  "groupBy (whose partitioning the "
+                                  "chunk-prev window reuses — "
+                                  "posting_lists(string_key=True)) and the "
+                                  "reassembly groupBy (mapInArrow drops "
+                                  "the partitioning guarantee, so Catalyst "
+                                  "re-shuffles; the fused variant below "
+                                  "moves decode AFTER that shuffle so it "
+                                  "carries encoded bytes).",
     "ann_ivf": "Inverted-file ANN: the e/cells tables are MATERIALIZED "
                "(SPARK_STAGES) so the codebook assignment runs once; the "
                "final plan joins probes to inverted lists on the cell key "
