@@ -68,6 +68,65 @@ def test_simhash_empty_and_all_empty():
     assert got.tolist() == [0, 0]
 
 
+def _wordstats_ref(text, markers):
+    """SQL semantics, per row: split on ' ' (empty text -> [''], repeated
+    spaces keep empty words), distinct by exact string, marker membership."""
+    words = text.split(" ")
+    return (len(words), len(set(words)),
+            sum(1 for w in words if w in markers))
+
+
+def test_wordstats_property_random_corpora():
+    """Hypothesis sweep: random unicode-ish corpora (stopwords, empties,
+    multibyte, repeated spaces) through wordstats_batch vs the pure-Python
+    SQL-semantics reference."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    markers = ("the", "a", "of", "🙂", "héllo")
+    word = st.sampled_from(
+        ["the", "a", "of", "x", "dup", "héllo", "wörld", "日本語", "🙂", ""])
+    text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(text, min_size=0, max_size=8))
+    def run(texts):
+        col = pa.array(texts, pa.string())
+        got = T.wordstats_batch(col, (("hits", markers),), distinct=True)
+        want = [_wordstats_ref(t, set(markers)) for t in texts]
+        assert got["n_words"].tolist() == [w[0] for w in want]
+        assert got["n_distinct"].tolist() == [w[1] for w in want]
+        assert got["hits"].tolist() == [w[2] for w in want]
+
+    run()
+
+
+def test_series_to_flat_rejects_element_null():
+    """A NULL ELEMENT inside a token array must raise — pa.array would
+    otherwise hand back a float64 flat with NaN and the fingerprint fold
+    would silently emit garbage (the replaced per-row np.asarray raised)."""
+    import pandas as pd
+    import pytest
+    with pytest.raises(ValueError, match="NULL"):
+        T.series_to_flat(pd.Series([[1, None, 3]]))
+    with pytest.raises(ValueError, match="NULL"):
+        T.series_to_flat(pd.Series([[1, 2], None]))
+    flat, off = T.series_to_flat(pd.Series([[1, 2], [], [3]]))
+    assert flat.tolist() == [1, 2, 3] and off.tolist() == [0, 2, 2, 3]
+
+
+def test_quantize_rejects_ragged_and_null():
+    import pandas as pd
+    import pytest
+    from streamvbyte_spark.functions.embedding_udfs import EMB_DIM, _quantize
+    with pytest.raises(ValueError, match="dimension"):
+        _quantize(pd.Series([[0.5] * (EMB_DIM - 1)]))
+    with pytest.raises(ValueError, match="NULL"):
+        _quantize(pd.Series([None]))
+    q = _quantize(pd.Series([[0.5] * EMB_DIM]))
+    assert q.shape == (1, EMB_DIM) and (q == 5000).all()
+
+
 def test_spark_simhash_sql_has_no_hof():
     """The Spark-side SQL must carry ZERO aggregate() lambdas — tokenizer
     AND simhash are ONE fused pandas-UDF call (r3 verdict item 1; r4 fused
