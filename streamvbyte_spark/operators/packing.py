@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..codec import batched
 from .encode import _binary_array, _flat_binary, _list_to_flat
+from .staging import materialize
 
 # doc_id-range bucket width shared with the SQL pack queries
 from ..functions.pipeline_sql import PACK_BUCKET_WIDTH, PACK_CAP
@@ -174,18 +175,27 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     lvl = enc.withColumn("cum_local",
                          F.sum(F.col("n_tok").cast("long")).over(w1))
-    # totals from the cheap pre-encode side: column pruning reduces this
-    # scan to n_tok (for documents-derived tables Catalyst simplifies
-    # size(transform(split)) to size(split) — no tokenizer, no encode)
-    tot = (nz.withColumn("bkt", bkt)
-           .groupBy("source", "bkt")
-           .agg(F.sum(F.col("n_tok").cast("long")).alias("btot")))
+    # bucket totals = max(cum_local) per bucket, read from the MATERIALIZED
+    # level-1 output.  Two alternatives both re-execute corpus-sized work:
+    # a separate totals branch over the source table re-SCANS the whole
+    # text corpus just to count words (split() reads the text column — not
+    # a narrow scan at 100 TB), and reading `lvl` twice without
+    # materializing re-runs scan+tokenize+encode+window per consumer (the
+    # two branches column-prune differently, so not even AQE stage reuse
+    # fires — verified: zero ReusedQueryStage).  materialize() is the
+    # repo-wide policy for exactly this shape (SPARK_STAGES rationale):
+    # scan+encode+window execute ONCE (~1.5 B/token stored;
+    # spark.svb.stageCheckpointDir makes it durable on a real cluster),
+    # plan-tested as ZERO parquet scans in the final query plan
+    lvlm = materialize(lvl)
+    tot = (lvlm.groupBy("source", "bkt")
+           .agg(F.max("cum_local").alias("btot")))
     w2 = (Window.partitionBy("source").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offs = tot.withColumn(
         "boff", (F.sum("btot").over(w2) - F.col("btot")).cast("long")
     ).select("source", "bkt", "boff")
-    cum = (lvl.join(F.broadcast(offs), ["source", "bkt"])
+    cum = (lvlm.join(F.broadcast(offs), ["source", "bkt"])
            .withColumn("st", F.col("cum_local") + F.col("boff")
                        - F.col("n_tok").cast("long"))
            .select("source", "st", "n_tok", "encoded"))

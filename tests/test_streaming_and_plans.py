@@ -371,23 +371,24 @@ def test_pack_sequences_two_level_and_full_packs(spark):
 
 
 def test_pack_sequences_encoded_plan_shape(spark):
-    """The encoded-wire pack writer: three mapInArrow stages (doc encode,
-    decode+slice+re-encode, segmented pack decode), the two-level broadcast
-    offsets join, and exactly FOUR shuffle exchanges — of which the two
-    token-bearing ones (prefix-sum window, pack reassembly) carry the svb
-    ENCODED column by construction (their input stages emit binary, the
-    token arrays never survive past the first mapInArrow).  Values are
-    proven by sharing pack_sequences' DuckDB oracle."""
+    """The encoded-wire pack writer's final query plan: ZERO parquet scans
+    (scan->tokenize->encode->prefix-sum window execute ONCE inside the
+    materialized level-1 stage — reading it twice re-ran the corpus
+    pipeline per consumer, and a separate totals branch re-scanned the
+    text corpus), two mapInArrow stages (decode+slice+re-encode, segmented
+    pack decode), the broadcast offsets join, and THREE exchanges — the
+    token-bearing reassembly one a NUMBERED repartition, exempt from
+    AQE's byte-based coalescing (a count-less repartition of the
+    byte-small ENCODED column collapses the codec stages to ONE task).
+    Values are proven by sharing pack_sequences' DuckDB oracle."""
     import streamvbyte_spark.queries as Q
     df = Q.build_queries()["pack_sequences_encoded"](spark, SF)
     plan = plan_string(df, "simple")
-    assert plan.count("MapInArrow") == 3, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("MapInArrow") == 2, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert count_exchanges(df) == 4, plan
-    # both heavy exchanges are NUMBERED repartitions, exempt from AQE's
-    # byte-based coalescing — a count-less repartition of the byte-small
-    # ENCODED column collapses the CPU-heavy codec stages to ONE task
-    assert plan.count("REPARTITION_BY_NUM") == 2, plan
+    assert count_exchanges(df) == 3, plan
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
     got = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
            for r in df.collect()}
     want = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])

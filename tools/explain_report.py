@@ -112,14 +112,17 @@ NOTES = {
                       "fingerprint fold is one ArrowEvalPython over the "
                       "packed arrays, no interpreted HOF.",
     "pack_sequences_encoded": "The byte-budgeted pack writer "
-                              "(operators/packing.py): THREE MapInArrow "
-                              "stages (doc svb-encode; decode+slice+"
-                              "re-encode after the window; segmented pack "
-                              "decode after the reassembly) — both "
-                              "token-bearing exchanges carry the ENCODED "
-                              "binary column (~1.5 B/token), never raw "
-                              "token arrays; bucket-totals broadcast as in "
-                              "sequence_pack.  Same oracle as "
+                              "(operators/packing.py): the level-1 "
+                              "scan->tokenize->svb-encode->prefix-sum "
+                              "window is MATERIALIZED once (zero parquet "
+                              "scans in this plan; bucket totals read "
+                              "max(cum_local) from it instead of "
+                              "re-scanning the text corpus), then "
+                              "decode+slice+re-encode map-side and a "
+                              "segmented pack decode after the pinned "
+                              "reassembly repartition — every token-"
+                              "bearing exchange carries the ENCODED "
+                              "column (~1.5 B/token).  Same oracle as "
                               "pack_sequences proves value-identity.",
     "token_quantiles": "Exact rank selection over the VALUE-COUNT table: "
                        "partial-agg groupBy(source, n) reduces per-doc rows "
