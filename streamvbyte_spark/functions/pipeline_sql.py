@@ -491,6 +491,36 @@ def _ann_lsh_final(d: Dialect, b_src: str) -> str:
     )
 
 
+def _ann_recall_join(ex_sql: str, ap_sql: str) -> str:
+    """recall@k join over two (query_id, neighbor_id, ...) result sets:
+    per query, n_hit = approximate neighbors that appear in the exact
+    top-k; recall = n_hit / n_exact (a ratio of identical integers,
+    rounded inside the query on both engines — the cross-engine float
+    rule)."""
+    return (
+        "select ex.query_id, cast(count(*) as bigint) as n_exact, "
+        "cast(count(ap.neighbor_id) as bigint) as n_hit, "
+        "round(cast(count(ap.neighbor_id) as double) / count(*), 4) as recall "
+        f"from ({ex_sql}) ex left join ({ap_sql}) ap "
+        "on ex.query_id = ap.query_id and ex.neighbor_id = ap.neighbor_id "
+        "group by ex.query_id")
+
+
+def q_ann_recall(d: Dialect) -> str:
+    """ANN QUALITY EVALUATION: per-query recall@5 of the LSH-bucketed ANN
+    (q_ann_lsh) against the exact brute-force baseline (q_ann_topk) — the
+    acceptance metric an approximate-index rollout actually needs, computed
+    inside the engine by composing the two existing pipelines verbatim
+    (both dialect-paired, so the DuckDB oracle is the same composition).
+
+    Scale shape: inherits the components' shapes — the exact side
+    broadcasts the small query set (O(Q x N) map-side), the approximate
+    side equi-joins on the bucket key, and the recall join itself touches
+    only Q x k result rows.  On Spark the LSH bucket table is materialized
+    once via SPARK_STAGES, exactly as in ann_lsh."""
+    return _ann_recall_join(q_ann_topk(d), q_ann_lsh(d))
+
+
 IVF_NLIST = 16   # coarse cells (codebook = the first NLIST vectors)
 IVF_NPROBE = 2   # cells probed per query
 
@@ -1067,6 +1097,7 @@ PIPELINE_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1130,6 +1161,11 @@ SPARK_STAGES = {
     "ann_lsh": (
         (("svb_stage_lsh_b", _ann_lsh_spark_b),),
         lambda d: "with " + _ann_lsh_final(d, "svb_stage_lsh_b"),
+    ),
+    "ann_recall": (
+        (("svb_stage_rec_b", _ann_lsh_spark_b),),
+        lambda d: _ann_recall_join(
+            q_ann_topk(d), "with " + _ann_lsh_final(d, "svb_stage_rec_b")),
     ),
     "decontaminate": (
         (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),

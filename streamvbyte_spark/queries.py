@@ -749,6 +749,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ("embeddings",),
         "ann_lsh": ("embeddings",),
         "ann_ivf": ("embeddings",),
+        "ann_recall": ("embeddings",),
         "embedding_neardup": ("embeddings",),
     }
 

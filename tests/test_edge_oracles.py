@@ -91,7 +91,8 @@ QUERIES = [
 ]
 
 
-EMB_QUERIES = ["ann_topk", "ann_lsh", "ann_ivf", "embedding_neardup",
+EMB_QUERIES = ["ann_topk", "ann_lsh", "ann_ivf", "ann_recall",
+               "embedding_neardup",
                "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings"]
 
 
