@@ -23,6 +23,7 @@ HEADLINE = [
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
     "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
     "pack_sequences", "token_quantiles", "pack_sequences_encoded",
+    "ann_recall",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -124,6 +125,12 @@ NOTES = {
                               "bearing exchange carries the ENCODED "
                               "column (~1.5 B/token).  Same oracle as "
                               "pack_sequences proves value-identity.",
+    "ann_recall": "Recall@5 of the LSH index vs the exact baseline: the "
+                  "exact side broadcasts the 10-query set over the corpus "
+                  "(the one allowed BroadcastNestedLoopJoin, on qid != "
+                  "cid); the approximate side reads the MATERIALIZED "
+                  "bucket table (ann_lsh's stage); the recall join itself "
+                  "is over Q x k rows.",
     "token_quantiles": "Exact rank selection over the VALUE-COUNT table: "
                        "partial-agg groupBy(source, n) reduces per-doc rows "
                        "map-side; both windows run over that tiny table — "
