@@ -926,7 +926,8 @@ def _default_pack_bucket(d: Dialect) -> str:
         str(PACK_BUCKET_WIDTH))
 
 
-def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:
+def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "",
+                       tot_src: str = "t") -> str:
     """SELECT text computing the exact per-source running token sum ``cum``
     over the docs of table ``t`` (columns doc_id, source, n_tok{carry})
     ordered by doc_id — the TWO-LEVEL distributed prefix sum on the Spark
@@ -935,7 +936,13 @@ def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:
     the plain single per-source window on DuckDB (the oracle form the gate
     proves equivalent).  Exact for any ``bkt`` monotone non-decreasing in
     the doc_id order.  ``carry``: comma-prefixed extra columns of t
-    threaded through the level-1 side (e.g. ``", tokens"``)."""
+    threaded through the level-1 side (e.g. ``", tokens"``).  ``tot_src``:
+    the table the bucket-totals side reads (needs doc_id, source, n_tok) —
+    Catalyst inlines ``t`` into both sides, so when ``t`` scans the text
+    corpus the caller should pass a MATERIALIZED narrow word-count view
+    here instead of paying a second corpus scan (queries.make_pipeline
+    does; the operators/packing.py writer materializes its level-1 output
+    for the same reason)."""
     if d.kind == "spark":
         return (
             f"select /*+ BROADCAST(b) */ doc_id, source, n_tok{carry}, "
@@ -949,7 +956,7 @@ def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:
             "between unbounded preceding and current row) - btot as bigint) "
             "as boff from (select source as bsrc, "
             f"{bkt} as bbkt, sum(cast(n_tok as bigint)) as btot "
-            f"from t where n_tok > 0 group by source, {bkt})"
+            f"from {tot_src} where n_tok > 0 group by source, {bkt})"
             ") b on w.source = b.bsrc and w.bkt = b.bbkt")
     # outer cast: DuckDB widens sum(BIGINT) to HUGEINT; Spark keeps bigint
     return (f"select doc_id, source, n_tok{carry}, "
@@ -958,7 +965,8 @@ def _two_level_cum_sql(d: Dialect, bkt: str, carry: str = "") -> str:
             " as bigint) as cum from t where n_tok > 0")
 
 
-def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
+def q_sequence_pack(d: Dialect, bucket_expr: str | None = None,
+                    base_table: str | None = None) -> str:
     """Fixed-length training-sequence packing metrics: each source's token
     stream (docs concatenated in doc_id order) is cut every PACK_CAP tokens;
     a doc spans packs floor(start/CAP)..floor(end/CAP).  Output per
@@ -985,9 +993,14 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     prefix bucket instead — a prefix is monotone under the lexicographic
     order both engines use for strings."""
     # n_tok == word count, so len(split) suffices — no tokenizer lambda
-    # (the transform() token mapping is length-preserving in both engines)
-    tok = (f"select doc_id, {d.alen(d.split('text'))} as n_tok, source "
-           "from documents")
+    # (the transform() token mapping is length-preserving in both engines).
+    # base_table (Spark staged path): a MATERIALIZED narrow (doc_id,
+    # source, n_tok) view — Catalyst inlines `t` into BOTH cum sides, so
+    # the inline form reads the text corpus twice; the staged form scans
+    # it once at stage build (queries.make_pipeline passes the view)
+    tok = (f"select doc_id, n_tok, source from {base_table}" if base_table
+           else f"select doc_id, {d.alen(d.split('text'))} as n_tok, source "
+                "from documents")
     bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
     cum = _two_level_cum_sql(d, bkt)
     spans = ("select doc_id, source, n_tok, cum - n_tok as st, cum - 1 as en "
@@ -1013,7 +1026,8 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None) -> str:
     )
 
 
-def q_pack_sequences(d: Dialect, bucket_expr: str | None = None) -> str:
+def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
+                     ntok_table: str | None = None) -> str:
     """The MATERIALIZED pack writer: emit the actual fixed-length training
     sequences that ``sequence_pack``'s manifest only prices — per (source,
     pack_id), the pack's token payload, reported through the driver gate as
@@ -1044,11 +1058,16 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None) -> str:
     # n_tok from len(split), NOT len(tokens): the token map is
     # length-preserving, and the bucket-totals side of the two-level cum
     # (which Catalyst inlines as a second scan of t, pruned to n_tok) must
-    # not pay the tokenizer transform() just to count words
+    # not pay the tokenizer transform() just to count words.  ntok_table
+    # (Spark staged path): a MATERIALIZED narrow word-count view the
+    # totals side reads instead of re-scanning the text corpus — the
+    # window side must still scan text (the tokenizer needs it), so this
+    # takes the query from two corpus scans to one
     tok = (f"select doc_id, source, {d.tokens()} as tokens, "
            f"{d.alen(d.split('text'))} as n_tok from documents")
     bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
-    cum = _two_level_cum_sql(d, bkt, carry=", tokens")
+    cum = _two_level_cum_sql(d, bkt, carry=", tokens",
+                             tot_src=ntok_table or "t")
     spans = ("select doc_id, source, tokens, cum - n_tok as st, cum - 1 as en "
              "from c")
     cap = str(PACK_CAP)

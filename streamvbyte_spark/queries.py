@@ -772,12 +772,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             staged = pipeline_sql.SPARK_STAGES.get(name)
             if staged is None:
                 if name in _bucketed_pack_queries:
+                    import uuid as _uuid
                     from pyspark.sql.types import NumericType
+                    from .operators.staging import materialize
                     dtype = spark.table("documents").schema["doc_id"].dataType
                     bucket = None if isinstance(dtype, NumericType) else \
                         _string_bucket_expr(spark)
-                    return spark.sql(pipeline_sql.PIPELINE_QUERIES[name](
-                        pipeline_sql.Dialect("spark"), bucket_expr=bucket))
+                    # MATERIALIZE the narrow (doc_id, source, n_tok) table
+                    # once: Catalyst inlines the two-level cum's `t` into
+                    # BOTH its sides, re-scanning the text corpus to count
+                    # words (uuid-suffixed + tracked, same lifecycle as
+                    # the self-join stage views below)
+                    nview = f"svb_stage_pack_n_{_uuid.uuid4().hex[:8]}"
+                    for old in _STAGE_VIEWS.pop((id(spark), name), ()):
+                        spark.catalog.dropTempView(old)
+                    materialize(spark.sql(
+                        "select doc_id, source, size(split(text, ' ')) "
+                        "as n_tok from documents")) \
+                        .createOrReplaceTempView(nview)
+                    _STAGE_VIEWS[(id(spark), name)] = (nview,)
+                    d = pipeline_sql.Dialect("spark")
+                    if name == "sequence_pack":
+                        sql = pipeline_sql.q_sequence_pack(
+                            d, bucket_expr=bucket, base_table=nview)
+                    else:
+                        sql = pipeline_sql.q_pack_sequences(
+                            d, bucket_expr=bucket, ntok_table=nview)
+                    return spark.sql(sql)
                 return spark.sql(pipeline_sql.spark_sql(name))
             # self-join queries: materialize the signature/bands pipeline
             # ONCE (operators.staging.materialize — localCheckpoint, or a

@@ -337,6 +337,9 @@ def test_sequence_pack_two_level_prefix_sum(spark):
     df = Q.build_queries()["sequence_pack"](spark, SF)
     plan = plan_string(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+    # both cum sides read the MATERIALIZED narrow word-count view — the
+    # inline form re-scanned the text corpus once per side
+    assert plan.count("Scan parquet") == 0, plan
     # the oracle keeps the single-window form (the gate proves equivalence)
     assert "partition by source order by doc_id" in P.duckdb_sql("sequence_pack")
 
@@ -358,7 +361,11 @@ def test_pack_sequences_two_level_and_full_packs(spark):
             in sql and f"div {w})" in sql), sql
     assert "partition by source order by doc_id" not in sql, sql
     df = Q.build_queries()["pack_sequences"](spark, SF)
-    assert "BroadcastHashJoin" in plan_string(df, "simple")
+    plan = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # ONE text-corpus scan (the tokenizer side); the bucket-totals side
+    # reads the materialized narrow word-count view instead of a second
+    assert plan.count("Scan parquet") == 1, plan
     rows = df.collect()
     last = {}
     for r in rows:

@@ -91,7 +91,10 @@ NOTES = {
                      "NOT source alone, which would funnel the 80% web "
                      "source through one task — with per-bucket offsets "
                      "from a tiny aggregate BROADCAST-joined back; n_tok "
-                     "comes from size(split()), no tokenizer lambda.",
+                     "comes from size(split()), no tokenizer lambda.  Both "
+                     "cum sides read a MATERIALIZED narrow word-count view "
+                     "(zero parquet scans in this plan — the inline form "
+                     "re-scanned the text corpus once per side).",
     "dedup_simhash": "ONE fused pandas UDF (text -> tokenize -> simhash): "
                      "only the text column crosses to Python, no HOF "
                      "lambda, no tokens column; REPARTITION hint fans the "
@@ -108,10 +111,11 @@ NOTES = {
                       "explode and a fine-grained groupBy(source, pack_id) "
                       "reassembly.  4 exchanges, of which TWO carry tokens "
                       "(the level-1 window + the reassembly — SCALE.md "
-                      "prices both legs); the bucket-totals side computes "
-                      "n_tok from size(split()), never the tokenizer; the "
-                      "fingerprint fold is one ArrowEvalPython over the "
-                      "packed arrays, no interpreted HOF.",
+                      "prices both legs); ONE text scan — the "
+                      "bucket-totals side reads the materialized narrow "
+                      "word-count view, only the tokenizer side scans the "
+                      "corpus; the fingerprint fold is one ArrowEvalPython "
+                      "over the packed arrays, no interpreted HOF.",
     "pack_sequences_encoded": "The byte-budgeted pack writer "
                               "(operators/packing.py): the level-1 "
                               "scan->tokenize->svb-encode->prefix-sum "
