@@ -521,6 +521,14 @@ def q_ann_recall(d: Dialect) -> str:
     return _ann_recall_join(q_ann_topk(d), q_ann_lsh(d))
 
 
+def q_ann_recall_ivf(d: Dialect) -> str:
+    """recall@5 of the IVF index (q_ann_ivf) vs the exact baseline — the
+    NPROBE/NLIST quality-vs-cost knob's acceptance metric, same composition
+    pattern as q_ann_recall; the Spark side materializes the e/cells
+    tables via SPARK_STAGES exactly as ann_ivf does."""
+    return _ann_recall_join(q_ann_topk(d), q_ann_ivf(d))
+
+
 IVF_NLIST = 16   # coarse cells (codebook = the first NLIST vectors)
 IVF_NPROBE = 2   # cells probed per query
 
@@ -1117,6 +1125,7 @@ PIPELINE_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
+    "ann_recall_ivf": q_ann_recall_ivf,
     "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1185,6 +1194,14 @@ SPARK_STAGES = {
         (("svb_stage_rec_b", _ann_lsh_spark_b),),
         lambda d: _ann_recall_join(
             q_ann_topk(d), "with " + _ann_lsh_final(d, "svb_stage_rec_b")),
+    ),
+    "ann_recall_ivf": (
+        (("svb_stage_recivf_e", _ivf_spark_e),
+         ("svb_stage_recivf_cells",
+          lambda d: _ivf_cells(d, "svb_stage_recivf_e"))),
+        lambda d: _ann_recall_join(
+            q_ann_topk(d), "with " + _ivf_final(d, "svb_stage_recivf_e",
+                                                "svb_stage_recivf_cells")),
     ),
     "decontaminate": (
         (("svb_stage_decon_shingles", lambda d: _shingle_rows(d, "source")),

@@ -750,6 +750,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ("embeddings",),
         "ann_ivf": ("embeddings",),
         "ann_recall": ("embeddings",),
+        "ann_recall_ivf": ("embeddings",),
         "embedding_neardup": ("embeddings",),
     }
 

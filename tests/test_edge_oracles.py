@@ -92,7 +92,7 @@ QUERIES = [
 
 
 EMB_QUERIES = ["ann_topk", "ann_lsh", "ann_ivf", "ann_recall",
-               "embedding_neardup",
+               "ann_recall_ivf", "embedding_neardup",
                "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings"]
 
 
