@@ -305,6 +305,28 @@ def test_simhash_plan_is_one_arrow_udf(spark):
     assert pd.api.types.is_integer_dtype(rows["simhash"])
 
 
+def test_registry_wide_no_cartesian(spark):
+    """EVERY registry query's plan must be free of CartesianProduct, and
+    free of BroadcastNestedLoopJoin except where a non-equi join is the
+    designed shape (the exact ANN baseline's qid != cid broadcast) — a
+    future query accidentally planning an all-pairs join at sf0.001 would
+    otherwise only surface as a 100 TB incident."""
+    import streamvbyte_spark.queries as Q
+    bnlj_ok = {"ann_topk", "ann_recall", "ann_recall_ivf"}
+    failures = []
+    for name, fn in Q.build_queries().items():
+        try:
+            plan = plan_string(fn(spark, SF), "simple")
+        except Exception as e:  # noqa: BLE001 - report every query's verdict
+            failures.append((name, "build-error", str(e)[:120]))
+            continue
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            failures.append((name, "BroadcastNestedLoopJoin"))
+    assert not failures, failures
+
+
 def test_quality_lang_plans_one_arrow_udf(spark):
     """quality_score / lang_id must take their per-word counts from ONE
     fused Arrow word-stats UDF (split/dictionary/is_in in Arrow C++), not
