@@ -661,6 +661,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orc_roundtrip"] = orc_roundtrip
 
+    # delimited-text staging sibling (CSV carries the token ids as one
+    # space-joined column — arrays aren't native to CSV)
+    def csv_roundtrip(spark, sf_dir):
+        from .sources import tokens_from_csv, write_tokens_csv
+        return _staged_format_roundtrip(spark, sf_dir, "csv",
+                                        write_tokens_csv, tokens_from_csv)
+
+    q["csv_roundtrip"] = csv_roundtrip
+
     # corpus-wide vocabulary remap: frequency-ranked ids shrink the encoded
     # bytes; compare per-source auto-codec output before vs after
     def vocab_remap_metrics(spark, sf_dir):
@@ -968,6 +977,7 @@ def build_oracles() -> dict[str, str]:
         "fsst_roundtrip": identity_doc,
         "jsonl_roundtrip": identity_doc,
         "orc_roundtrip": identity_doc,
+        "csv_roundtrip": identity_doc,
         "zigzag_roundtrip_embeddings": emb_rt,
         "zzdelta_roundtrip_embeddings": emb_rt,
         "svb_size":

@@ -200,3 +200,39 @@ def tokens_from_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_tokens_orc(df: DataFrame, path: str) -> None:
     """Inverse of tokens_from_orc (n_tok is derived, not stored)."""
     df.select("doc_id", "tokens", "source").write.mode("overwrite").orc(path)
+
+
+def tokens_from_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical token table from header'd CSV with the token ids as ONE
+    space-delimited column — the delimited-text staging sibling of the
+    JSONL reader (CSV cannot carry arrays natively; the space join is the
+    same representation the tokenizer's word stream uses).  Explicit
+    schema + FAILFAST keeps the read single-pass and loud; a NULL token
+    string (CSV's empty-field ambiguity — the writer never emits one,
+    since documents-derived docs always hold >= 1 token) is rejected like
+    every other staging reader: no defined round trip."""
+    schema = "doc_id string, toks string, source string"
+    df = (spark.read.schema(schema).option("header", True)
+          .option("mode", "FAILFAST").csv(path))
+    checked = F.when(
+        F.col("toks").isNull(),
+        F.raise_error(F.concat(F.lit("csv row missing tokens: doc_id="),
+                               F.col("doc_id")))
+    ).otherwise(F.col("toks"))
+    tokens = F.split(checked, " ").cast("array<int>")
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).alias("n_tok"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+    )
+
+
+def write_tokens_csv(df: DataFrame, path: str) -> None:
+    """Inverse of tokens_from_csv: token ids space-joined into one column
+    (n_tok derived, not stored)."""
+    (df.select("doc_id",
+               F.concat_ws(" ", F.col("tokens").cast("array<string>"))
+               .alias("toks"),
+               "source")
+     .write.mode("overwrite").option("header", True).csv(path))

@@ -85,7 +85,7 @@ QUERIES = [
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "top_terms", "token_quantiles", "sequence_pack", "pack_sequences",
     "pack_sequences_encoded", "decontaminate",
-    "jsonl_roundtrip", "orc_roundtrip", "curation_pipeline",
+    "jsonl_roundtrip", "orc_roundtrip", "csv_roundtrip", "curation_pipeline",
     "metrics_by_source", "metrics_by_codec", "multimodal_features",
     "image_decode_stats", "audio_decode_stats", "curate_metrics",
 ]
