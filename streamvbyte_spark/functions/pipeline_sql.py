@@ -1023,7 +1023,7 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None,
                  f"unnest(range({p0}, {p1} + 1)) as pack_id from s")
     return (
         f"with t as ({tok}), c as ({cum}), s as ({spans}), p as ({packs}) "
-        "select source, cast(pack_id as int) as pack_id, "
+        "select source, cast(pack_id as bigint) as pack_id, "
         "count(*) as docs, "
         # cast: DuckDB sum(BIGINT) is HUGEINT (pandas-canonicalizes to
         # float64 and hash-mismatches Spark's int64 at the driver)
@@ -1097,7 +1097,7 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
         return (
             f"with t as ({tok}), c as ({cum}), s as ({spans}), "
             f"p as ({packs}), g as ({asm}) "
-            "select source, cast(pack_id as int) as pack_id, "
+            "select source, cast(pack_id as bigint) as pack_id, "
             "size(toks) as n_tok, doc_fingerprint(toks) as fingerprint "
             "from g")
     packs_u = (f"select source, st, en, tokens, "
@@ -1112,7 +1112,7 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
     return (
         f"with t as ({tok}), c as ({cum}), s as ({spans}), "
         f"pu as ({packs_u}), p as ({segs}), g as ({asm}) "
-        "select source, cast(pack_id as int) as pack_id, "
+        "select source, cast(pack_id as bigint) as pack_id, "
         f"cast(len(toks) as int) as n_tok, {fp} as fingerprint from g")
 
 

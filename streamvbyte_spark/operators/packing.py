@@ -16,9 +16,12 @@ Pipeline (three mapInArrow stages, two token-bearing shuffles):
    (codec.batched.encode_rows — reference stream format,
    /root/reference/README.md:195-244);
 2. the two-level distributed prefix sum as DataFrame ops — the level-1
-   window's shuffle carries the ENCODED column; the per-bucket totals come
-   from the CHEAP pre-encode side (column-pruned to n_tok, so the second
-   documents scan never tokenizes or encodes) and broadcast back;
+   window's shuffle carries the ENCODED column and its output is
+   MATERIALIZED (operators.staging.materialize); the per-bucket totals are
+   then read back as max(cum_local) per (source, bucket) from that
+   materialized output and broadcast — a separate totals branch over the
+   source table would re-scan the whole text corpus just to count words
+   (see the inline rationale in pack_tokens_encoded);
 3. map-only decode -> cut each doc into its per-pack segments (a
    partition of the doc's token range, so the segment offsets are just
    cut points into the decoded flat vector) -> re-encode each segment;
@@ -236,9 +239,14 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
             run_off = offs[np.concatenate((starts, [nseg.size]))]
             fp = batched.fingerprint_rows(flat.view(np.int32), run_off)
             n_tok = (run_off[1:] - run_off[:-1]).astype(np.int32)
+            # pack_id stays int64 end-to-end: with PACK_CAP tokens per pack
+            # an int32 id wraps silently past ~5.5e11 tokens per source —
+            # inside the N=1e13 design envelope this writer is priced for
+            # (SCALE.md), and neither numpy astype nor a non-ANSI Spark cast
+            # would fail on the wrap
             yield pa.RecordBatch.from_arrays(
                 [pa.array(src[starts], pa.string()),
-                 pa.array(pid[starts].astype(np.int32), pa.int32()),
+                 pa.array(pid[starts], pa.int64()),
                  pa.array(n_tok, pa.int32()),
                  pa.array(fp, pa.int64())],
                 names=["source", "pack_id", "n_tok", "fingerprint"])
@@ -268,4 +276,4 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
             yield from flush(*merge(pend))
 
     return part.mapInArrow(
-        asm, "source string, pack_id int, n_tok int, fingerprint bigint")
+        asm, "source string, pack_id long, n_tok int, fingerprint bigint")
