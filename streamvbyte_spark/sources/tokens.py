@@ -219,12 +219,28 @@ def tokens_from_csv(spark: SparkSession, path: str) -> DataFrame:
         F.raise_error(F.concat(F.lit("csv row missing tokens: doc_id="),
                                F.col("doc_id")))
     ).otherwise(F.col("toks"))
-    tokens = F.split(checked, " ").cast("array<int>")
-    return df.select(
+    staged = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
+        checked.alias("toks"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"))
+    # FAILFAST only covers the CSV layer (the column is READ as a string);
+    # the element cast decides what a non-numeric token does — silent NULL
+    # element under non-ANSI mode (corrupting downstream folds far from the
+    # read), a generic CAST_INVALID_INPUT without the row under ANSI.  The
+    # exists(try_cast) guard keeps the reader's loud-failure contract in
+    # BOTH modes: any malformed token raises WITH the offending row.
+    # exists() is an interpreted HOF, but this is a staging reader (one
+    # pass per corpus), not a codec hot path.
+    tokens = F.expr(
+        "case when exists(split(toks, ' '), x -> try_cast(x as int) is null) "
+        "then cast(raise_error(concat('csv non-integer token: doc_id=', "
+        "doc_id, ' toks=', toks)) as array<int>) "
+        "else cast(split(toks, ' ') as array<int>) end")
+    return staged.select(
+        "doc_id",
         tokens.alias("tokens"),
         F.size(tokens).alias("n_tok"),
-        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+        "source",
     )
 
 

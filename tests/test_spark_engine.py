@@ -557,6 +557,31 @@ def test_jsonl_missing_tokens_fails_loudly(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_csv_non_integer_token_fails_loudly(spark):
+    """FAILFAST can't see inside the space-joined token column (it's read as
+    a string); the reader's own guard must reject a non-numeric token id
+    instead of letting the non-ANSI cast silently NULL it."""
+    from streamvbyte_spark.sources import tokens_from_csv
+    import os
+    path = tempfile.mkdtemp(prefix="svb_csv_bad_")
+    try:
+        with open(os.path.join(path, "a.csv"), "w") as f:
+            f.write("doc_id,toks,source\n")
+            f.write("ok,1 2 3,s\n")
+            f.write("bad,1 x 3,s\n")  # 'x' is not an int token id
+        with pytest.raises(Exception) as ei:
+            tokens_from_csv(spark, path).collect()
+        assert "non-integer token" in str(ei.value)
+        # the good-only file still reads
+        with open(os.path.join(path, "a.csv"), "w") as f:
+            f.write("doc_id,toks,source\n")
+            f.write("ok,1 2 3,s\n")
+        rows = tokens_from_csv(spark, path).collect()
+        assert rows[0].tokens == [1, 2, 3] and rows[0].n_tok == 3
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_compact_files_per_bucket_splits(spark, tok):
     """files_per_bucket > 1 must actually split each bucket's rows into
     multiple files (the salt path; repartition on bucket alone cannot)."""
