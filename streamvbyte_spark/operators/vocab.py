@@ -9,8 +9,9 @@ token storage.
 Two stages, both scale-shaped:
 
 * ``build_vocab`` — one explode + count + rank: the heavy shuffle is the
-  token-count aggregation (partial map-side combine), the rank window runs
-  over the (small) distinct-token set.
+  token-count aggregation (partial map-side combine); the global
+  (count desc, token) rank is a TWO-LEVEL decomposition (see the function
+  docstring), never a single-task window over the whole vocabulary.
 * ``remap_tokens`` — the vocab is a (sorted token ids, new ids) pair of
   int arrays broadcast to every task; the lookup is one vectorized
   ``np.searchsorted`` per Arrow batch.  Vocabularies are tokenizer-sized
@@ -32,13 +33,64 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# token-range bucket width for build_vocab's two-level rank (power of two so
+# the bucket is an arithmetic shift): bounds every rank window partition at
+# <= 2^16 rows regardless of how the count distribution skews
+VOCAB_TOKEN_BUCKET_BITS = 16
+
+
 def build_vocab(tok_df: DataFrame) -> DataFrame:
-    """(token, new_id) with new_id = 0-based rank by (count desc, token)."""
+    """(token, new_id) with new_id = 0-based rank by (count desc, token).
+
+    The rank is a global total order, but a plain ``row_number() over
+    (order by cnt desc, token)`` sorts the ENTIRE vocabulary through one
+    window task — the same single-task funnel the pack/quantile queries
+    decompose away (r5 verdict item 2).  Decomposition (exact, same rank):
+
+    rank(t) = #{cnt' > cnt} + #{cnt' = cnt, bucket' < bucket}
+              + local_rank within (cnt, bucket)
+
+    * level 1 ranks within ``(cnt, bucket)`` where bucket = token >> 16
+      (arithmetic shift = floor division, monotone in token even for
+      negative ids) — every partition holds <= 2^16 tokens BY CONSTRUCTION,
+      however skewed the count distribution (the cnt=1 long tail spreads
+      across token-range buckets);
+    * the per-bucket counts collapse to one row per (cnt, bucket) and then
+      one row per distinct cnt.  The only unpartitioned window runs over
+      the distinct-count table, which is PROVABLY small: distinct counts
+      are distinct positive integers summing to <= N total tokens, so there
+      are at most sqrt(2N) of them (~4.5M rows of two ints at N = 10^13 —
+      trivial for one task, and the window input is already aggregated);
+    * the within-cnt bucket offsets window partitions by cnt and holds
+      <= 2^31 / 2^16 = 32768 bucket rows per partition;
+    * both offset tables broadcast back onto the level-1 side.
+
+    The ``vocab_remap_metrics`` oracle recomputes the identical rank
+    relationally, so the driver gate proves the decomposition exact."""
     counts = (tok_df.select(F.explode("tokens").alias("token"))
               .groupBy("token").agg(F.count("*").alias("cnt")))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return counts.select(
-        "token", (F.row_number().over(w) - 1).cast("int").alias("new_id"))
+    b = counts.withColumn(
+        "tbkt", F.shiftright(F.col("token").cast("long"),
+                             VOCAB_TOKEN_BUCKET_BITS))
+    w1 = Window.partitionBy("cnt", "tbkt").orderBy("token")
+    lvl = b.withColumn("lr", F.row_number().over(w1).cast("long") - 1)
+    bt = b.groupBy("cnt", "tbkt").agg(F.count("*").alias("m"))
+    # within-cnt bucket prefix (partitions bounded at 32768 rows)
+    w3 = (Window.partitionBy("cnt").orderBy("tbkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bt = bt.withColumn("boff", F.sum("m").over(w3) - F.col("m"))
+    # distinct-count prefix: the one unpartitioned window, over <= sqrt(2N)
+    # pre-aggregated rows
+    ct = bt.groupBy("cnt").agg(F.sum("m").alias("mc"))
+    w2 = (Window.orderBy(F.desc("cnt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ct = ct.withColumn("coff", F.sum("mc").over(w2) - F.col("mc"))
+    offs = (bt.join(F.broadcast(ct.select("cnt", "coff")), "cnt")
+            .select("cnt", "tbkt",
+                    (F.col("coff") + F.col("boff")).alias("off")))
+    return (lvl.join(F.broadcast(offs), ["cnt", "tbkt"])
+            .select("token",
+                    (F.col("off") + F.col("lr")).cast("int").alias("new_id")))
 
 
 MAX_BROADCAST_VOCAB = 1 << 22  # ~4M entries = ~50 MB broadcast; tokenizer

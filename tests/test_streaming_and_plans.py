@@ -452,6 +452,42 @@ def test_token_quantiles_value_count_decomposition(spark):
     assert "Window" in plan and plan.index("Window") < vc_agg.start(), plan
 
 
+def test_build_vocab_two_level_rank(spark):
+    """build_vocab's global (cnt desc, token) rank must never sort the whole
+    vocabulary through one window task: the row_number window partitions on
+    (cnt, token-range bucket) — bounded at 2^16 rows per partition by
+    construction — and the only unpartitioned window runs over the
+    distinct-count table (<= sqrt(2N) pre-aggregated rows).  The
+    vocab_remap_metrics oracle proves the decomposition value-exact; this
+    pins the plan shape (r5 verdict item 2)."""
+    import re
+    from streamvbyte_spark.operators.vocab import build_vocab
+    from streamvbyte_spark.sources import tokens_from_documents
+    tok = tokens_from_documents(spark, SF)
+    df = build_vocab(tok)
+    plan = plan_string(df, "simple")
+    # the per-token rank window partitions on (cnt, tbkt)
+    rn = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn, plan
+    assert "cnt#" in rn.group(1) and "tbkt#" in rn.group(1), rn.group(1)
+    # no unpartitioned row_number anywhere (the old single-task global sort)
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                         plan):
+        assert "cnt#" in m.group(1), plan
+    # offsets return via broadcast joins, not shuffles of the vocab table
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # value check vs the single-window reference rank
+    from pyspark.sql import Window
+    counts = (tok.select(F.explode("tokens").alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ref = {r.token: r.new_id for r in counts.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("new_id")
+    ).collect()}
+    got = {r.token: r.new_id for r in df.collect()}
+    assert got == ref
+
+
 def test_chunk_tokens_plan_fully_codegen(spark):
     """chunk_tokens must carry no interpreted HOF lambda: the chunk slices
     are posexplode + plain-projection slice(), all codegen'd (r3 item 4)."""
