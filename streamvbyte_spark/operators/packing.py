@@ -3,18 +3,20 @@
 ``queries.pack_sequences`` (the SQL form) ships raw token ids over BOTH of
 its heavy shuffle legs — the prefix-sum window and the (source, pack_id)
 reassembly — 2 × 4 B/token, 80 TB at N = 10^13 tokens (SCALE.md).  This
-operator is the byte-budgeted variant: every shuffled row carries the
-svb-ENCODED bytes (measured ~1.49 B/token for the auto family; svb here),
-so both legs together move ~30 TB instead.  Identical results by
+operator is the byte-budgeted variant: every shuffled row carries ENCODED
+bytes — per-row auto-codec argmin by default (measured ~1.49 B/token for
+the auto family vs ~1.56 svb-only), each row carrying its codec id for the
+downstream decode dispatch — so both legs together move ~30 TB instead.
+Identical results by
 construction, and proven: the registry entry shares `pack_sequences`'
 DuckDB oracle (the single-window raw-token rebuild), so the driver gate
 checks this plan's output value-for-value against the SQL algorithm.
 
 Pipeline (three mapInArrow stages, two token-bearing shuffles):
 
-1. map-only whole-batch svb encode of each document
-   (codec.batched.encode_rows — reference stream format,
-   /root/reference/README.md:195-244);
+1. map-only whole-batch encode of each document
+   (codec.batched.encode_rows, per-row auto argmin — the svb family uses
+   the reference stream format, /root/reference/README.md:195-244);
 2. the two-level distributed prefix sum as DataFrame ops — the level-1
    window's shuffle carries the ENCODED column and its output is
    MATERIALIZED (operators.staging.materialize); the per-bucket totals are
@@ -51,8 +53,7 @@ from .staging import materialize
 from ..functions.pipeline_sql import PACK_BUCKET_WIDTH, PACK_CAP
 
 _SEG_SCHEMA = ("source string, pack_id long, seg_st long, n_seg int, "
-               "encoded binary")
-_SVB = batched.CODEC_ID["svb"]
+               "codec int, encoded binary")
 
 
 def default_numeric_order(df: DataFrame) -> tuple[Column, Column]:
@@ -79,9 +80,11 @@ def derived_string_order(df: DataFrame) -> tuple[Column, Column]:
     return key, F.substring(key, 1, lcp_prefix_len(row["lo"], row["hi"]))
 
 
-def _encode_docs(tok: DataFrame) -> DataFrame:
-    """Map-only whole-batch svb encode; output keeps only what the window
-    needs (doc_id for the order key is re-derived from the carried id)."""
+def _encode_docs(tok: DataFrame, codec: str,
+                 candidates: tuple[str, ...]) -> DataFrame:
+    """Map-only whole-batch encode (per-row argmin when codec='auto');
+    output keeps only what the window needs plus the per-row codec id the
+    downstream decode dispatches on."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -90,32 +93,37 @@ def _encode_docs(tok: DataFrame) -> DataFrame:
             idx = {n: batch.schema.get_field_index(n)
                    for n in ("doc_id", "source", "tokens", "n_tok")}
             flat, off = _list_to_flat(batch.column(idx["tokens"]))
-            out, ooff, _ = batched.encode_rows(flat, off, codec="svb")
+            out, ooff, cids = batched.encode_rows(flat, off, codec=codec,
+                                                  candidates=candidates)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(idx["doc_id"]), batch.column(idx["source"]),
-                 batch.column(idx["n_tok"]), _binary_array(out, ooff)],
-                names=["doc_id", "source", "n_tok", "encoded"])
+                 batch.column(idx["n_tok"]), pa.array(cids, pa.int32()),
+                 _binary_array(out, ooff)],
+                names=["doc_id", "source", "n_tok", "codec", "encoded"])
 
     return tok.mapInArrow(
-        run, "doc_id string, source string, n_tok int, encoded binary")
+        run, "doc_id string, source string, n_tok int, codec int, "
+             "encoded binary")
 
 
-def _slice_segments(cum: DataFrame, cap: int) -> DataFrame:
-    """Decode each doc, cut its pack segments (vectorized span math over
-    the whole batch), re-encode every segment — map-only, no Python per
-    row.  Segment offsets are cut points into the decoded flat vector
-    because a doc's segments partition its token range."""
+def _slice_segments(cum: DataFrame, cap: int, codec: str,
+                    candidates: tuple[str, ...]) -> DataFrame:
+    """Decode each doc (dispatching on its carried codec id), cut its pack
+    segments (vectorized span math over the whole batch), re-encode every
+    segment — map-only, no Python per row.  Segment offsets are cut points
+    into the decoded flat vector because a doc's segments partition its
+    token range."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             idx = {n: batch.schema.get_field_index(n)
-                   for n in ("source", "st", "n_tok", "encoded")}
+                   for n in ("source", "st", "n_tok", "codec", "encoded")}
             enc, eoff = _flat_binary(batch.column(idx["encoded"]))
             n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
             st = np.asarray(batch.column(idx["st"]), dtype=np.int64)
-            cids = np.full(n_toks.size, _SVB, dtype=np.int32)
+            cids = np.asarray(batch.column(idx["codec"]), dtype=np.int32)
             flat, offs = batched.decode_rows(enc, eoff, n_toks, cids)
             en = st + n_toks - 1
             p0, p1 = st // cap, en // cap
@@ -135,7 +143,8 @@ def _slice_segments(cum: DataFrame, cap: int) -> DataFrame:
             # yields valid row offsets for the whole batch
             g0 = offs[doc_of_seg] + (seg_st - st[doc_of_seg])
             seg_offsets = np.concatenate([g0, [offs[-1]]])
-            out, ooff, _ = batched.encode_rows(flat, seg_offsets, codec="svb")
+            out, ooff, seg_cids = batched.encode_rows(
+                flat, seg_offsets, codec=codec, candidates=candidates)
             # Arrow-native gather: no per-segment Python str objects
             src = batch.column(idx["source"]).take(pa.array(doc_of_seg))
             yield pa.RecordBatch.from_arrays(
@@ -143,15 +152,19 @@ def _slice_segments(cum: DataFrame, cap: int) -> DataFrame:
                  pa.array(pack_id, pa.int64()),
                  pa.array(seg_st, pa.int64()),
                  pa.array(n_seg.astype(np.int32), pa.int32()),
+                 pa.array(seg_cids, pa.int32()),
                  _binary_array(out, ooff)],
-                names=["source", "pack_id", "seg_st", "n_seg", "encoded"])
+                names=["source", "pack_id", "seg_st", "n_seg", "codec",
+                       "encoded"])
 
     return cum.mapInArrow(run, _SEG_SCHEMA)
 
 
 def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
                         order_bucket: tuple[Column, Column] | None = None,
-                        fanout: int | None = None) -> DataFrame:
+                        fanout: int | None = None, codec: str = "auto",
+                        candidates: tuple[str, ...] =
+                        batched.VECTOR_COST_CODECS) -> DataFrame:
     """tok (doc_id, tokens, n_tok, source) -> (source, pack_id, n_tok,
     fingerprint) with both token-bearing shuffles carrying ENCODED bytes.
 
@@ -162,13 +175,19 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
     partitioning the window reuses) and the reassembly's: AQE's byte-based
     coalescing collapses CPU-heavy-but-byte-small ENCODED stages to one
     task (CLAUDE.md; verified at 600k tokens -> 1 partition).  Defaults to
-    the session's shuffle-partition count."""
+    the session's shuffle-partition count.
+
+    codec/candidates: the wire format of both shuffle legs — default
+    'auto' (per-row cost-model argmin over VECTOR_COST_CODECS, the same
+    selector encode_table uses; this corpus measures ~1.49 B/token auto vs
+    ~1.56 svb-only), each row carrying its codec id for the downstream
+    decode dispatch."""
     okey, bkt = order_bucket or default_numeric_order(tok)
     if fanout is None:
         fanout = int(tok.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
     nz = tok.where(F.col("n_tok") > 0)
-    enc = (_encode_docs(nz)
+    enc = (_encode_docs(nz, codec, candidates)
            .withColumn("okey", okey).withColumn("bkt", bkt)
            # explicit numbered repartition on the window's keys: the window
            # reuses this partitioning (no second exchange) and a
@@ -201,8 +220,8 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
     cum = (lvlm.join(F.broadcast(offs), ["source", "bkt"])
            .withColumn("st", F.col("cum_local") + F.col("boff")
                        - F.col("n_tok").cast("long"))
-           .select("source", "st", "n_tok", "encoded"))
-    segs = _slice_segments(cum, cap)
+           .select("source", "st", "n_tok", "codec", "encoded"))
+    segs = _slice_segments(cum, cap, codec, candidates)
     part = (segs.repartition(fanout, "source", "pack_id")
             .sortWithinPartitions("source", "pack_id", "seg_st"))
 
@@ -214,25 +233,27 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
 
         def extract(batch):
             idx = {n: batch.schema.get_field_index(n)
-                   for n in ("source", "pack_id", "n_seg", "encoded")}
+                   for n in ("source", "pack_id", "n_seg", "codec",
+                             "encoded")}
             src = batch.column(idx["source"]).to_numpy(zero_copy_only=False)
             pid = np.asarray(batch.column(idx["pack_id"]), dtype=np.int64)
             nseg = np.asarray(batch.column(idx["n_seg"]), dtype=np.int64)
+            cid = np.asarray(batch.column(idx["codec"]), dtype=np.int32)
             enc, eoff = _flat_binary(batch.column(idx["encoded"]))
-            return src, pid, nseg, enc, eoff
+            return src, pid, nseg, cid, enc, eoff
 
         def merge(parts):
             src = np.concatenate([p[0] for p in parts])
             pid = np.concatenate([p[1] for p in parts])
             nseg = np.concatenate([p[2] for p in parts])
-            enc = np.concatenate([p[3] for p in parts])
-            offs = [parts[0][4]]
+            cid = np.concatenate([p[3] for p in parts])
+            enc = np.concatenate([p[4] for p in parts])
+            offs = [parts[0][5]]
             for p in parts[1:]:
-                offs.append(p[4][1:] + (offs[-1][-1] - p[4][0]))
-            return src, pid, nseg, enc, np.concatenate(offs)
+                offs.append(p[5][1:] + (offs[-1][-1] - p[5][0]))
+            return src, pid, nseg, cid, enc, np.concatenate(offs)
 
-        def flush(src, pid, nseg, enc, eoff):
-            cids = np.full(nseg.size, _SVB, dtype=np.int32)
+        def flush(src, pid, nseg, cids, enc, eoff):
             flat, offs = batched.decode_rows(enc, eoff, nseg, cids)
             brk = (src[1:] != src[:-1]) | (pid[1:] != pid[:-1])
             starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
@@ -254,7 +275,7 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            src, pid, nseg, enc, eoff = extract(batch)
+            src, pid, nseg, cid, enc, eoff = extract(batch)
             if pend and (pend[-1][0][-1] != src[0]
                          or pend[-1][1][-1] != pid[0]):
                 yield from flush(*merge(pend))  # run closed at the seam
@@ -263,14 +284,14 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
             nz_ = np.flatnonzero(last)
             cut = int(nz_[-1] + 1) if nz_.size else 0
             if cut:
-                head = (src[:cut], pid[:cut], nseg[:cut],
+                head = (src[:cut], pid[:cut], nseg[:cut], cid[:cut],
                         enc[:eoff[cut]], eoff[:cut + 1])
                 if pend:
                     yield from flush(*merge(pend + [head]))
                 else:
                     yield from flush(*head)
                 pend = []
-            pend.append((src[cut:], pid[cut:], nseg[cut:],
+            pend.append((src[cut:], pid[cut:], nseg[cut:], cid[cut:],
                          enc[eoff[cut]:].copy(), eoff[cut:] - eoff[cut]))
         if pend and sum(p[0].size for p in pend):
             yield from flush(*merge(pend))
