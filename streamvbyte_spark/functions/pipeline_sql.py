@@ -172,49 +172,59 @@ def _shingle_rows(d: Dialect, extra_cols: str = "") -> str:
             "where pos + 2 <= n")
 
 
-def q_minhash_bands(d: Dialect) -> str:
-    """MinHash signature over shingle hashes -> LSH band keys
-    (N_BANDS bands x N_HASHES/N_BANDS hashes).
+def _minhash_sig(d: Dialect) -> str:
+    """Standalone SELECT producing the MinHash signature table
+    ``(doc_id, mh0..mh{N_HASHES-1})``.
 
     Shape: shingle rows (_shingle_rows, codegen'd explode+window) -> md5
     hash once per shingle -> ONE groupBy(doc_id) computing all N_HASHES mins
     as aggregates (a projected-CTE formulation gets inlined by both
     optimizers and recomputes the hash list per hash function, 16x; a
     per-band UNION ALL re-runs the whole pipeline per band).  At 10^12 docs
-    this is partial map-side min-agg + a single shuffle on doc_id, then one
-    shuffle on (band_id, band_key) for the bucket join.
+    this is partial map-side min-agg + a single shuffle on doc_id.
     Docs with < 3 words have no shingles and drop out naturally (an
     empty-shingle band key would otherwise bucket ALL short docs together —
     a skew bomb)."""
-    rows_per = N_HASHES // N_BANDS
     tok = (f"select doc_id, {d.strhash('shingle')} % {MINHASH_P} as h "
            f"from ({_shingle_rows(d)})")
     mins = ", ".join(
         f"min((cast({a} as bigint) * h + {b}) % {MINHASH_P}) as mh{j}"
         for j, (a, b) in enumerate(zip(_A, _B)))
-    # ONE pass over sig, bands exploded from an inline struct array: a
-    # per-band `select ... from sig UNION ALL ...` gets its CTE inlined by
-    # Catalyst and recomputes the whole scan+shingle+agg pipeline once PER
-    # BAND (4 scans, 8 aggregates in the executed plan)
+    return (f"with e as ({tok}) "
+            f"select doc_id, {mins} from e group by doc_id")
+
+
+def _bands_from_sig(d: Dialect, sig_src: str) -> str:
+    """LSH band keys (N_BANDS bands x N_HASHES/N_BANDS hashes) read from a
+    signature table.  ONE pass over the signatures, bands exploded from an
+    inline struct array: a per-band ``select ... UNION ALL ...`` gets its
+    CTE inlined by Catalyst and recomputes the whole scan+shingle+agg
+    pipeline once PER BAND (4 scans, 8 aggregates in the executed plan)."""
+    rows_per = N_HASHES // N_BANDS
     keys = [(b, ", ".join(f"mh{b * rows_per + r}" for r in range(rows_per)))
             for b in range(N_BANDS)]
     if d.kind == "spark":
         structs = ", ".join(
             f"struct({b} as band_id, concat_ws('_', {cols}) as band_key)"
             for b, cols in keys)
-        bands = (f"select doc_id, band.band_id as band_id, "
-                 f"band.band_key as band_key from "
-                 f"(select doc_id, explode(array({structs})) as band from sig)")
-    else:
-        structs = ", ".join(
-            f"{{'band_id': {b}, 'band_key': concat_ws('_', {cols})}}"
-            for b, cols in keys)
-        bands = (f"select doc_id, u.band_id as band_id, "
-                 f"u.band_key as band_key from "
-                 f"(select doc_id, unnest([{structs}]) as u from sig)")
-    return (f"with e as ({tok}), "
-            f"sig as (select doc_id, {mins} from e group by doc_id) "
-            + bands)
+        return (f"select doc_id, band.band_id as band_id, "
+                f"band.band_key as band_key from "
+                f"(select doc_id, explode(array({structs})) as band "
+                f"from {sig_src})")
+    structs = ", ".join(
+        f"{{'band_id': {b}, 'band_key': concat_ws('_', {cols})}}"
+        for b, cols in keys)
+    return (f"select doc_id, u.band_id as band_id, "
+            f"u.band_key as band_key from "
+            f"(select doc_id, unnest([{structs}]) as u from {sig_src})")
+
+
+def q_minhash_bands(d: Dialect) -> str:
+    """MinHash signatures -> LSH band keys (see _minhash_sig /
+    _bands_from_sig); the bucket join downstream shuffles once on
+    (band_id, band_key)."""
+    return (f"with sig as ({_minhash_sig(d)}) "
+            + _bands_from_sig(d, "sig"))
 
 
 def _minhash_pairs_final(bands_src: str) -> str:
@@ -234,6 +244,49 @@ def q_dedup_minhash_pairs(d: Dialect) -> str:
     """LSH candidate pairs: docs sharing any band bucket."""
     return (f"with bands as ({q_minhash_bands(d)}) "
             + _minhash_pairs_final("bands"))
+
+
+# signature-agreement verification threshold: estimated Jaccard (fraction of
+# agreeing minhashes) >= MIN_AGREE/N_HASHES — the standard filter between LSH
+# banding (which admits any single-band collision) and clustering
+MINHASH_VERIFY_MIN_AGREE = 8  # of N_HASHES=16 -> est. Jaccard >= 0.5
+
+
+def _minhash_verified_select(d: Dialect, sig_src: str,
+                             pairs_src: str) -> str:
+    """Verification join: each candidate pair pulls both docs' signatures
+    and keeps the pair only if enough of the N_HASHES minhashes agree.
+    Integer agreement count on both engines; the est_jaccard ratio is
+    computed from those identical integers and rounded inside the query
+    (the cross-engine float rule)."""
+    agree = " + ".join(
+        f"(case when a.mh{j} = b.mh{j} then 1 else 0 end)"
+        for j in range(N_HASHES))
+    return (
+        f"select p.doc_a, p.doc_b, cast(({agree}) as int) as n_agree, "
+        f"round(cast(({agree}) as double) / {N_HASHES}, 4) as est_jaccard "
+        f"from {pairs_src} p join {sig_src} a on p.doc_a = a.doc_id "
+        f"join {sig_src} b on p.doc_b = b.doc_id "
+        f"where ({agree}) >= {MINHASH_VERIFY_MIN_AGREE}")
+
+
+def q_dedup_minhash_verified(d: Dialect) -> str:
+    """LSH candidates + the standard signature-verification stage: banding
+    admits any pair colliding in ONE band (P = 1-(1-j^4)^4 — a j=0.2 pair
+    still slips through ~0.6% of the time, and at corpus scale those false
+    positives balloon connected components into mega-clusters).  The
+    estimated Jaccard from the full 16-hash signatures filters them with
+    NO second pass over the text: the signatures already exist, the
+    verification join touches only candidate rows.
+
+    Scale shape: pairs come from the banding equi-join (no all-pairs); the
+    two signature joins are equi-joins on doc_id against the (small,
+    one-row-per-doc) signature table, which on Spark is MATERIALIZED once
+    and feeds banding AND verification (SPARK_STAGES)."""
+    return (f"with sig as ({_minhash_sig(d)}), "
+            f"bands as ({_bands_from_sig(d, 'sig')}), "
+            f"pairs as ({_minhash_pairs_final('bands')}) "
+            + _minhash_verified_select(d, "sig", "pairs"))
 
 
 def q_dedup_simhash(d: Dialect) -> str:
@@ -1119,6 +1172,7 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk": q_ann_topk,
@@ -1172,6 +1226,17 @@ SPARK_STAGES = {
     "dedup_minhash_pairs": (
         (("svb_stage_mh_bands", q_minhash_bands),),
         lambda d: _minhash_pairs_final("svb_stage_mh_bands"),
+    ),
+    "dedup_minhash_verified": (
+        # signatures materialize ONCE and feed both banding and the
+        # verification joins; bands materialize too (self-joined for pairs)
+        (("svb_stage_mhv_sig", _minhash_sig),
+         ("svb_stage_mhv_bands",
+          lambda d: _bands_from_sig(d, "svb_stage_mhv_sig"))),
+        lambda d: ("with pairs as ("
+                   + _minhash_pairs_final("svb_stage_mhv_bands") + ") "
+                   + _minhash_verified_select(d, "svb_stage_mhv_sig",
+                                              "pairs")),
     ),
     "dedup_simhash_pairs": (
         (("svb_stage_sh_sim", q_dedup_simhash),),
