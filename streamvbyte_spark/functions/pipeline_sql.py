@@ -582,8 +582,10 @@ def q_ann_recall_ivf(d: Dialect) -> str:
     return _ann_recall_join(q_ann_topk(d), q_ann_ivf(d))
 
 
-IVF_NLIST = 16   # coarse cells (codebook = the first NLIST vectors)
+IVF_NLIST = 16   # coarse cells (k-means codebook seeded by the first NLIST)
 IVF_NPROBE = 2   # cells probed per query
+IVF_KMEANS_ITERS = 2  # fixed Lloyd iterations (determinism: no convergence
+# test, identical integer arithmetic in both engines)
 
 
 def q_ann_ivf(d: Dialect) -> str:
@@ -620,20 +622,79 @@ def _ivf_spark_e(d: Dialect) -> str:
 
 
 def _ivf_cells(d: Dialect, e_src: str) -> str:
-    """(vec_id, cell, rn) for each vector's IVF_NPROBE nearest cells —
-    rn = 1 is the inverted-file assignment; rn <= NPROBE serves the query
-    probes.  Metric m = ||c||^2 - 2<x,c> (exact BIGINT)."""
+    """(vec_id, cell, rn) for each vector's IVF_NPROBE nearest cells under
+    an IN-ENGINE K-MEANS codebook — rn = 1 is the inverted-file assignment;
+    rn <= NPROBE serves the query probes.  Metric m = ||c||^2 - 2<x,c>
+    (exact BIGINT; argmin-equivalent to L2 since ||x||^2 is constant per x).
+
+    Codebook: seeded with the first IVF_NLIST vectors, refined by
+    IVF_KMEANS_ITERS fixed Lloyd iterations expressed dialect-paired in
+    SQL, so the DuckDB oracle computes the IDENTICAL codebook:
+
+    * assignment — explode each vector to (vec_id, pos, qv) integer rows
+      (codegen'd scalar quantization, no interpreted array lambda), join
+      the NLIST*DIM-row codebook on pos (broadcast-sized), aggregate
+      dot/||c||^2 per (vec_id, cell) with map-side partial agg, pick
+      argmin by row_number;
+    * update — new centroid component = truncated integer mean
+      sum(qv) div count(*) of the assigned vectors (both engines truncate
+      integer division toward zero; DuckDB's sum is cast back from HUGEINT
+      before dividing), with a LEFT join back onto the previous codebook so
+      an emptied cell keeps its old centroid instead of vanishing.
+
+    Scale shape per iteration: one broadcast join against the 1024-row
+    codebook + one shuffle of (vec_id, cell) assignments joined back to the
+    exploded vectors; iteration count is fixed, so the plan is a static
+    DAG.  In production the refined codebook would be materialized once and
+    reused across queries — exactly what SPARK_STAGES does with this whole
+    stage."""
     if d.kind == "spark":
-        dot = "emb_dot_q(e.embedding, c.embedding)"
+        x = (f"select vec_id, pos, "
+             "cast(floor(cast(val as double) * 10000) as bigint) as qv "
+             f"from {e_src} lateral view posexplode(embedding) _t as pos, val")
+        hint = "/*+ BROADCAST(c) */ "
     else:
-        dot = _dot(d, "e.v", "c.v")
+        x = ("select vec_id, u.pos as pos, cast(u.qv as bigint) as qv from "
+             "(select vec_id, unnest(list_transform(range(1, len(v) + 1), "
+             f"i -> {{'pos': i, 'qv': v[i]}})) as u from {e_src})")
+        hint = ""
+    parts = [
+        f"x as ({x})",
+        f"cb0 as (select vec_id as cell, pos, qv from x "
+        f"where vec_id < {IVF_NLIST})",
+    ]
+    prev = "cb0"
+    mean = d.idiv("cast(sum(x.qv) as bigint)", "count(*)")
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f"d{it} as (select {hint}x.vec_id, c.cell, "
+            "sum(x.qv * c.qv) as dot, sum(c.qv * c.qv) as nc "
+            f"from x join {prev} c on x.pos = c.pos "
+            "group by x.vec_id, c.cell)")
+        parts.append(
+            f"a{it} as (select vec_id, cell from (select vec_id, cell, "
+            "row_number() over (partition by vec_id "
+            f"order by nc - 2 * dot, cell) as rn from d{it}) where rn = 1)")
+        parts.append(
+            f"u{it} as (select a.cell, x.pos, {mean} as qv "
+            f"from a{it} a join x on a.vec_id = x.vec_id "
+            "group by a.cell, x.pos)")
+        parts.append(
+            f"cb{it} as (select cp.cell, cp.pos, coalesce(u.qv, cp.qv) as qv "
+            f"from {prev} cp left join u{it} u "
+            "on cp.cell = u.cell and cp.pos = u.pos)")
+        prev = f"cb{it}"
+    parts.append(
+        f"dn as (select {hint}x.vec_id, c.cell, "
+        "sum(x.qv * c.qv) as dot, sum(c.qv * c.qv) as nc "
+        f"from x join {prev} c on x.pos = c.pos "
+        "group by x.vec_id, c.cell)")
     return (
-        f"select vec_id, cell, rn from ("
-        f"select e.vec_id, c.vec_id as cell, "
-        f"row_number() over (partition by e.vec_id "
-        f" order by c.nq - 2 * {dot}, c.vec_id) as rn "
-        f"from {e_src} e join {e_src} c on c.vec_id < {IVF_NLIST}"
-        f") where rn <= {IVF_NPROBE}")
+        "with " + ", ".join(parts) + " "
+        "select vec_id, cell, rn from (select vec_id, cell, "
+        "row_number() over (partition by vec_id "
+        f"order by nc - 2 * dot, cell) as rn from dn) "
+        f"where rn <= {IVF_NPROBE}")
 
 
 def _ivf_final(d: Dialect, e_src: str, cells_src: str) -> str:
