@@ -6,11 +6,14 @@ decode / feature-extraction run as Arrow-batched ``mapInArrow`` stages.
 Decoders: the UNCOMPRESSED container formats are decoded for real, in pure
 NumPy (no external deps) — PPM (P6) and BMP (BI_RGB 24/32-bit) images, WAV
 (RIFF PCM 8/16-bit) audio, plus a nearest-neighbor ``resize_image``.
-COMPRESSED formats (PNG/JPEG/MP3/...) need PIL/soundfile, which are not in
-this container; those paths raise ``NotImplementedError`` unless the
-optional dependency imports.  The Spark-level feature/frame queries use a
-deterministic fake payload so the batch plumbing — schema, batching,
-partitioning, UDF signatures — stays oracle-checkable end-to-end.
+PNG (8-bit RGB/RGBA, non-interlaced) is a REAL COMPRESSED decode with no
+external deps either: stdlib zlib inflate + all five PNG row filters
+reversed in NumPy (``decode_png``).  Remaining compressed formats
+(JPEG/MP3/...) need PIL/soundfile, which are not in this container; those
+paths raise ``NotImplementedError`` unless the optional dependency
+imports.  The Spark-level feature/frame queries use a deterministic fake
+payload so the batch plumbing — schema, batching, partitioning, UDF
+signatures — stays oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
@@ -106,6 +109,11 @@ def decode_image(payload) -> np.ndarray:
         if height > 0:
             px = px[::-1]  # bottom-up storage
         return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
+    if buf[:8].tobytes() == _PNG_SIG:
+        try:
+            return decode_png(buf)
+        except NotImplementedError:
+            pass  # interlaced/paletted/16-bit: fall through to PIL
     try:
         import io
         from PIL import Image
@@ -114,6 +122,103 @@ def decode_image(payload) -> np.ndarray:
         raise NotImplementedError(
             "compressed image formats need PIL; install pillow on the "
             "cluster image (PPM/BMP decode natively)") from e
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse PNG row filters (spec §6): raw is h*(1+stride) inflated
+    bytes (leading filter-type byte per row); returns (h, stride) uint8.
+
+    Filter math per byte with a = left recon (bpp back), b = up recon,
+    c = up-left recon.  None/Up are fully vectorized; Sub is a per-lane
+    cumulative sum; Average/Paeth carry a sequential left dependency, so
+    they walk the row one PIXEL at a time with the bpp byte lanes
+    vectorized (width iterations, not width*bpp)."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for r in range(h):
+        ft = int(raw[pos])
+        row = raw[pos + 1:pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[i] = filt[i] + recon[i-bpp]
+            rec = np.empty_like(row)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average
+            rec = np.empty_like(row)
+            left = np.zeros(bpp, np.int32)
+            for j in range(0, stride, bpp):
+                rec[j:j + bpp] = (row[j:j + bpp]
+                                  + ((left + prev[j:j + bpp]) >> 1)) % 256
+                left = rec[j:j + bpp]
+        elif ft == 4:  # Paeth
+            rec = np.empty_like(row)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for j in range(0, stride, bpp):
+                b = prev[j:j + bpp]
+                p = left + b - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - b)
+                pc = np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, b, upleft))
+                rec[j:j + bpp] = (row[j:j + bpp] + pred) % 256
+                left, upleft = rec[j:j + bpp], b
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload) -> np.ndarray:
+    """REAL compressed-image decode of an 8-bit RGB/RGBA non-interlaced
+    PNG to an HxWx3 uint8 array, with no external deps: chunk walk ->
+    stdlib zlib inflate of the concatenated IDAT stream -> all five row
+    filters reversed (``_png_unfilter``).  Alpha is dropped (matching
+    PIL's ``convert("RGB")`` for fully-opaque images).  Interlaced,
+    paletted, or 16-bit PNGs fall back to PIL via decode_image."""
+    import zlib
+    buf = _as_u8(payload)
+    if buf[:8].tobytes() != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    size = buf.size
+    while pos + 8 <= size:
+        ln = int.from_bytes(buf[pos:pos + 4].tobytes(), "big")
+        typ = buf[pos + 4:pos + 8].tobytes()
+        body = buf[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body.tobytes()
+        elif typ == b"IDAT":
+            idat.append(body.tobytes())
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG decodes natively "
+            f"(depth={depth}, color={color}, interlace={interlace})")
+    nch = 3 if color == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (1 + w * nch):
+        raise ValueError("PNG inflated size mismatch")
+    px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    return px[:, :, :3].copy()
 
 
 def decode_audio(payload) -> tuple[np.ndarray, int]:
@@ -206,6 +311,88 @@ def synth_ppm_table(docs: DataFrame, width: int = 4) -> DataFrame:
                        F.encode("text", "utf-8").alias("payload"))
     out = base.mapInArrow(run, "doc_id string, payload binary")
     return out.where(F.col("payload").isNotNull())
+
+
+def encode_png(px: np.ndarray, filters: str = "cycle") -> bytes:
+    """Minimal standards-conforming PNG writer for 8-bit RGB arrays (used
+    by synth_png_table; decodable by decode_png AND any libpng/PIL).
+
+    filters: 'cycle' applies row filter type r % 5 (exercising every
+    filter branch of the decoder), 'none' writes filter 0 rows."""
+    import struct
+    import zlib
+    h, w, nch = px.shape
+    assert nch == 3
+    stride = w * 3
+    px32 = px.astype(np.int32)
+    rows = []
+    prev = np.zeros((w, 3), np.int32)
+    for r in range(h):
+        cur = px32[r]
+        ft = r % 5 if filters == "cycle" else 0
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = (cur - np.vstack([np.zeros((1, 3), np.int32),
+                                     cur[:-1]])) % 256
+        elif ft == 2:  # Up
+            filt = (cur - prev) % 256
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+            filt = (cur - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+            upleft = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = (cur - pred) % 256
+        rows.append(bytes([ft]) + filt.astype(np.uint8).reshape(-1).tobytes())
+        prev = cur
+    raw = zlib.compress(b"".join(rows))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b""))
+
+
+def synth_png_table(docs: DataFrame, width: int = 4) -> DataFrame:
+    """Deterministic REAL COMPRESSED images: each document's utf-8 bytes
+    become the RGB pixel data of a valid zlib-deflated PNG whose rows
+    cycle through ALL FIVE filter types (height = n_bytes // (3*width),
+    trailing partial row dropped; docs too short for one row filtered).
+    decode_png must reverse the deflate + every filter to reproduce the
+    original bytes, so the byte-math channel-sum oracle checks the whole
+    compressed pipeline."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            payloads = []
+            for i in range(len(doc)):
+                px = flat[offsets[i]:offsets[i + 1]]
+                h = px.size // (3 * width)
+                if h < 1:
+                    payloads.append(None)
+                    continue
+                img = px[:h * 3 * width].reshape(h, width, 3)
+                payloads.append(encode_png(img))
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"])
+
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode("text", "utf-8").alias("payload"))
+    return (base.mapInArrow(run, "doc_id string, payload binary")
+            .where(F.col("payload").isNotNull()))
 
 
 def synth_wav_table(docs: DataFrame, rate: int = 16000) -> DataFrame:

@@ -607,6 +607,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_decode_stats"] = image_decode_stats
 
+    # REAL COMPRESSED image decode: the same documents-derived pixel bytes
+    # wrapped in valid zlib-deflated PNGs whose rows cycle all five PNG
+    # filters; decode_png (stdlib inflate + NumPy unfilter) must reverse
+    # the whole pipeline to satisfy the SAME byte-math oracle as the PPM
+    # query — the oracle never touches PNG code, so a matched
+    # encoder/decoder bug cannot cancel (filters are additionally pinned
+    # by spec-vector unit tests)
+    def png_decode_stats(spark, sf_dir):
+        from .operators.multimodal import image_stats_table, synth_png_table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return image_stats_table(synth_png_table(docs, width=4))
+
+    q["png_decode_stats"] = png_decode_stats
+
     # REAL audio decode: valid RIFF PCM WAVs from the same document bytes,
     # parsed by decode_audio's chunk walker, checked as exact sample sums
     def audio_decode_stats(spark, sf_dir):
@@ -1157,6 +1171,11 @@ def build_oracles() -> dict[str, str]:
         "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 2])) as bigint) as sum_g, "
         "cast(list_sum(list_transform(range(0, h * 4), i -> bytes[3*i + 3])) as bigint) as sum_b "
         "from img")
+    # PNG decode shares the PPM oracle verbatim: both synth tables carry the
+    # identical pixel bytes (utf-8 doc bytes, width 4), only the container
+    # differs — which is exactly the point: the compressed decode must
+    # reproduce what the byte-math recomputes
+    o["png_decode_stats"] = o["image_decode_stats"]
     # audio decode oracle: WAV data is the doc's utf-8 bytes as little-endian
     # int16 mono samples (trailing odd byte dropped); signed conversion is
     # (lo + 256*hi) - 65536 when the high bit is set
