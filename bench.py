@@ -102,7 +102,12 @@ def main():
                 "dedup_simhash", "auto_full_roundtrip",
                 # r5: the materialized pack writers — SQL form (raw-token
                 # wire) vs the encoded-wire operator, benched side by side
-                "pack_sequences", "pack_sequences_encoded"]
+                "pack_sequences", "pack_sequences_encoded",
+                # r6: the end-to-end curation composite (dedup ->
+                # decontaminate -> length gate -> pack/byte budget) now sits
+                # in the driver gate window; bench it alongside (r5 advice
+                # item 7)
+                "curation_pipeline"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

@@ -650,7 +650,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         import time
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        prefix = f"{tempfile.gettempdir()}/svb_q_{fmt}_{tag}_"
+        # uid-scoped prefix: on a shared /tmp another uid's pids are not
+        # liveness-checkable (os.kill raises PermissionError), which made
+        # the age reap the only guard; scoping the glob to our own uid's
+        # dirs removes cross-user reaping entirely
+        prefix = (f"{tempfile.gettempdir()}/svb_q_{fmt}_{tag}_"
+                  f"u{os.getuid()}_")
         for stale in glob.glob(prefix + "*"):
             pid_s = stale.rsplit("_", 1)[-1]
             if pid_s == str(os.getpid()) or not pid_s.isdigit():
