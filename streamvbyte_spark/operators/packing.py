@@ -4,10 +4,10 @@
 its heavy shuffle legs — the prefix-sum window and the (source, pack_id)
 reassembly — 2 × 4 B/token, 80 TB at N = 10^13 tokens (SCALE.md).  This
 operator is the byte-budgeted variant: every shuffled row carries ENCODED
-bytes — per-row auto-codec argmin by default (measured ~1.49 B/token for
-the auto family vs ~1.56 svb-only), each row carrying its codec id for the
-downstream decode dispatch — so both legs together move ~30 TB instead.
-Identical results by
+bytes — per-row auto-codec argmin by default (documents corpus: 2.30
+B/token auto vs 2.76 svb-only; the bench synthetic mix measures 1.49
+auto), each row carrying its codec id for the downstream decode dispatch —
+so both legs together move a ~2.5x smaller wire.  Identical results by
 construction, and proven: the registry entry shares `pack_sequences`'
 DuckDB oracle (the single-window raw-token rebuild), so the driver gate
 checks this plan's output value-for-value against the SQL algorithm.
@@ -179,9 +179,9 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
 
     codec/candidates: the wire format of both shuffle legs — default
     'auto' (per-row cost-model argmin over VECTOR_COST_CODECS, the same
-    selector encode_table uses; this corpus measures ~1.49 B/token auto vs
-    ~1.56 svb-only), each row carrying its codec id for the downstream
-    decode dispatch."""
+    selector encode_table uses; the documents corpus measures 2.30 B/token
+    auto vs 2.76 svb-only — a further 17% off the wire), each row carrying
+    its codec id for the downstream decode dispatch."""
     okey, bkt = order_bucket or default_numeric_order(tok)
     if fanout is None:
         fanout = int(tok.sparkSession.conf.get(
