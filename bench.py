@@ -62,10 +62,16 @@ def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
         dec_tokens = decode_table(enc, verify_checksum=True).agg(F.sum("n_tok")).collect()[0][0]
         dec_times.append(time.perf_counter() - t0)
         assert dec_tokens == n_tokens
+    # svb-only wire bytes on the same table: the artifact itself shows the
+    # auto-selector's wire win (the encoded pack writer ships auto bytes
+    # over both shuffle legs — r6)
+    svb_bytes = (encode_table(tok, codec="svb")
+                 .agg(F.sum("out_bytes")).collect()[0][0])
     enc.unpersist()
     tok.unpersist()
     t_enc, t_dec = min(enc_times), min(dec_times)
     return {
+        "bytes_per_token_svb": svb_bytes / n_tokens,
         "tokens": n_tokens,
         "encode_sec": t_enc,
         "decode_sec": t_dec,
@@ -144,6 +150,7 @@ def main():
         "encode_tok_per_sec": round(tp["encode_tok_per_sec"]),
         "decode_tok_per_sec": round(tp["decode_tok_per_sec"]),
         "bytes_per_token": round(tp["bytes_per_token"], 4),
+        "bytes_per_token_svb": round(tp["bytes_per_token_svb"], 4),
         "compression_ratio": round(tp["ratio"], 4),
     }
     spark.stop()
