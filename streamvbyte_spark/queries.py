@@ -270,6 +270,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "max_compressed_bound", "svb_size_sql", "zone_map_prune",
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
+    "multimodal_frames",
 )
 GATE_WINDOW = 50
 
@@ -724,10 +725,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # corpus-wide vocabulary remap: frequency-ranked ids shrink the encoded
     # bytes; compare per-source auto-codec output before vs after
-    def vocab_remap_metrics(spark, sf_dir):
-        from .operators.vocab import build_vocab, remap_tokens
+    def _vocab_remap_metrics(spark, sf_dir, remap_fn):
         tok = tokens_from_documents(spark, sf_dir)
-        remapped = remap_tokens(tok, build_vocab(tok))
+        remapped = remap_fn(tok)
         before = (encode_table(tok, codec="auto").groupBy("source")
                   .agg(F.sum("out_bytes").alias("bytes_before")))
         after = (encode_table(remapped, codec="auto").groupBy("source")
@@ -735,7 +735,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return before.join(after, "source").select(
             "source", "bytes_before", "bytes_after")
 
+    def vocab_remap_metrics(spark, sf_dir):
+        from .operators.vocab import build_vocab, remap_tokens
+        return _vocab_remap_metrics(
+            spark, sf_dir, lambda tok: remap_tokens(tok, build_vocab(tok)))
+
     q["vocab_remap_metrics"] = vocab_remap_metrics
+
+    # the SHUFFLE-JOIN remap path (open/hashed vocabularies too large to
+    # broadcast): posexplode -> join -> positional rebuild must produce the
+    # identical remapped corpus — proven by sharing vocab_remap_metrics'
+    # oracle, which recomputes the rank relationally
+    def vocab_remap_join_metrics(spark, sf_dir):
+        from .operators.vocab import build_vocab, remap_tokens_join
+        return _vocab_remap_metrics(
+            spark, sf_dir,
+            lambda tok: remap_tokens_join(tok, build_vocab(tok)))
+
+    q["vocab_remap_join_metrics"] = vocab_remap_join_metrics
 
     # -- chunked long-sequence path: slice -> window-lag prev -> delta encode
     # per chunk -> decode (chunks parallel, each seeded from stored prev) ->
@@ -1226,6 +1243,8 @@ def build_oracles() -> dict[str, str]:
         " as bytes_before from tok group by source) "
         "select bef.source as source, bytes_before, bytes_after "
         "from bef join aft on bef.source = aft.source")
+    # the shuffle-join remap must land on the identical remapped corpus
+    o["vocab_remap_join_metrics"] = o["vocab_remap_metrics"]
     from .functions import pipeline_sql
     for name in pipeline_sql.PIPELINE_QUERIES:
         o[name] = pipeline_sql.duckdb_sql(name)

@@ -266,7 +266,8 @@ def test_lsh_self_joins_materialize_signatures(spark):
     subtree executed exactly once, at stage-build time (VERDICT r2 item 1)."""
     import streamvbyte_spark.queries as Q
     queries = Q.build_queries()
-    for name in ("dedup_minhash_pairs", "dedup_simhash_pairs",
+    for name in ("dedup_minhash_pairs", "dedup_minhash_verified",
+                 "dedup_simhash_pairs",
                  "dedup_ngram_jaccard", "embedding_neardup", "ann_lsh",
                  "ann_ivf", "decontaminate"):
         df = queries[name](spark, SF)
@@ -450,6 +451,48 @@ def test_token_quantiles_value_count_decomposition(spark):
     vc_agg = re.search(r"HashAggregate\(keys=\[source#\d+, n#\d+\]", plan)
     assert vc_agg, plan
     assert "Window" in plan and plan.index("Window") < vc_agg.start(), plan
+
+
+def test_minhash_verification_filters_low_agreement(spark):
+    """The verification stage must actually DROP a candidate pair whose
+    signatures disagree (banding admits any single-band collision, so the
+    sf corpora — all high-jaccard near-dups — never exercise the reject
+    path).  Fabricated signature table: pair (a,b) agrees on all 16
+    hashes, pair (a,c) agrees only on band 0's four (enough to collide in
+    band 0, below MINHASH_VERIFY_MIN_AGREE).  Run the EXACT registry SQL
+    fragment on both engines."""
+    import duckdb
+    from streamvbyte_spark.functions import pipeline_sql as P
+    cols = ", ".join(f"mh{j}" for j in range(P.N_HASHES))
+    rows = {
+        "a": [10, 11, 12, 13] + list(range(100, 112)),
+        "b": [10, 11, 12, 13] + list(range(100, 112)),   # all 16 agree
+        "c": [10, 11, 12, 13] + list(range(200, 212)),   # only band 0
+    }
+    values = ", ".join(
+        "('{}', {})".format(k, ", ".join(map(str, v)))
+        for k, v in rows.items())
+    sig = f"select * from (values {values}) as t(doc_id, {cols})"
+    for engine in ("spark", "duckdb"):
+        d = P.Dialect(engine)
+        sql = (f"with sig as ({sig}), "
+               f"bands as ({P._bands_from_sig(d, 'sig')}), "
+               f"pairs as ({P._minhash_pairs_final('bands')}) "
+               + P._minhash_verified_select(d, "sig", "pairs"))
+        if engine == "spark":
+            got = {(r.doc_a, r.doc_b): r.n_agree
+                   for r in spark.sql(sql).collect()}
+            # the banding itself DID propose both pairs
+            pairs = spark.sql(
+                f"with sig as ({sig}), "
+                f"bands as ({P._bands_from_sig(d, 'sig')}) "
+                + P._minhash_pairs_final("bands")).collect()
+            assert {(r.doc_a, r.doc_b) for r in pairs} == \
+                {("a", "b"), ("a", "c"), ("b", "c")}
+        else:
+            got = {(r[0], r[1]): r[2]
+                   for r in duckdb.sql(sql).fetchall()}
+        assert got == {("a", "b"): P.N_HASHES}, (engine, got)
 
 
 def test_build_vocab_two_level_rank(spark):
