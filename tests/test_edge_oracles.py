@@ -88,6 +88,11 @@ QUERIES = [
     "jsonl_roundtrip", "orc_roundtrip", "csv_roundtrip", "curation_pipeline",
     "metrics_by_source", "metrics_by_codec", "multimodal_features",
     "image_decode_stats", "audio_decode_stats", "curate_metrics",
+    # r6 additions: signature-verified pairs, compressed PNG decode, both
+    # vocab remap paths (broadcast + shuffle-join), components + composite
+    "dedup_minhash_verified", "png_decode_stats",
+    "vocab_remap_metrics", "vocab_remap_join_metrics",
+    "dedup_components", "curate_neardup_metrics", "multimodal_frames",
 ]
 
 
