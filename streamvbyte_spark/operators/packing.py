@@ -164,9 +164,16 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
                         order_bucket: tuple[Column, Column] | None = None,
                         fanout: int | None = None, codec: str = "auto",
                         candidates: tuple[str, ...] =
-                        batched.VECTOR_COST_CODECS) -> DataFrame:
+                        batched.VECTOR_COST_CODECS,
+                        emit: str = "fingerprint") -> DataFrame:
     """tok (doc_id, tokens, n_tok, source) -> (source, pack_id, n_tok,
     fingerprint) with both token-bearing shuffles carrying ENCODED bytes.
+
+    emit='encoded' turns the writer into a SINK-shaped pipeline: instead of
+    fingerprinting, each assembled pack is re-encoded as ONE stream and the
+    output carries (source, pack_id, n_tok, codec, checksum, encoded) — the
+    storage row a dataloader-serving pack table persists (write it with
+    ``df.write.parquet``; read + decode + verify via ``decode_packs``).
 
     order_bucket: (order key, monotone bucket) columns over doc_id —
     default `default_numeric_order`; pass `derived_string_order(tok)` for
@@ -258,18 +265,33 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
             brk = (src[1:] != src[:-1]) | (pid[1:] != pid[:-1])
             starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
             run_off = offs[np.concatenate((starts, [nseg.size]))]
-            fp = batched.fingerprint_rows(flat.view(np.int32), run_off)
             n_tok = (run_off[1:] - run_off[:-1]).astype(np.int32)
             # pack_id stays int64 end-to-end: with PACK_CAP tokens per pack
             # an int32 id wraps silently past ~5.5e11 tokens per source —
             # inside the N=1e13 design envelope this writer is priced for
             # (SCALE.md), and neither numpy astype nor a non-ANSI Spark cast
             # would fail on the wrap
+            head = [pa.array(src[starts], pa.string()),
+                    pa.array(pid[starts], pa.int64()),
+                    pa.array(n_tok, pa.int32())]
+            if emit == "encoded":
+                # sink shape: re-encode the assembled pack as ONE stream
+                # (auto argmin again — pack streams are PACK_CAP tokens, a
+                # different cost regime than per-doc streams) + exact
+                # token-sum checksum for read-side verification
+                out, ooff, pack_cids = batched.encode_rows(
+                    flat, run_off, codec=codec, candidates=candidates)
+                cksum = batched._seg_sum(flat.astype(np.int64), run_off)
+                yield pa.RecordBatch.from_arrays(
+                    head + [pa.array(pack_cids, pa.int32()),
+                            pa.array(cksum, pa.int64()),
+                            _binary_array(out, ooff)],
+                    names=["source", "pack_id", "n_tok", "codec",
+                           "checksum", "encoded"])
+                return
+            fp = batched.fingerprint_rows(flat.view(np.int32), run_off)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(src[starts], pa.string()),
-                 pa.array(pid[starts], pa.int64()),
-                 pa.array(n_tok, pa.int32()),
-                 pa.array(fp, pa.int64())],
+                head + [pa.array(fp, pa.int64())],
                 names=["source", "pack_id", "n_tok", "fingerprint"])
 
         for batch in batches:
@@ -296,5 +318,59 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
         if pend and sum(p[0].size for p in pend):
             yield from flush(*merge(pend))
 
+    if emit == "encoded":
+        return part.mapInArrow(
+            asm, "source string, pack_id long, n_tok int, codec int, "
+                 "checksum long, encoded binary")
     return part.mapInArrow(
         asm, "source string, pack_id long, n_tok int, fingerprint bigint")
+
+
+def decode_packs(packs: DataFrame, verify_checksum: bool = True,
+                 fingerprint: bool = True) -> DataFrame:
+    """Read side of the pack sink: decode each stored pack stream
+    (dispatching on its codec id), verify the exact token-sum checksum,
+    and emit (source, pack_id, n_tok, fingerprint) — or the token arrays
+    themselves with fingerprint=False (the dataloader shape)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .encode import _i32_offsets
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("source", "pack_id", "n_tok", "codec",
+                             "checksum", "encoded")}
+            enc, eoff = _flat_binary(batch.column(idx["encoded"]))
+            n_toks = np.asarray(batch.column(idx["n_tok"]), dtype=np.int64)
+            cids = np.asarray(batch.column(idx["codec"]), dtype=np.int32)
+            flat, offs = batched.decode_rows(enc, eoff, n_toks, cids)
+            if verify_checksum:
+                want = np.asarray(batch.column(idx["checksum"]),
+                                  dtype=np.int64)
+                got = batched._seg_sum(flat.astype(np.int64), offs)
+                bad = np.flatnonzero(want != got)
+                if bad.size:
+                    raise ValueError(
+                        "checksum mismatch decoding pack "
+                        f"{batch.column(idx['pack_id'])[int(bad[0])]}")
+            head = [batch.column(idx["source"]),
+                    batch.column(idx["pack_id"]),
+                    batch.column(idx["n_tok"])]
+            if fingerprint:
+                fp = batched.fingerprint_rows(flat.view(np.int32), offs)
+                yield pa.RecordBatch.from_arrays(
+                    head + [pa.array(fp, pa.int64())],
+                    names=["source", "pack_id", "n_tok", "fingerprint"])
+                continue
+            tok = pa.ListArray.from_arrays(
+                pa.array(_i32_offsets(offs), pa.int32()),
+                pa.array(flat.view(np.int32), pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                head + [tok],
+                names=["source", "pack_id", "n_tok", "tokens"])
+
+    schema = ("source string, pack_id long, n_tok int, fingerprint bigint"
+              if fingerprint else
+              "source string, pack_id long, n_tok int, tokens array<int>")
+    return packs.mapInArrow(run, schema)

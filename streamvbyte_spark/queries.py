@@ -270,7 +270,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "max_compressed_bound", "svb_size_sql", "zone_map_prune",
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
-    "multimodal_frames",
+    "multimodal_frames", "multimodal_features",
 )
 GATE_WINDOW = 50
 
@@ -1024,6 +1024,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_tokens_encoded(tok, order_bucket=ob)
 
     q["pack_sequences_encoded"] = pack_sequences_encoded
+
+    # the pack SINK round trip: write the auto-codec pack table to parquet
+    # (the storage format a dataloader serves from: source, pack_id, n_tok,
+    # codec, checksum, encoded), read it back, decode + checksum-verify +
+    # fingerprint — shares pack_sequences' oracle, so the gate proves
+    # STORED packs identical to the SQL algorithm's packs
+    def pack_store_roundtrip(spark, sf_dir):
+        from pyspark.sql.types import NumericType
+        from .operators.packing import (decode_packs, derived_string_order,
+                                        pack_tokens_encoded)
+        tok = tokens_from_documents(spark, sf_dir)
+        dtype = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .schema["doc_id"].dataType
+        ob = None if isinstance(dtype, NumericType) \
+            else derived_string_order(tok)
+        packs = pack_tokens_encoded(tok, order_bucket=ob, emit="encoded")
+        tmp = _staging_dir(sf_dir, "packs")
+        packs.write.mode("overwrite").parquet(f"{tmp}/p")
+        return decode_packs(spark.read.parquet(f"{tmp}/p"))
+
+    q["pack_store_roundtrip"] = pack_store_roundtrip
     return _gate_reorder(q)
 
 
@@ -1251,6 +1272,8 @@ def build_oracles() -> dict[str, str]:
     # the encoded-wire pack writer computes the SAME packs as the SQL form
     # — one oracle proves both plans
     o["pack_sequences_encoded"] = o["pack_sequences"]
+    # the stored-and-served packs must be the same packs
+    o["pack_store_roundtrip"] = o["pack_sequences"]
     # exact connected components via recursive CTE: propagate every
     # reachable label (UNION dedups, so the fixpoint terminates), then
     # min per node = lexicographic min doc_id of its component

@@ -453,6 +453,55 @@ def test_token_quantiles_value_count_decomposition(spark):
     assert "Window" in plan and plan.index("Window") < vc_agg.start(), plan
 
 
+def test_pack_sink_roundtrip_and_corruption(spark, tmp_path):
+    """The pack SINK (emit='encoded' -> parquet -> decode_packs): stored
+    packs must decode to the exact concatenated token stream (checked
+    against the SQL pack writer's arrays), and a corrupted payload byte
+    must fail the checksum loudly, not return wrong tokens."""
+    import pyarrow.parquet as pq
+    from streamvbyte_spark.operators.packing import (decode_packs,
+                                                     derived_string_order,
+                                                     pack_tokens_encoded)
+    tok = tokens_from_documents(spark, SF)
+    packs = pack_tokens_encoded(tok, order_bucket=derived_string_order(tok),
+                                emit="encoded")
+    out = str(tmp_path / "p")
+    packs.write.mode("overwrite").parquet(out)
+    # tokens mode: exact arrays vs the SQL pack writer
+    got = {(r.source, r.pack_id): r.tokens
+           for r in decode_packs(spark.read.parquet(out),
+                                 fingerprint=False).collect()}
+    from streamvbyte_spark.functions import pipeline_sql as P
+    import streamvbyte_spark.queries as Q
+    spark.read.parquet(f"{SF}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    d = P.Dialect("spark")
+    sql = P.q_pack_sequences(d, bucket_expr=Q._string_bucket_expr(spark))
+    # swap the final fingerprint projection for the raw arrays
+    ref_sql = sql.replace(
+        "size(toks) as n_tok, doc_fingerprint(toks) as fingerprint",
+        "toks")
+    from streamvbyte_spark.functions.text_udfs import register_text_udfs
+    register_text_udfs(spark)
+    ref = {(r.source, r.pack_id): r.toks
+           for r in spark.sql(ref_sql).collect()}
+    assert got == ref and len(got) > 10
+    # corruption: flip one payload byte in one parquet file -> loud failure
+    t = pq.read_table(out)
+    enc = t.column("encoded").to_pylist()
+    enc[0] = (bytes([enc[0][0] ^ 0xFF]) + enc[0][1:]) if enc[0] else b"\x01"
+    import os
+    import pyarrow as pa_
+    cols = {n: t.column(n) for n in t.column_names}
+    cols["encoded"] = pa_.array(enc, pa_.binary())
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad, exist_ok=True)
+    pq.write_table(pa_.table(cols), f"{bad}/part-0.parquet")
+    with pytest.raises(Exception) as ei:
+        decode_packs(spark.read.parquet(bad)).collect()
+    assert "checksum mismatch" in str(ei.value) or "decode" in str(ei.value)
+
+
 def test_minhash_verification_filters_low_agreement(spark):
     """The verification stage must actually DROP a candidate pair whose
     signatures disagree (banding admits any single-band collision, so the
