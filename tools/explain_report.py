@@ -23,7 +23,8 @@ HEADLINE = [
     "chunked_fused_roundtrip", "truncate_decode", "sequence_pack",
     "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
     "pack_sequences", "token_quantiles", "pack_sequences_encoded",
-    "ann_recall",
+    "ann_recall", "dedup_minhash_verified", "pack_store_roundtrip",
+    "png_decode_stats",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -31,6 +32,18 @@ HEADLINE = [
 NO_CARTESIAN = {"embedding_neardup", "dedup_minhash_pairs"}
 
 NOTES = {
+    "dedup_minhash_verified": "LSH candidates + signature-verification "
+        "join: the 16-hash signature table MATERIALIZES once and feeds "
+        "banding AND both verification joins (zero parquet scans in the "
+        "final plan); agreement count is a codegen'd 16-term case sum, no "
+        "second text pass.",
+    "pack_store_roundtrip": "Pack SINK: auto-codec packs written to "
+        "parquet (source, pack_id, n_tok, codec, checksum, encoded), read "
+        "back and decoded with checksum verification; the read side is one "
+        "MapInArrow over the parquet scan — a dataloader-shaped plan.",
+    "png_decode_stats": "Real compressed decode: one MapInArrow "
+        "synthesizes the PNG containers, one decodes (zlib inflate + "
+        "filter reversal); map-only, zero shuffles.",
     "auto_roundtrip": "Expected: scan -> JVM tokenizer (measured faster "
                       "than the fused numpy kernel) -> MapInArrow(encode) "
                       "-> MapInArrow(decode+fingerprint fused), ZERO "
