@@ -136,6 +136,81 @@ def test_stateful_delta_chain_across_microbatches(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_pack_assign_batch_exact(spark):
+    """Replaying a doc_id-sorted corpus through micro-batches must place
+    every document at EXACTLY the token offset (and pack span) the batch
+    prefix sum gives it — state (last_doc_id, cum) per source carries
+    across batches; a redelivered doc in a later batch is placed once."""
+    import numpy as np
+    from streamvbyte_spark.functions.pipeline_sql import PACK_CAP
+    from streamvbyte_spark.streaming.pack_assign import pack_assign_stream
+
+    tmp = tempfile.mkdtemp(prefix="svb_packst_")
+    try:
+        rng = np.random.default_rng(9)
+        rows = [(f"d{j:03d}", "web" if j % 3 else "books",
+                 int(rng.integers(0, 200)))  # includes n_tok == 0 docs
+                for j in range(60)]
+        # batch 0 = docs 0..29, batch 1 = docs 30..59 PLUS a redelivery of
+        # the last doc of batch 0 (at-least-once source)
+        spark.createDataFrame(rows[:30], "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(rows[29:], "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream
+                  .schema("doc_id string, source string, n_tok int")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(tmp + "/in/*"))
+        q = (pack_assign_stream(stream).writeStream
+             .format("memory").queryName("pack_spans").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r.doc_id: (r.st, r.pack_first, r.pack_last)
+               for r in spark.sql("select * from pack_spans").collect()}
+        # expected placement: the batch per-source running sum in doc_id
+        # order over n_tok > 0 docs
+        expect = {}
+        cums: dict = {}
+        for d, s, n in sorted(rows):
+            st = cums.get(s, 0)
+            if n > 0:
+                expect[d] = (st, st // PACK_CAP, (st + n - 1) // PACK_CAP)
+            cums[s] = st + n
+        assert got == expect
+        # exactly one placement despite the redelivery
+        assert len(got) == len(expect)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_pack_assign_rejects_reordering(spark):
+    """A doc arriving BELOW its source's high-water mark (not a redelivery)
+    would need a span already handed to another doc — must raise, not
+    silently corrupt every later offset."""
+    from streamvbyte_spark.streaming.pack_assign import pack_assign_stream
+
+    tmp = tempfile.mkdtemp(prefix="svb_packbad_")
+    try:
+        spark.createDataFrame([("d5", "web", 10)],
+                              "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        spark.createDataFrame([("d1", "web", 10)],  # below the mark
+                              "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream
+                  .schema("doc_id string, source string, n_tok int")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(tmp + "/in/*"))
+        q = (pack_assign_stream(stream).writeStream
+             .format("memory").queryName("pack_bad").outputMode("update")
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception) as ei:
+            q.awaitTermination(180)
+        assert "doc_id order" in str(ei.value)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark):
     from streamvbyte_spark.streaming.encode_stream import dedup_event_stream
     tmp = tempfile.mkdtemp(prefix="svb_dedup_")
