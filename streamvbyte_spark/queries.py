@@ -270,7 +270,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "max_compressed_bound", "svb_size_sql", "zone_map_prune",
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
-    "multimodal_frames", "multimodal_features",
+    "multimodal_frames", "multimodal_features", "curate_metrics",
 )
 GATE_WINDOW = 50
 
@@ -930,6 +930,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = dedup_components
 
+    # clustering over the VERIFIED pairs (r5 verdict item 5's consumer):
+    # banding false-positives can chain unrelated docs into mega-components
+    # at corpus scale; clustering the est-Jaccard-filtered edges instead
+    # bounds that failure mode.  Oracle: the same recursive CTE over the
+    # verified edge set.
+    def dedup_components_verified(spark, sf_dir):
+        from .operators.components import connected_components
+        pairs = make_pipeline("dedup_minhash_verified")(spark, sf_dir)
+        return connected_components(pairs.select("doc_a", "doc_b"))
+
+    q["dedup_components_verified"] = dedup_components_verified
+
     # composed curation with near-dup awareness: drop exact duplicates
     # (md5, min doc_id survives), then drop near-dup cluster members whose
     # component representative (min doc_id) is another document; report
@@ -1278,15 +1290,23 @@ def build_oracles() -> dict[str, str]:
     # reachable label (UNION dedups, so the fixpoint terminates), then
     # min per node = lexicographic min doc_id of its component
     _pairs_duck = pipeline_sql.duckdb_sql("dedup_minhash_pairs")
-    o["dedup_components"] = (
-        f"with recursive pairs as (select * from ({_pairs_duck}) t), "
-        "edges as (select doc_a as a, doc_b as b from pairs "
-        " union all select doc_b, doc_a from pairs), "
-        "cc(node, lab) as ("
-        " select a, a from edges "
-        " union "
-        " select e.b, cc.lab from cc join edges e on e.a = cc.node) "
-        "select node as doc_id, min(lab) as component_id from cc group by node")
+
+    def _components_oracle(pairs_sql: str) -> str:
+        return (
+            f"with recursive pairs as (select doc_a, doc_b "
+            f"from ({pairs_sql}) t), "
+            "edges as (select doc_a as a, doc_b as b from pairs "
+            " union all select doc_b, doc_a from pairs), "
+            "cc(node, lab) as ("
+            " select a, a from edges "
+            " union "
+            " select e.b, cc.lab from cc join edges e on e.a = cc.node) "
+            "select node as doc_id, min(lab) as component_id "
+            "from cc group by node")
+
+    o["dedup_components"] = _components_oracle(_pairs_duck)
+    o["dedup_components_verified"] = _components_oracle(
+        pipeline_sql.duckdb_sql("dedup_minhash_verified"))
     # composed near-dup curation: same recursive components + md5 exact-dedup
     # window + token volume of the kept docs (policy: exact-dup losers drop
     # first; among exact keepers, near-dup cluster members whose component

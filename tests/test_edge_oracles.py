@@ -93,6 +93,7 @@ QUERIES = [
     "dedup_minhash_verified", "png_decode_stats",
     "vocab_remap_metrics", "vocab_remap_join_metrics",
     "dedup_components", "curate_neardup_metrics", "multimodal_frames",
+    "pack_store_roundtrip", "dedup_components_verified",
 ]
 
 
