@@ -125,6 +125,17 @@ def main():
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         passes[name] = []
         for _ in range(3):
+            # drop the previous pass's DataFrame references first: staged
+            # queries localCheckpoint their subplans, and those blocks only
+            # unpersist after Python GC releases the DataFrame -> the
+            # ContextCleaner reaps the RDD.  Without this, repeated passes
+            # of the checkpoint-heavy queries accumulate executor-memory
+            # blocks and the LATER passes measure memory pressure, not the
+            # query (r6: pack_sequences_encoded recorded [6.3, 4.9, 12.8] s
+            # in one session vs ~2.1 s controlled).
+            import gc
+            df = None
+            gc.collect()
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
