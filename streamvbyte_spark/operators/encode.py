@@ -189,7 +189,8 @@ def encode_table(df: DataFrame, codec: str = "auto",
 
 def size_table(df: DataFrame, codec: str = "auto",
                candidates: tuple[str, ...] = batched.VECTOR_COST_CODECS,
-               flat_transform=None, text_input: bool = False) -> DataFrame:
+               flat_transform=None, text_input: bool = False,
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Exact per-row encoded size WITHOUT materializing the encoded bytes —
     the table form of the reference's size-without-encode API
     (``streamvbyte_compressedbytes``, /root/reference/include/streamvbyte.h:
@@ -200,7 +201,10 @@ def size_table(df: DataFrame, codec: str = "auto",
     at a fraction of the work — no output allocation, no scatters, no
     encoded column in the plan.  ``codec='auto'`` returns the selector's
     min over ``candidates``.  flat_transform/text_input as in
-    encode_table."""
+    encode_table.  ``carry`` names extra input columns passed through
+    unchanged — lets a composite query compute sizes in the SAME corpus
+    scan that carries its other per-doc columns instead of scanning twice
+    and joining (curation_pipeline uses this)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -220,10 +224,15 @@ def size_table(df: DataFrame, codec: str = "auto",
             sizes = costs.min(axis=1) if codec == "auto" else costs[:, 0]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),
-                 pa.array(sizes.astype(np.int64), pa.int64())],
-                names=["doc_id", "size_bytes"])
+                 pa.array(sizes.astype(np.int64), pa.int64())]
+                + [batch.column(batch.schema.get_field_index(c))
+                   for c in carry],
+                names=["doc_id", "size_bytes", *carry])
 
-    return df.mapInArrow(run, "doc_id string, size_bytes bigint")
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
+    return df.mapInArrow(run, "doc_id string, size_bytes bigint"
+                         + carry_schema)
 
 
 def decode_table(enc_df: DataFrame, verify_checksum: bool = True,

@@ -984,18 +984,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         length gate -> per-source pack count + encoded-byte budget
         (cost-only size_table).  Everything JVM-side except the two Arrow
         kernels (shingle hashing inside the staged decontaminate, cost
-        model inside size_table)."""
+        model inside size_table).
+
+        ONE corpus scan for dedup+sizing (r6): the size kernel runs
+        map-side in the same scan that computes md5/n_tok (size_table's
+        carry columns), the md5 window then shuffles only narrow rows
+        (never tokens), and only the decontamination flags join back — the
+        previous shape scanned the corpus twice and doc-joined three
+        tables."""
         decon = make_pipeline("decontaminate")(spark, sf_dir)
-        base = spark.sql(
+        from pyspark.sql import Window
+        tok = spark.sql(
             "select cast(doc_id as string) as doc_id, source, "
-            "size(split(text, ' ')) as n_tok, "
-            "row_number() over (partition by md5(text) "
-            "                   order by cast(doc_id as string)) as rn "
+            "md5(text) as h, size(split(text, ' ')) as n_tok, "
+            f"{spark_tokens_expr('text')} as tokens "
             "from documents "
             "where source != (select min(source) from documents)")
-        sizes = size_table(tokens_from_documents(spark, sf_dir), codec="auto")
-        j = (base.join(decon.select("doc_id", "contaminated"), "doc_id")
-                 .join(sizes, "doc_id"))
+        sized = size_table(tok, codec="auto", carry=("source", "h", "n_tok"))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        base = (sized.withColumn("rn", F.row_number().over(w))
+                .drop("h"))
+        j = base.join(decon.select("doc_id", "contaminated"), "doc_id")
         keep = ((F.col("rn") == 1) & ~F.col("contaminated")
                 & (F.col("n_tok") >= pipeline_sql.CURATE_MIN_TOK))
         agg = j.groupBy("source").agg(
