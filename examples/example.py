@@ -58,4 +58,24 @@ bad = (back.alias("a").join(sorted_tok.alias("b"), "doc_id")
 print(f"chunked: {chunks.count()} prev-chained chunks, fused reassembly, "
       f"mismatches={bad}")
 assert bad == 0
+
+# --- dataloader path: fixed-length packs stored in the engine's format -------
+import shutil, tempfile
+from streamvbyte_spark.operators import decode_packs, pack_tokens_encoded
+from streamvbyte_spark.operators.packing import derived_string_order
+
+pack_dir = tempfile.mkdtemp(prefix="svb_example_packs_")
+try:
+    packs = pack_tokens_encoded(tok, emit="encoded",  # auto-codec pack rows
+                                order_bucket=derived_string_order(tok))
+    packs.write.mode("overwrite").parquet(pack_dir + "/p")
+    served = decode_packs(spark.read.parquet(pack_dir + "/p"),
+                          fingerprint=False)          # checksum-verified decode
+    n_packs, n_tok = served.count(), served.agg(F.sum("n_tok")).first()[0]
+    total = tok.agg(F.sum("n_tok")).first()[0]
+    print(f"packs: {n_packs} stored sequences serving {n_tok} tokens "
+          f"(corpus has {total})")
+    assert n_tok == total
+finally:
+    shutil.rmtree(pack_dir, ignore_errors=True)
 spark.stop()
