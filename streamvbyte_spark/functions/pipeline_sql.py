@@ -1006,6 +1006,44 @@ def _decontaminate_final(d: Dialect, e_src: str,
     )
 
 
+def curated_tok_select(d: Dialect, hits_src: str, msrc: str) -> str:
+    """(doc_id, source, tokens, n_tok) of the CURATED corpus — the
+    curation_pipeline keep-policy (exact-dup rn=1, not contaminated,
+    n_tok >= CURATE_MIN_TOK) applied to the token table, shared by
+    queries.curated_pack_sequences and its oracle.  The md5 rank window
+    runs over ALL non-eval docs BEFORE the contamination/length filters —
+    filtering first would let a contaminated keeper's duplicate slide into
+    rn=1 and survive, diverging from curation_pipeline's policy.
+
+    hits_src: relation of contaminated doc_ids (the staged decontaminate
+    output on Spark, a CTE in the oracle).  msrc: scalar SQL for the eval
+    source name.
+
+    Scale shape: the rank window's shuffle carries the token arrays (they
+    must reach the pack stage and text is gone after the scan) — one extra
+    token-bearing shuffle over plain pack_sequences; the hits anti-join is
+    against the SMALL contaminated set (broadcastable).  The
+    encoded-wire production form would run this gate over
+    operators/packing's encoded rows instead.
+
+    doc_id keeps its NATIVE type: the downstream pack cum orders by doc_id
+    and the caller's bucket expression is chosen from the table's dtype —
+    casting to string here would make Spark's numeric-bucket decomposition
+    disagree with the oracle's single-window string order (caught by the
+    gate: same pack volumes, different concatenation order).  Only the
+    hits comparison casts (hits ids come from the string-keyed shingle
+    pipeline)."""
+    inner = (f"select doc_id, source, "
+             f"{d.tokens()} as tokens, {d.alen(d.split('text'))} as n_tok, "
+             "row_number() over (partition by md5(text) "
+             "order by cast(doc_id as string)) as rn "
+             f"from documents where source != {msrc}")
+    return (f"select doc_id, source, tokens, n_tok from ({inner}) base "
+            f"where rn = 1 and n_tok >= {CURATE_MIN_TOK} "
+            f"and not exists (select 1 from {hits_src} h "
+            "where h.doc_id = cast(base.doc_id as string))")
+
+
 PACK_CAP = 256  # tokens per training sequence (small so sf0.01 yields many packs)
 CURATE_MIN_TOK = 5  # curation_pipeline length gate (shared with its oracle)
 # doc_id-range bucket width for the two-level prefix sum: bucket = doc_id div
@@ -1149,7 +1187,8 @@ def q_sequence_pack(d: Dialect, bucket_expr: str | None = None,
 
 
 def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
-                     ntok_table: str | None = None) -> str:
+                     ntok_table: str | None = None,
+                     tok_select: str | None = None) -> str:
     """The MATERIALIZED pack writer: emit the actual fixed-length training
     sequences that ``sequence_pack``'s manifest only prices — per (source,
     pack_id), the pack's token payload, reported through the driver gate as
@@ -1184,9 +1223,12 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
     # (Spark staged path): a MATERIALIZED narrow word-count view the
     # totals side reads instead of re-scanning the text corpus — the
     # window side must still scan text (the tokenizer needs it), so this
-    # takes the query from two corpus scans to one
-    tok = (f"select doc_id, source, {d.tokens()} as tokens, "
-           f"{d.alen(d.split('text'))} as n_tok from documents")
+    # takes the query from two corpus scans to one.  tok_select: override
+    # the whole corpus SELECT (must yield doc_id, source, tokens, n_tok) —
+    # queries.curated_pack_sequences packs a curated subset this way.
+    tok = tok_select or (
+        f"select doc_id, source, {d.tokens()} as tokens, "
+        f"{d.alen(d.split('text'))} as n_tok from documents")
     bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
     cum = _two_level_cum_sql(d, bkt, carry=", tokens",
                              tot_src=ntok_table or "t")

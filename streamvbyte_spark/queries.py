@@ -271,6 +271,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
     "multimodal_frames", "multimodal_features", "curate_metrics",
+    "jsonl_roundtrip",
 )
 GATE_WINDOW = 50
 
@@ -1027,6 +1028,70 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = curation_pipeline
 
+    # THE end-to-end flagship: curation policy -> pack writer in ONE
+    # oracle-checked query.  curation_pipeline PRICES the curated corpus;
+    # this emits the actual fixed-length training sequences of the kept
+    # documents (exact-dup rn=1, not contaminated, length-gated), i.e. the
+    # complete raw-corpus -> dataloader pipeline.  Stages: the shingle
+    # pipeline + eval source + contaminated-id set + a NARROW curated
+    # manifest (doc_id, source, n_tok — the two-level cum's totals side)
+    # all materialize once; the final pack SQL scans text once, ranks the
+    # md5 window, anti-joins the small hits set, and runs the standard
+    # two-level pack machinery.  Oracle: same composition as single-text
+    # CTEs over the one-window DuckDB form.
+    def curated_pack_sequences(spark, sf_dir):
+        import uuid as _uuid
+        from pyspark.sql.types import NumericType
+        from .operators.staging import materialize
+        from .functions.text_udfs import register_text_udfs
+        register_text_udfs(spark)
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        d = pipeline_sql.Dialect("spark")
+        tag = _uuid.uuid4().hex[:8]
+        for old in _STAGE_VIEWS.pop((id(spark), "curated_pack_sequences"),
+                                    ()):
+            spark.catalog.dropTempView(old)
+        names = {}
+        def stage(short, df):
+            v = f"svb_stage_cps_{short}_{tag}"
+            materialize(df).createOrReplaceTempView(v)
+            names[short] = v
+            return v
+        sh = stage("sh", spark.sql(pipeline_sql._shingle_rows(d, "source")))
+        ms = stage("msrc", spark.sql(
+            "select min(source) as s from documents"))
+        msrc = f"(select s from {ms})"
+        hits = stage("hits", spark.sql(
+            f"select /*+ BROADCAST(ev) */ e.doc_id from {sh} e "
+            f"join (select distinct shingle from {sh} "
+            f"      where source = {msrc}) ev on e.shingle = ev.shingle "
+            f"where e.source != {msrc} group by e.doc_id"))
+        # doc_id stays NATIVE-typed (matching curated_tok_select): the
+        # totals side's bucket expression must see the same dtype/order
+        # as the window side
+        inner = ("select doc_id, source, "
+                 "size(split(text, ' ')) as n_tok, "
+                 "row_number() over (partition by md5(text) "
+                 "order by cast(doc_id as string)) as rn "
+                 f"from documents where source != {msrc}")
+        man = stage("man", spark.sql(
+            f"select doc_id, source, n_tok from ({inner}) base "
+            f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
+            f"and not exists (select 1 from {hits} h "
+            "where h.doc_id = cast(base.doc_id as string))"))
+        _STAGE_VIEWS[(id(spark), "curated_pack_sequences")] = \
+            tuple(names.values())
+        dtype = spark.table("documents").schema["doc_id"].dataType
+        bucket = None if isinstance(dtype, NumericType) \
+            else _string_bucket_expr(spark)
+        sql = pipeline_sql.q_pack_sequences(
+            d, bucket_expr=bucket, ntok_table=man,
+            tok_select=pipeline_sql.curated_tok_select(d, hits, msrc))
+        return spark.sql(sql)
+
+    q["curated_pack_sequences"] = curated_pack_sequences
+
     # encoded-wire pack writer: identical packs to `pack_sequences`, but
     # both token-bearing shuffles (prefix-sum window + reassembly) carry
     # svb-ENCODED bytes (~1.49 B/token) instead of raw ids (4 B/token) —
@@ -1293,6 +1358,19 @@ def build_oracles() -> dict[str, str]:
     # the encoded-wire pack writer computes the SAME packs as the SQL form
     # — one oracle proves both plans
     o["pack_sequences_encoded"] = o["pack_sequences"]
+    # curation -> packs composite: the pack rebuild over the CURATED token
+    # table (nested WITH carries the decontamination CTEs into tok_select)
+    _dd = pipeline_sql.Dialect("duckdb")
+    _msrc_d = "(select min(source) from documents)"
+    _cur_tok_duck = (
+        f"with sh as ({pipeline_sql._shingle_rows(_dd, 'source')}), "
+        f"ev as (select distinct shingle from sh where source = {_msrc_d}), "
+        "hits as (select sh.doc_id from sh join ev "
+        " on sh.shingle = ev.shingle "
+        f" where sh.source != {_msrc_d} group by sh.doc_id) "
+        + pipeline_sql.curated_tok_select(_dd, "hits", _msrc_d))
+    o["curated_pack_sequences"] = pipeline_sql.q_pack_sequences(
+        _dd, tok_select=_cur_tok_duck)
     # the stored-and-served packs must be the same packs
     o["pack_store_roundtrip"] = o["pack_sequences"]
     # exact connected components via recursive CTE: propagate every
