@@ -271,7 +271,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
     "multimodal_frames", "multimodal_features", "curate_metrics",
-    "jsonl_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip",
 )
 GATE_WINDOW = 50
 
@@ -1092,6 +1092,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curated_pack_sequences"] = curated_pack_sequences
 
+    # the PRODUCTION form of the same composite: the curated token table
+    # feeds the encoded-wire pack operator (both token-bearing shuffles
+    # carry auto-codec bytes).  Shares curated_pack_sequences' oracle —
+    # the gate proves the encoded plan value-identical to the raw-token
+    # SQL algorithm over the curated corpus.
+    def curated_pack_encoded(spark, sf_dir):
+        from pyspark.sql.types import NumericType
+        from .operators.packing import (default_numeric_order,
+                                        derived_string_order,
+                                        pack_tokens_encoded)
+        # reuse the staged curation build (shingles/hits/manifest views),
+        # then hand the curated token DataFrame to the operator
+        curated_pack_sequences(spark, sf_dir)  # builds + registers stages
+        views = _STAGE_VIEWS[(id(spark), "curated_pack_sequences")]
+        hits = next(v for v in views if "_hits_" in v)
+        ms = next(v for v in views if "_msrc_" in v)
+        d = pipeline_sql.Dialect("spark")
+        tok = spark.sql(pipeline_sql.curated_tok_select(
+            d, hits, f"(select s from {ms})"))
+        # the operator's Arrow schema carries doc_id as string (the
+        # canonical token-table shape); order_bucket still follows the
+        # ORIGINAL dtype so numeric corpora order by numeric value (the
+        # oracle's native order), parsed back from the string key
+        dtype = tok.schema["doc_id"].dataType
+        tok = tok.withColumn("doc_id", F.col("doc_id").cast("string"))
+        ob = default_numeric_order(tok) if isinstance(dtype, NumericType) \
+            else derived_string_order(tok)
+        return pack_tokens_encoded(tok, order_bucket=ob)
+
+    q["curated_pack_encoded"] = curated_pack_encoded
+
     # encoded-wire pack writer: identical packs to `pack_sequences`, but
     # both token-bearing shuffles (prefix-sum window + reassembly) carry
     # svb-ENCODED bytes (~1.49 B/token) instead of raw ids (4 B/token) —
@@ -1371,6 +1402,8 @@ def build_oracles() -> dict[str, str]:
         + pipeline_sql.curated_tok_select(_dd, "hits", _msrc_d))
     o["curated_pack_sequences"] = pipeline_sql.q_pack_sequences(
         _dd, tok_select=_cur_tok_duck)
+    # encoded-wire curated packs: same packs, proven by the same rebuild
+    o["curated_pack_encoded"] = o["curated_pack_sequences"]
     # the stored-and-served packs must be the same packs
     o["pack_store_roundtrip"] = o["pack_sequences"]
     # exact connected components via recursive CTE: propagate every

@@ -94,7 +94,7 @@ QUERIES = [
     "vocab_remap_metrics", "vocab_remap_join_metrics",
     "dedup_components", "curate_neardup_metrics", "multimodal_frames",
     "pack_store_roundtrip", "dedup_components_verified",
-    "curated_pack_sequences",
+    "curated_pack_sequences", "curated_pack_encoded",
 ]
 
 
