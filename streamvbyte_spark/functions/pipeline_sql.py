@@ -399,6 +399,49 @@ def q_ann_topk(d: Dialect) -> str:
     )
 
 
+def q_ann_cosine(d: Dialect) -> str:
+    """Brute-force exact COSINE top-5 (the magnitude-invariant baseline a
+    text-embedding pipeline actually ranks by; q_ann_topk is its raw-dot
+    sibling).  Cross-engine float rule: dot and both squared norms are
+    identical BIGINTs in both engines, so cos = dot / sqrt(na*nb) is the
+    same IEEE double on both sides; it is rounded IN-QUERY and ranked with
+    a cid tiebreak, so rounding-induced ties order identically.  Zero-norm
+    vectors (padding rows) define cos := 0 — the embedding_neardup
+    convention, exercised by the edge corpus.
+
+    Scale shape: same as q_ann_topk — broadcast the 10-query side, one
+    map-side pass over the candidates, per-query top-k windows over Q x N
+    scored rows (TakeOrderedAndProject after AQE)."""
+    if d.kind == "spark":
+        q = ("select vec_id as qid, embedding as qe, "
+             "emb_norm_q(embedding) as na from embeddings where vec_id < 10")
+        c = ("select vec_id as cid, embedding as ce, "
+             "emb_norm_q(embedding) as nb from embeddings")
+        dot = "emb_dot_q(qe, ce)"
+    else:
+        q = (f"select vec_id as qid, {_qemb(d)} as qe, "
+             f"{_dot(d, _qemb(d), _qemb(d))} as na "
+             "from embeddings where vec_id < 10")
+        c = (f"select vec_id as cid, {_qemb(d)} as ce, "
+             f"{_dot(d, _qemb(d), _qemb(d))} as nb from embeddings")
+        dot = _dot(d, "qe", "ce")
+    cos = ("case when na = 0 or nb = 0 then cast(0 as double) "
+           "else round(cast(dot as double) / "
+           "sqrt(cast(na as double) * cast(nb as double)), 6) end")
+    return (
+        f"with q as ({q}), c as ({c}), "
+        f"scored as (select qid, cid, na, nb, {dot} as dot "
+        "from q join c on qid != cid), "
+        f"cosed as (select qid, cid, {cos} as cos from scored), "
+        "ranked as (select qid, cid, cos, "
+        " row_number() over (partition by qid order by cos desc, cid) as rnk "
+        " from cosed) "
+        "select cast(qid as string) as query_id, "
+        "cast(cid as string) as neighbor_id, "
+        "cos as cos_sim, cast(rnk as int) as rank from ranked where rnk <= 5"
+    )
+
+
 def _hyperplane_bucket(d: Dialect, planes: list[tuple[int, int]]) -> str:
     """Sign-bit bucket of vector `v` under deterministic integer hyperplanes:
     plane (a, b) component i = ((a*(i+1) + b) mod 7) - 3; exact BIGINT dots."""
@@ -1279,6 +1322,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_cosine_topk": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,

@@ -271,7 +271,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "users_intersect", "top_users_by_value", "events_hourly",
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
     "multimodal_frames", "multimodal_features", "curate_metrics",
-    "jsonl_roundtrip", "orc_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "auto_full_size",
 )
 GATE_WINDOW = 50
 
@@ -826,6 +826,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": ("events",),
         "nation_revenue": ("lineitem", "orders", "customer", "nation"),
         "ann_topk": ("embeddings",),
+        "ann_cosine_topk": ("embeddings",),
         "ann_lsh": ("embeddings",),
         "ann_ivf": ("embeddings",),
         "ann_recall": ("embeddings",),

@@ -98,7 +98,7 @@ QUERIES = [
 ]
 
 
-EMB_QUERIES = ["ann_topk", "ann_lsh", "ann_ivf", "ann_recall",
+EMB_QUERIES = ["ann_topk", "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall",
                "ann_recall_ivf", "embedding_neardup",
                "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings"]
 

@@ -388,7 +388,7 @@ def test_registry_wide_no_cartesian(spark):
     future query accidentally planning an all-pairs join at sf0.001 would
     otherwise only surface as a 100 TB incident."""
     import streamvbyte_spark.queries as Q
-    bnlj_ok = {"ann_topk", "ann_recall", "ann_recall_ivf"}
+    bnlj_ok = {"ann_topk", "ann_cosine_topk", "ann_recall", "ann_recall_ivf"}
     failures = []
     for name, fn in Q.build_queries().items():
         try:
