@@ -189,6 +189,11 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
     selector encode_table uses; the documents corpus measures 2.30 B/token
     auto vs 2.76 svb-only — a further 17% off the wire), each row carrying
     its codec id for the downstream decode dispatch."""
+    if emit not in ("fingerprint", "encoded"):
+        # a typo'd mode would silently fall back to fingerprint output and
+        # only fail much later (decode_packs missing codec/checksum cols)
+        raise ValueError(
+            f"emit must be 'fingerprint' or 'encoded', got {emit!r}")
     okey, bkt = order_bucket or default_numeric_order(tok)
     if fanout is None:
         fanout = int(tok.sparkSession.conf.get(

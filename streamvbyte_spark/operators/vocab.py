@@ -62,7 +62,8 @@ def build_vocab(tok_df: DataFrame) -> DataFrame:
       are at most sqrt(2N) of them (~4.5M rows of two ints at N = 10^13 —
       trivial for one task, and the window input is already aggregated);
     * the within-cnt bucket offsets window partitions by cnt and holds
-      <= 2^31 / 2^16 = 32768 bucket rows per partition;
+      <= 2^16 = 65536 bucket rows per partition (the full int32 token
+      domain spans 2^32 / 2^16 buckets, negative ids included);
     * both offset tables broadcast back onto the level-1 side.
 
     The ``vocab_remap_metrics`` oracle recomputes the identical rank

@@ -658,7 +658,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dirs removes cross-user reaping entirely
         prefix = (f"{tempfile.gettempdir()}/svb_q_{fmt}_{tag}_"
                   f"u{os.getuid()}_")
-        for stale in glob.glob(prefix + "*"):
+        # legacy pre-uid-scheme dirs (bare-pid suffix) would otherwise sit
+        # in /tmp forever — reap them under the same liveness/age policy
+        legacy = glob.glob(f"{tempfile.gettempdir()}/svb_q_{fmt}_{tag}_"
+                           "[0-9]*")
+        for stale in glob.glob(prefix + "*") + legacy:
             pid_s = stale.rsplit("_", 1)[-1]
             if pid_s == str(os.getpid()) or not pid_s.isdigit():
                 continue

@@ -236,10 +236,14 @@ def tokens_from_csv(spark: SparkSession, path: str) -> DataFrame:
         "then cast(raise_error(concat('csv non-integer token: doc_id=', "
         "doc_id, ' toks=', toks)) as array<int>) "
         "else cast(split(toks, ' ') as array<int>) end")
+    # n_tok from the UNguarded split: the guarded tokens expression above
+    # already raises on any malformed token, and re-evaluating the
+    # interpreted exists() guard just to count elements would double the
+    # staging read's slow path (CollapseProject duplicates, not shares)
     return staged.select(
         "doc_id",
         tokens.alias("tokens"),
-        F.size(tokens).alias("n_tok"),
+        F.expr("size(split(toks, ' '))").alias("n_tok"),
         "source",
     )
 

@@ -12,12 +12,25 @@ of micro-batches apart.
 
 Ordering contract (mirrors stateful_delta's chunk contiguity): documents of
 a source must arrive in NON-DECREASING doc_id order across micro-batches —
-the order a doc_id-sorted corpus replay produces.  Because order is
-enforced, a doc_id == last_doc_id is provably a redelivery of an
-already-placed document (at-least-once sources) and is skipped —
-exact-once placement, not data loss; a doc_id < last_doc_id is reordering
-and RAISES.  Batch-exactness is tested by replaying a corpus through
+the order a doc_id-sorted corpus replay produces.  Under that contract
+every id at or below the high-water mark has provably been placed already,
+so the WHOLE at-or-below range is skipped as redelivery (at-least-once
+sources routinely replay a multi-document tail, e.g. a whole re-read
+file) — exact-once placement.  The flip side is the standard watermark
+trade: a source that VIOLATES the order contract by delivering a brand-new
+doc below the mark gets it silently skipped (indistinguishable from a
+redelivery); the contract, not the operator, is the correctness boundary
+— unlike stateful_delta's dense chunk ids, sparse doc ids make gaps
+undetectable.  Batch-exactness is tested by replaying a corpus through
 micro-batches and comparing every span to the batch prefix sum.
+
+doc_id ORDER follows the batch writers' key policy (operators/packing):
+``order='numeric'`` (default) parses ids as integers — matching
+default_numeric_order / monotone_numeric_key_sql, and failing LOUDLY on a
+non-numeric id, because lexicographic placement of numeric ids silently
+diverges from the batch prefix sum ('10' < '9') — and ``order='lex'``
+compares strings for genuinely string-keyed corpora (the
+derived_string_order analog).
 
 The group body is whole-batch vectorized (one argsort + cumsum per source
 per micro-batch); no per-row Python.
@@ -40,58 +53,80 @@ STATE_SCHEMA = "last_doc_id string, cum long"
 _OUT_COLS = ["doc_id", "source", "n_tok", "st", "pack_first", "pack_last"]
 
 
-def _assign_source(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
-                   state: GroupState) -> Iterator[pd.DataFrame]:
-    source = key[0]
-    last_doc, cum = state.get if state.exists else ("", 0)
-    frames = [pdf for pdf in pdf_iter if len(pdf)]
-    if not frames:
-        state.update((last_doc, cum))
-        yield pd.DataFrame(columns=_OUT_COLS)
-        return
-    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-    ids = pdf["doc_id"].to_numpy(object)
-    order = np.argsort(ids, kind="stable")
-    pdf = pdf.iloc[order]
-    ids = ids[order]
-    # first-occurrence-wins within the batch, then drop state-level
-    # redeliveries; anything BELOW the high-water mark that is not an exact
-    # redelivery is reordering (the placement it needs is already spoken
-    # for) — fail loudly rather than corrupt every later offset
-    first = np.concatenate(([True], ids[1:] != ids[:-1]))
-    if last_doc:
-        below = ids < last_doc
-        if np.any(below):
-            raise ValueError(
-                f"pack_assign: doc_id {ids[below][0]!r} of source "
-                f"{source!r} arrived after high-water mark {last_doc!r} — "
-                "sources must deliver docs in doc_id order")
-        first &= ids != last_doc  # == is a redelivery: skip exactly-once
-    kept = pdf.iloc[first]
-    if not len(kept):
-        state.update((last_doc, cum))
-        yield pd.DataFrame(columns=_OUT_COLS)
-        return
-    n_tok = kept["n_tok"].to_numpy(np.int64)
-    st = cum + np.concatenate(([0], np.cumsum(n_tok[:-1])))
-    en = st + n_tok - 1
-    state.update((str(kept["doc_id"].iloc[-1]), int(cum + n_tok.sum())))
-    # empty docs advance the high-water mark but occupy no span — the batch
-    # pack queries filter n_tok > 0 the same way
-    nz = n_tok > 0
-    yield pd.DataFrame({
-        "doc_id": kept["doc_id"].to_numpy(object)[nz],
-        "source": source,
-        "n_tok": n_tok[nz].astype(np.int32),
-        "st": st[nz],
-        "pack_first": st[nz] // PACK_CAP,
-        "pack_last": en[nz] // PACK_CAP,
-    })
+def _order_keys(ids: np.ndarray, order: str, source: str) -> np.ndarray:
+    """Sort/compare keys under the chosen id policy — int64 values for
+    'numeric' (loud on unparseable ids, the monotone_numeric_key_sql
+    analog), the raw strings for 'lex'."""
+    if order == "lex":
+        return ids
+    try:
+        return np.array([int(i) for i in ids], dtype=np.int64)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"pack_assign: non-numeric doc_id in source {source!r} under "
+            "order='numeric' — pass order='lex' for string-keyed corpora "
+            "(lexicographic placement of numeric ids would silently "
+            "diverge from the batch prefix sum)") from e
 
 
-def pack_assign_stream(docs: DataFrame) -> DataFrame:
+def _make_assign(order: str):
+    def _assign_source(key: Tuple[str], pdf_iter: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+        source = key[0]
+        last_doc, cum = state.get if state.exists else ("", 0)
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if not frames:
+            state.update((last_doc, cum))
+            yield pd.DataFrame(columns=_OUT_COLS)
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        ids = pdf["doc_id"].to_numpy(object)
+        keys = _order_keys(ids, order, source)
+        srt = np.argsort(keys, kind="stable")
+        pdf = pdf.iloc[srt]
+        ids, keys = ids[srt], keys[srt]
+        # first-occurrence-wins within the batch, then skip everything at
+        # or below the high-water mark: under the non-decreasing delivery
+        # contract those are provably redeliveries (see module docstring)
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        if last_doc:
+            mark = _order_keys(np.array([last_doc], object), order,
+                               source)[0]
+            first &= keys > mark
+        kept = pdf.iloc[first]
+        if not len(kept):
+            state.update((last_doc, cum))
+            yield pd.DataFrame(columns=_OUT_COLS)
+            return
+        n_tok = kept["n_tok"].to_numpy(np.int64)
+        st = cum + np.concatenate(([0], np.cumsum(n_tok[:-1])))
+        en = st + n_tok - 1
+        state.update((str(kept["doc_id"].iloc[-1]),
+                      int(cum + n_tok.sum())))
+        # empty docs advance the high-water mark but occupy no span — the
+        # batch pack queries filter n_tok > 0 the same way
+        nz = n_tok > 0
+        yield pd.DataFrame({
+            "doc_id": kept["doc_id"].to_numpy(object)[nz],
+            "source": source,
+            "n_tok": n_tok[nz].astype(np.int32),
+            "st": st[nz],
+            "pack_first": st[nz] // PACK_CAP,
+            "pack_last": en[nz] // PACK_CAP,
+        })
+
+    return _assign_source
+
+
+def pack_assign_stream(docs: DataFrame, order: str = "numeric") -> DataFrame:
     """docs stream (doc_id, source, n_tok) -> exact pack-span placement
-    per document, state = one (last_doc_id, cum) row per source."""
+    per document, state = one (last_doc_id, cum) row per source.
+
+    order: 'numeric' (default — ids parsed as integers, loud failure on a
+    non-numeric id) or 'lex' (string comparison) — MUST match the order
+    the batch pack writer uses on the same corpus (see module docstring)."""
+    if order not in ("numeric", "lex"):
+        raise ValueError(f"order must be 'numeric' or 'lex', got {order!r}")
     return (docs.groupBy("source").applyInPandasWithState(
-        _assign_source, OUT_SCHEMA, STATE_SCHEMA,
+        _make_assign(order), OUT_SCHEMA, STATE_SCHEMA,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout))

@@ -151,17 +151,17 @@ def test_streaming_pack_assign_batch_exact(spark):
         rows = [(f"d{j:03d}", "web" if j % 3 else "books",
                  int(rng.integers(0, 200)))  # includes n_tok == 0 docs
                 for j in range(60)]
-        # batch 0 = docs 0..29, batch 1 = docs 30..59 PLUS a redelivery of
-        # the last doc of batch 0 (at-least-once source)
+        # batch 0 = docs 0..29, batch 1 = docs 30..59 PLUS a MULTI-DOC
+        # redelivery tail of batch 0 (at-least-once file replay overlap)
         spark.createDataFrame(rows[:30], "doc_id string, source string, n_tok int") \
             .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
-        spark.createDataFrame(rows[29:], "doc_id string, source string, n_tok int") \
+        spark.createDataFrame(rows[26:], "doc_id string, source string, n_tok int") \
             .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
         stream = (spark.readStream
                   .schema("doc_id string, source string, n_tok int")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(tmp + "/in/*"))
-        q = (pack_assign_stream(stream).writeStream
+        q = (pack_assign_stream(stream, order="lex").writeStream
              .format("memory").queryName("pack_spans").outputMode("update")
              .trigger(availableNow=True).start())
         q.awaitTermination(180)
@@ -183,30 +183,45 @@ def test_streaming_pack_assign_batch_exact(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_streaming_pack_assign_rejects_reordering(spark):
-    """A doc arriving BELOW its source's high-water mark (not a redelivery)
-    would need a span already handed to another doc — must raise, not
-    silently corrupt every later offset."""
+def test_streaming_pack_assign_numeric_order_and_guards(spark):
+    """Numeric-id corpora place by NUMERIC order (the batch writers'
+    default_numeric_order policy): lexicographic would put '10' before
+    '9' and silently diverge from the batch prefix sum.  A non-numeric id
+    under order='numeric' must fail loudly (the monotone_numeric_key_sql
+    analog), and an invalid order value is rejected at the call site."""
     from streamvbyte_spark.streaming.pack_assign import pack_assign_stream
 
-    tmp = tempfile.mkdtemp(prefix="svb_packbad_")
+    tmp = tempfile.mkdtemp(prefix="svb_packnum_")
     try:
-        spark.createDataFrame([("d5", "web", 10)],
+        # '9' and '10' in ONE batch: numeric order places 9 first
+        spark.createDataFrame([("10", "web", 20), ("9", "web", 10)],
                               "doc_id string, source string, n_tok int") \
             .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
-        spark.createDataFrame([("d1", "web", 10)],  # below the mark
-                              "doc_id string, source string, n_tok int") \
-            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
         stream = (spark.readStream
                   .schema("doc_id string, source string, n_tok int")
-                  .option("maxFilesPerTrigger", 1)
                   .parquet(tmp + "/in/*"))
         q = (pack_assign_stream(stream).writeStream
-             .format("memory").queryName("pack_bad").outputMode("update")
+             .format("memory").queryName("pack_num").outputMode("update")
              .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r.doc_id: r.st
+               for r in spark.sql("select * from pack_num").collect()}
+        assert got == {"9": 0, "10": 10}
+        # non-numeric id under the numeric default -> loud failure
+        spark.createDataFrame([("docA", "web", 5)],
+                              "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/bad/b0")
+        bad = (spark.readStream
+               .schema("doc_id string, source string, n_tok int")
+               .parquet(tmp + "/bad/*"))
+        qb = (pack_assign_stream(bad).writeStream
+              .format("memory").queryName("pack_badid")
+              .outputMode("update").trigger(availableNow=True).start())
         with pytest.raises(Exception) as ei:
-            q.awaitTermination(180)
-        assert "doc_id order" in str(ei.value)
+            qb.awaitTermination(180)
+        assert "non-numeric doc_id" in str(ei.value)
+        with pytest.raises(ValueError, match="order must be"):
+            pack_assign_stream(bad, order="sorted")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
