@@ -24,7 +24,7 @@ HEADLINE = [
     "ann_ivf", "dedup_simhash", "auto_full_roundtrip",
     "pack_sequences", "token_quantiles", "pack_sequences_encoded",
     "ann_recall", "dedup_minhash_verified", "pack_store_roundtrip",
-    "png_decode_stats",
+    "png_decode_stats", "curation_pipeline", "curated_pack_sequences",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -32,6 +32,15 @@ HEADLINE = [
 NO_CARTESIAN = {"embedding_neardup", "dedup_minhash_pairs"}
 
 NOTES = {
+    "curation_pipeline": "ONE corpus scan (r6): the auto-codec size kernel "
+        "runs map-side in the same scan that computes md5/n_tok "
+        "(size_table carry columns); the md5 rank window shuffles narrow "
+        "rows only; the staged decontaminate flags join back per doc.",
+    "curated_pack_sequences": "curation keep-policy feeding the pack "
+        "writer: staged shingles/hits/manifest materialized once; the rank "
+        "window's shuffle carries tokens (text is gone after the scan), "
+        "the hits anti-join broadcasts, then the standard two-level pack "
+        "machinery.",
     "dedup_minhash_verified": "LSH candidates + signature-verification "
         "join: the 16-hash signature table MATERIALIZES once and feeds "
         "banding AND both verification joins (zero parquet scans in the "
