@@ -590,6 +590,10 @@ def test_pack_sink_roundtrip_and_corruption(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         decode_packs(spark.read.parquet(bad)).collect()
     assert "checksum mismatch" in str(ei.value) or "decode" in str(ei.value)
+    # a typo'd emit mode must fail at the call site, not as a missing
+    # column far downstream
+    with pytest.raises(ValueError, match="emit must be"):
+        pack_tokens_encoded(tok, emit="encode")
 
 
 def test_minhash_verification_filters_low_agreement(spark):
