@@ -1044,9 +1044,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5 window, anti-joins the small hits set, and runs the standard
     # two-level pack machinery.  Oracle: same composition as single-text
     # CTEs over the one-window DuckDB form.
-    def curated_pack_sequences(spark, sf_dir):
+    def _build_curation_stages(spark, sf_dir, qname):
+        """Materialize the curation stage set (shingles, eval source,
+        contaminated ids, narrow curated manifest) under QNAME's OWN view
+        registry slot — each consumer query owns a disjoint set, so the
+        driver may build several of these queries' DataFrames before
+        executing any of them without one build dropping another's views.
+        Returns (hits_view, msrc_scalar_sql, manifest_view)."""
         import uuid as _uuid
-        from pyspark.sql.types import NumericType
         from .operators.staging import materialize
         from .functions.text_udfs import register_text_udfs
         register_text_udfs(spark)
@@ -1054,12 +1059,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .createOrReplaceTempView("documents")
         d = pipeline_sql.Dialect("spark")
         tag = _uuid.uuid4().hex[:8]
-        for old in _STAGE_VIEWS.pop((id(spark), "curated_pack_sequences"),
-                                    ()):
+        for old in _STAGE_VIEWS.pop((id(spark), qname), ()):
             spark.catalog.dropTempView(old)
         names = {}
+
         def stage(short, df):
-            v = f"svb_stage_cps_{short}_{tag}"
+            v = f"svb_stage_{qname[-12:]}_{short}_{tag}"
             materialize(df).createOrReplaceTempView(v)
             names[short] = v
             return v
@@ -1085,8 +1090,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
             f"and not exists (select 1 from {hits} h "
             "where h.doc_id = cast(base.doc_id as string))"))
-        _STAGE_VIEWS[(id(spark), "curated_pack_sequences")] = \
-            tuple(names.values())
+        _STAGE_VIEWS[(id(spark), qname)] = tuple(names.values())
+        return hits, msrc, man
+
+    def curated_pack_sequences(spark, sf_dir):
+        from pyspark.sql.types import NumericType
+        hits, msrc, man = _build_curation_stages(
+            spark, sf_dir, "curated_pack_sequences")
+        d = pipeline_sql.Dialect("spark")
         dtype = spark.table("documents").schema["doc_id"].dataType
         bucket = None if isinstance(dtype, NumericType) \
             else _string_bucket_expr(spark)
@@ -1107,15 +1118,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from .operators.packing import (default_numeric_order,
                                         derived_string_order,
                                         pack_tokens_encoded)
-        # reuse the staged curation build (shingles/hits/manifest views),
-        # then hand the curated token DataFrame to the operator
-        curated_pack_sequences(spark, sf_dir)  # builds + registers stages
-        views = _STAGE_VIEWS[(id(spark), "curated_pack_sequences")]
-        hits = next(v for v in views if "_hits_" in v)
-        ms = next(v for v in views if "_msrc_" in v)
+        # builds this query's OWN stage set (disjoint from
+        # curated_pack_sequences' — see _build_curation_stages)
+        hits, msrc, _man = _build_curation_stages(
+            spark, sf_dir, "curated_pack_encoded")
         d = pipeline_sql.Dialect("spark")
-        tok = spark.sql(pipeline_sql.curated_tok_select(
-            d, hits, f"(select s from {ms})"))
+        tok = spark.sql(pipeline_sql.curated_tok_select(d, hits, msrc))
         # the operator's Arrow schema carries doc_id as string (the
         # canonical token-table shape); order_bucket still follows the
         # ORIGINAL dtype so numeric corpora order by numeric value (the
