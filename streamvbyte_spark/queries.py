@@ -844,7 +844,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lexicographic string prefix otherwise)
     _bucketed_pack_queries = ("sequence_pack", "pack_sequences")
 
-    def make_pipeline(name):
+    def make_pipeline(name, owner=None):
+        # owner: the REGISTRY key whose stage views this invocation owns —
+        # composites that embed another pipeline (dedup_components wraps
+        # dedup_minhash_pairs, curation_pipeline wraps decontaminate) pass
+        # their own name so building composite B does not drop the views a
+        # previously-BUILT-but-not-yet-executed query A still references
+        # (the driver may build several DataFrames before running any)
+        key = owner or name
+
         def run(spark, sf_dir):
             from .functions.embedding_udfs import register_embedding_udfs
             from .functions.text_udfs import register_text_udfs
@@ -869,13 +877,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     # words (uuid-suffixed + tracked, same lifecycle as
                     # the self-join stage views below)
                     nview = f"svb_stage_pack_n_{_uuid.uuid4().hex[:8]}"
-                    for old in _STAGE_VIEWS.pop((id(spark), name), ()):
+                    for old in _STAGE_VIEWS.pop((id(spark), key), ()):
                         spark.catalog.dropTempView(old)
                     materialize(spark.sql(
                         "select doc_id, source, size(split(text, ' ')) "
                         "as n_tok from documents")) \
                         .createOrReplaceTempView(nview)
-                    _STAGE_VIEWS[(id(spark), name)] = (nview,)
+                    _STAGE_VIEWS[(id(spark), key)] = (nview,)
                     d = pipeline_sql.Dialect("spark")
                     if name == "sequence_pack":
                         sql = pipeline_sql.q_sequence_pack(
@@ -913,13 +921,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 return _re.sub(
                     r"\b(" + "|".join(map(_re.escape, mapping)) + r")\b",
                     lambda m: mapping[m.group(1)], sql)
-            for old_view in _STAGE_VIEWS.pop((id(spark), name), ()):
+            for old_view in _STAGE_VIEWS.pop((id(spark), key), ()):
                 spark.catalog.dropTempView(old_view)
             for view, sql_fn in stages:
                 materialize(spark.sql(rename(sql_fn(d)))) \
                     .createOrReplaceTempView(mapping[view])
             fsql = rename(final(d))
-            _STAGE_VIEWS[(id(spark), name)] = tuple(mapping.values())
+            _STAGE_VIEWS[(id(spark), key)] = tuple(mapping.values())
             return spark.sql(fsql)
         return run
 
@@ -931,7 +939,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle recomputes the identical components with a recursive CTE
     def dedup_components(spark, sf_dir):
         from .operators.components import connected_components
-        pairs = make_pipeline("dedup_minhash_pairs")(spark, sf_dir)
+        pairs = make_pipeline("dedup_minhash_pairs",
+                              owner="dedup_components")(spark, sf_dir)
         return connected_components(pairs)
 
     q["dedup_components"] = dedup_components
@@ -943,7 +952,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified edge set.
     def dedup_components_verified(spark, sf_dir):
         from .operators.components import connected_components
-        pairs = make_pipeline("dedup_minhash_verified")(spark, sf_dir)
+        pairs = make_pipeline("dedup_minhash_verified",
+                              owner="dedup_components_verified")(spark, sf_dir)
         return connected_components(pairs.select("doc_a", "doc_b"))
 
     q["dedup_components_verified"] = dedup_components_verified
@@ -961,7 +971,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         flagged = docs.withColumn("exact_keep",
                                   F.row_number().over(w) == 1)
         comps = connected_components(
-            make_pipeline("dedup_minhash_pairs")(spark, sf_dir))
+            make_pipeline("dedup_minhash_pairs",
+                          owner="curate_neardup_metrics")(spark, sf_dir))
         j = flagged.join(comps, "doc_id", "left")
         j = j.withColumn(
             "nd_drop",
@@ -998,7 +1009,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (never tokens), and only the decontamination flags join back — the
         previous shape scanned the corpus twice and doc-joined three
         tables."""
-        decon = make_pipeline("decontaminate")(spark, sf_dir)
+        decon = make_pipeline("decontaminate",
+                              owner="curation_pipeline")(spark, sf_dir)
         from pyspark.sql import Window
         tok = spark.sql(
             "select cast(doc_id as string) as doc_id, source, "

@@ -638,6 +638,24 @@ def test_minhash_verification_filters_low_agreement(spark):
         assert got == {("a", "b"): P.N_HASHES}, (engine, got)
 
 
+def test_composites_survive_build_all_then_run_all(spark):
+    """A driver may BUILD several queries' DataFrames before EXECUTING any
+    of them.  Composites that embed another staged pipeline (components
+    wrap minhash pairs, curation wraps decontaminate, the curated pack
+    writers wrap the curation stages) must therefore own DISJOINT stage
+    views — building B must not drop the views A's built-but-unrun plan
+    still references (make_pipeline's owner key / _build_curation_stages)."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    names = ["dedup_minhash_pairs", "dedup_components",
+             "dedup_minhash_verified", "dedup_components_verified",
+             "decontaminate", "curation_pipeline",
+             "curated_pack_sequences", "curated_pack_encoded"]
+    dfs = [(n, qs[n](spark, SF)) for n in names]   # build ALL first
+    for n, df in dfs:                              # then run all
+        assert df.count() > 0, n
+
+
 def test_build_vocab_two_level_rank(spark):
     """build_vocab's global (cnt desc, token) rank must never sort the whole
     vocabulary through one window task: the row_number window partitions on
