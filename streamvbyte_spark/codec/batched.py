@@ -1184,20 +1184,55 @@ def _pack_bytes_aligned(codes, offsets, widths, byte_off, nr, out, rows):
 
 
 def _pack_bits_dense(codes, offsets, widths, byte_off, nr):
-    """Per-bit dense packing (narrow / unaligned widths only)."""
-    total_bits = int(byte_off[-1]) * 8
-    dense = np.zeros(total_bits, dtype=np.uint8)
+    """Byte-window dense packing (narrow / unaligned widths).
+
+    Each value's w bits become ONE shifted little-endian window of
+    nb = (shift + w + 7) >> 3 <= 5 bytes OR'd into the output at its byte
+    position — ~5 byte stores per VALUE, replacing the former per-bit
+    formulation that materialized int64 index arrays per packed BIT
+    (~25 B of memory traffic per bit; a 14-bit batch cost ~20x the svb
+    encode of the same values).  Correctness constraints:
+
+    * windows never cross a row's section boundary (a section holds
+      ceil(nr*w/8) bytes, and a value's window covers only its own bits'
+      bytes), so rows can be processed together;
+    * fancy ``out[idx] |= v`` drops duplicate indices, so values of the
+      same row are processed in stride groups: per width w, values
+      k = 1 + ceil(29/w) apart have byte windows provably disjoint
+      ((k*w - 7)/8 >= (w + 14)/8 + 1 >= nb_max), and values of DIFFERENT
+      rows never share a byte.  Groups are per distinct width so a lone
+      narrow row cannot force extra passes on the whole batch."""
+    total = int(byte_off[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    V = int(nr.sum())
+    if V == 0:
+        return out
     w_per_val = np.repeat(widths, nr)
-    intra = np.arange(int(nr.sum()), dtype=np.int64) - np.repeat(offsets[:-1], nr)
-    val_bit_start = np.repeat(8 * byte_off[:-1], nr) + intra * w_per_val
-    total_val_bits = int(w_per_val.sum())
-    if total_val_bits:
-        bit_ends = np.cumsum(w_per_val)
-        ramp = np.arange(total_val_bits, dtype=np.int64) - np.repeat(bit_ends - w_per_val, w_per_val)
-        pos = np.repeat(val_bit_start, w_per_val) + ramp
-        bits = (np.repeat(codes.astype(np.uint64), w_per_val) >> ramp.astype(np.uint64)) & np.uint64(1)
-        dense[pos] = bits.astype(np.uint8)
-    return np.packbits(dense, bitorder="little")
+    intra = np.arange(V, dtype=np.int64) - np.repeat(offsets[:-1], nr)
+    bit0 = intra * w_per_val
+    p = np.repeat(byte_off[:-1], nr) + (bit0 >> 3)
+    s = (bit0 & 7)
+    val64 = codes.astype(np.uint64) << s.astype(np.uint64)
+    nb = (s + w_per_val + 7) >> 3
+    # per-value stride class from a 33-entry width->stride LUT: one vector
+    # modulo instead of a per-distinct-width group scan (np.unique over the
+    # VALUE array was ~15% of the whole encode)
+    lut = np.ones(33, dtype=np.int64)
+    wv = np.arange(1, 33)
+    lut[1:] = 1 + (29 + wv - 1) // wv
+    m_per_val = lut[w_per_val]
+    cls = intra % m_per_val
+    cls[w_per_val == 0] = -1  # width-0 rows pack no bits
+    for r in range(int(m_per_val.max())):
+        sel = np.flatnonzero(cls == r)
+        if not sel.size:
+            continue
+        pv, vv, nbv = p[sel], val64[sel], nb[sel]
+        for k in range(int(nbv.max())):
+            kk = nbv > k
+            out[pv[kk] + k] |= ((vv[kk] >> np.uint64(8 * k))
+                                & np.uint64(0xFF)).astype(np.uint8)
+    return out
 
 
 def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
@@ -1247,26 +1282,33 @@ def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
 
 def _unpack_bits_dense(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
                        widths: np.ndarray) -> np.ndarray:
+    """Byte-window dense unpacking: each value's bits live in <= 5
+    consecutive bytes starting at its byte position, so the whole batch
+    decodes in ONE pass of 5 vectorized gathers (reads conflict-free, no
+    stride groups needed) — replacing the per-bit unpackbits+gather
+    formulation (~16 B of traffic per BIT)."""
     V = int(nr.sum())
-    dense = np.unpackbits(packed, bitorder="little")
+    codes = np.zeros(V, dtype=np.uint64)
+    if V == 0:
+        return codes.astype(np.uint32)
     offsets = np.concatenate([[0], np.cumsum(nr)])
     w_per_val = np.repeat(widths, nr)
     intra = np.arange(V, dtype=np.int64) - np.repeat(offsets[:-1], nr)
-    val_bit_start = np.repeat(8 * byte_off[:-1], nr) + intra * w_per_val
-    codes = np.zeros(V, dtype=np.uint64)
-    total_val_bits = int(w_per_val.sum())
-    if total_val_bits:
-        bit_ends = np.cumsum(w_per_val)
-        ramp = np.arange(total_val_bits, dtype=np.int64) - np.repeat(bit_ends - w_per_val, w_per_val)
-        pos = np.repeat(val_bit_start, w_per_val) + ramp
-        contrib = dense[pos].astype(np.uint64) << ramp.astype(np.uint64)
-        # keep the cumsum uint64: concatenate([[0], uint64]) promotes the
-        # Python-int 0 to float64, which silently loses exactness past 2^53
-        # (the cumsum is the RUNNING SUM of all decoded values in the batch)
-        c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(contrib)])
-        vb_off = np.concatenate([[0], bit_ends])
-        codes = c[vb_off[1:]] - c[vb_off[:-1]]
-    return codes.astype(np.uint32)
+    bit0 = intra * w_per_val
+    p = np.repeat(byte_off[:-1], nr) + (bit0 >> 3)
+    s = (bit0 & 7)
+    nb = (s + w_per_val + 7) >> 3
+    # pad the source so any value's 5-byte window never reads past the end
+    src = np.concatenate([packed, np.zeros(8, np.uint8)])
+    # gather UNCONDITIONALLY for every byte lane up to the batch max:
+    # a value whose window is narrower over-reads its neighbor's bytes,
+    # but those bits sit at positions >= nb*8 >= s+w and the final width
+    # mask drops them — no per-lane boolean compress needed
+    for k in range(int(nb.max()) if V else 0):
+        codes |= src[p + k].astype(np.uint64) << np.uint64(8 * k)
+    codes >>= s.astype(np.uint64)
+    mask = (np.uint64(1) << w_per_val.astype(np.uint64)) - np.uint64(1)
+    return (codes & mask).astype(np.uint32)
 
 
 def _bitpack_encode_rows(flat, offsets, frame_of_ref: bool):
