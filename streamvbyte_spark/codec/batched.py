@@ -56,7 +56,8 @@ def _row_base_at(ends: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return out
 
 # stable codec id <-> name mapping for the dictionary-encoded `codec` column
-CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle", "fsst")
+CODEC_NAMES = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict",
+               "rle", "fsst", "ef")
 CODEC_ID = {n: i for i, n in enumerate(CODEC_NAMES)}
 VECTOR_COST_CODECS = ("svb", "svb0124", "svb_delta", "bitpack", "for", "dict", "rle")
 # every codec has a whole-batch encode kernel (fsst joined in round 4 via
@@ -332,6 +333,10 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             c = _rle_costs(flat, offsets, lens1234)
         elif name == "fsst":
             c = _fsst_costs(flat, offsets)
+        elif name == "ef":
+            _ef_validate_rows(flat, offsets)
+            enr, u, L = _ef_params_rows(flat, offsets)
+            c = 1 + (enr * L + 7) // 8 + (enr + (u >> L) + 7) // 8
         else:
             raise ValueError(f"no vectorized cost for codec {name!r}")
         cols.append(np.where(nr > 0, c, 0))
@@ -641,6 +646,8 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
             return _dict_encode_rows(g_flat, g_offsets)
         if name == "fsst":
             return _fsst_encode_rows(g_flat, g_offsets)
+        if name == "ef":
+            return _ef_encode_rows(g_flat, g_offsets)
         fn = select.REGISTRY[name].encode
         bufs = [fn(g_flat[g_offsets[i]:g_offsets[i + 1]]) for i in range(g_rows)]
         enc = np.frombuffer(b"".join(bufs), dtype=np.uint8)
@@ -727,6 +734,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         return _dict_decode_rows(enc, enc_offsets, n_toks)
     if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "fsst":
         return _fsst_decode_rows(enc, enc_offsets, n_toks)
+    if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "ef":
+        return _ef_decode_rows(enc, enc_offsets, n_toks)
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
     for cid in unique_cids:
@@ -749,6 +758,8 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
             vals, voff = _dict_decode_rows(sub_enc, sub_eoff, sub_n)
         elif name == "fsst":
             vals, voff = _fsst_decode_rows(sub_enc, sub_eoff, sub_n)
+        elif name == "ef":
+            vals, voff = _ef_decode_rows(sub_enc, sub_eoff, sub_n)
         else:
             fn = select.REGISTRY[name].decode
             parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))
@@ -1365,6 +1376,102 @@ def _bitpack_decode_rows(enc, enc_offsets, n_toks, frame_of_ref: bool):
         codes = codes + np.repeat(base, nr)
     exp_off = np.concatenate([[0], np.cumsum(nr)])
     _place_segments_u32(flat, codes, exp_off, offsets[:-1][live])
+    return flat, offsets
+
+
+def _ef_validate_rows(flat, offsets):
+    """Loud per-row sortedness check (ef is only defined on non-decreasing
+    rows); one vectorized adjacent-compare excluding row seams."""
+    if flat.size < 2:
+        return
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    row_ids = np.repeat(np.arange(nr.size, dtype=np.int64), nr)
+    viol = (flat[1:] < flat[:-1]) & (row_ids[1:] == row_ids[:-1])
+    if viol.any():
+        r = int(row_ids[1:][viol][0])
+        raise ValueError(
+            f"ef codec requires non-decreasing rows (row {r} is unsorted); "
+            "use svb/svb_delta for unsorted values")
+
+
+def _ef_params_rows(flat, offsets):
+    """(nr, u, L) per row — L from the integer-division formula the DuckDB
+    oracle reproduces (companions._ef_low_bits)."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    u = np.zeros(nr.size, dtype=np.int64)
+    live = nr > 0
+    u[live] = flat[offsets[1:][live] - 1]
+    q = u // np.maximum(nr, 1)
+    L = np.maximum(_exact_width(q) - 1, 0)
+    return nr, u, L
+
+
+def _ef_encode_rows(flat, offsets):
+    """Batched Elias-Fano: per-row layout 1B L + fixed-width low halves
+    (byte-window _pack_bits_rows) + unary upper bit vector (one global
+    scatter of n ones + packbits over the batch)."""
+    _ef_validate_rows(flat, offsets)
+    nr, u, L = _ef_params_rows(flat, offsets)
+    R = nr.size
+    if flat.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(R + 1, dtype=np.int64)
+    L_per_val = np.repeat(L, nr)
+    low_codes = (flat & ((np.uint32(1) << L_per_val.astype(np.uint32))
+                         - np.uint32(1)))
+    low_b, low_off = _pack_bits_rows(low_codes, offsets, L)
+    lb = low_off[1:] - low_off[:-1]
+    high = (flat >> L_per_val.astype(np.uint32)).astype(np.int64)
+    up_bits = np.where(nr > 0, nr + (u >> L), 0)
+    ub = (up_bits + 7) // 8
+    # global unary bit vector: each row's section starts byte-aligned
+    ub_bit_off = np.concatenate([[0], np.cumsum(ub)]) * 8
+    V = int(offsets[-1])
+    intra = np.arange(V, dtype=np.int64) - np.repeat(offsets[:-1], nr)
+    pos = np.repeat(ub_bit_off[:-1], nr) + high + intra
+    dense = np.zeros(int(ub_bit_off[-1]), dtype=np.uint8)
+    dense[pos] = 1
+    upper = np.packbits(dense, bitorder="little")
+    sizes = np.where(nr > 0, 1 + lb + ub, 0)
+    out_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    out = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    live = nr > 0
+    out[out_offsets[:-1][live]] = L[live].astype(np.uint8)
+    _place_segments(out, low_b, low_off, out_offsets[:-1] + 1)
+    _place_segments(out, upper, np.cumsum(np.concatenate([[0], ub])),
+                    out_offsets[:-1] + 1 + lb)
+    return out, out_offsets
+
+
+def _ef_decode_rows(enc, enc_offsets, n_toks):
+    n_toks = np.asarray(n_toks, dtype=np.int64)
+    R = n_toks.size
+    offsets = np.concatenate([[0], np.cumsum(n_toks)])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
+    live = np.flatnonzero(n_toks > 0)
+    if live.size == 0:
+        return flat, offsets
+    starts = enc_offsets[:-1][live]
+    L = enc[starts].astype(np.int64)
+    nr = n_toks[live]
+    lb = (nr * L + 7) // 8
+    low_off = np.concatenate([[0], np.cumsum(lb)])
+    low_b = np.empty(int(low_off[-1]), dtype=np.uint8)
+    _gather_segments(low_b, enc, starts + 1, lb, low_off)
+    low = _unpack_bits_rows(low_b, low_off, nr, L).astype(np.uint64)
+    # upper sections: gather, one global little-endian unpack, then split
+    # the ascending ones positions by row (exactly nr ones per section)
+    ub = (enc_offsets[1:][live] - starts) - 1 - lb
+    ub_off = np.concatenate([[0], np.cumsum(ub)])
+    up_b = np.empty(int(ub_off[-1]), dtype=np.uint8)
+    _gather_segments(up_b, enc, starts + 1 + lb, ub, ub_off)
+    ones = np.flatnonzero(np.unpackbits(up_b, bitorder="little"))
+    sub_off = np.concatenate([[0], np.cumsum(nr)])
+    m = int(sub_off[-1])
+    intra = np.arange(m, dtype=np.int64) - np.repeat(sub_off[:-1], nr)
+    high = (ones - np.repeat(ub_off[:-1] * 8, nr) - intra).astype(np.uint64)
+    vals = ((high << np.repeat(L, nr).astype(np.uint64)) | low) \
+        .astype(np.uint32)
+    _place_segments_u32(flat, vals, sub_off, offsets[:-1][live])
     return flat, offsets
 
 

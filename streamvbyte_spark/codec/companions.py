@@ -184,6 +184,72 @@ def rle_cost(values) -> int:
     return 8 + core.compressed_size(rv) + core.compressed_size(rl)
 
 
+# ----------------------------------------------------------- Elias-Fano (ef)
+# Quasi-succinct monotone-list codec (Elias 1974; Vigna, "Quasi-succinct
+# indices", WSDM 2013 — public design): values split at L =
+# max(floor(log2(u div n)), 0) low bits; low halves are fixed-width packed,
+# high halves unary-coded as a bit vector with a 1 at position
+# (v_i >> L) + i.  Purpose-built for SORTED postings: ~2 + L bits/value vs
+# svb_delta's >= 1 byte/value floor.  NOT in the auto candidate set — it is
+# only defined on non-decreasing input (encode/cost fail loudly otherwise),
+# while the auto selector must accept any row.
+
+
+def _ef_low_bits(u: int, n: int) -> int:
+    """L = floor(log2(u div n)) clamped at 0 (integer-division form so the
+    DuckDB oracle formula reproduces it exactly)."""
+    q = u // n
+    return q.bit_length() - 1 if q >= 1 else 0
+
+
+def _ef_check_sorted(v: np.ndarray) -> None:
+    if v.size > 1 and np.any(v[1:] < v[:-1]):
+        raise ValueError("ef codec requires non-decreasing input "
+                         "(sorted postings); use svb/svb_delta for "
+                         "unsorted values")
+
+
+def ef_encode(values) -> bytes:
+    v = core._as_u32(values)
+    n = v.size
+    if n == 0:
+        return b""
+    _ef_check_sorted(v)
+    u = int(v[-1])
+    L = _ef_low_bits(u, n)
+    low = _pack_bits(v & np.uint32((1 << L) - 1), L)
+    high = (v >> np.uint32(L)).astype(np.int64)
+    pos = high + np.arange(n, dtype=np.int64)
+    bits = np.zeros(n + int(high[-1]), dtype=np.uint8)
+    bits[pos] = 1
+    upper = np.packbits(bits, bitorder="little").tobytes()
+    return bytes([L]) + low + upper
+
+
+def ef_decode(buf, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    L = int(b[0])
+    low_bytes = (n * L + 7) // 8
+    low = _unpack_bits(b[1:1 + low_bytes], n, L).astype(np.uint64)
+    bits = np.unpackbits(b[1 + low_bytes:], bitorder="little")
+    ones = np.flatnonzero(bits)[:n].astype(np.int64)
+    high = (ones - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    return ((high << np.uint64(L)) | low).astype(np.uint32)
+
+
+def ef_cost(values) -> int:
+    v = core._as_u32(values)
+    n = v.size
+    if n == 0:
+        return 0
+    _ef_check_sorted(v)
+    u = int(v[-1])
+    L = _ef_low_bits(u, n)
+    return 1 + (n * L + 7) // 8 + (n + (u >> L) + 7) // 8
+
+
 # ----------------------------------------------------------------------- FSST
 # FSST-inspired symbol-table codec over the little-endian byte serialization
 # of the array, at fixed 2-byte stride (keeps both directions vectorized).

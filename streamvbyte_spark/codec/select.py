@@ -43,6 +43,9 @@ REGISTRY: dict[str, Codec] = {
         Codec("dict", companions.dict_encode, companions.dict_decode, companions.dict_cost),
         Codec("rle", companions.rle_encode, companions.rle_decode, companions.rle_cost),
         Codec("fsst", companions.fsst_encode, companions.fsst_decode, companions.fsst_cost),
+        # sorted-postings specialist; NOT an auto candidate (only defined
+        # on non-decreasing input — encode/cost fail loudly otherwise)
+        Codec("ef", companions.ef_encode, companions.ef_decode, companions.ef_cost),
     ]
 }
 

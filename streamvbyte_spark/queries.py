@@ -87,6 +87,19 @@ def duckdb_size_svb_delta_wrap(t: str, n: str) -> str:
     )
 
 
+def duckdb_size_ef(t: str, n: str) -> str:
+    """Exact Elias-Fano size (companions.ef_encode layout: 1B L +
+    ceil(n*L/8) low bytes + ceil((n + (u >> L))/8) unary bytes, with
+    u = last value of the SORTED list and L = floor(log2(u // n))
+    clamped at 0 — the integer-division form _ef_low_bits uses)."""
+    u = f"cast({t}[{n}] as bigint)"
+    q = f"({u} // {n})"
+    lb = f"(case when {q} >= 1 then length(bin({q})) - 1 else 0 end)"
+    return (f"case when {n} = 0 then 0 else "
+            f"cast(1 + ({n} * {lb} + 7) // 8 "
+            f"+ ({n} + ({u} >> {lb}) + 7) // 8 as bigint) end")
+
+
 def duckdb_size_rle(t: str, n: str) -> str:
     """RLE layout cost: 8 + svb(run values) + svb(run lengths); runs via
     list_filter on change points."""
@@ -272,6 +285,7 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "metrics_by_source", "metrics_by_codec", "metrics_rollup",
     "multimodal_frames", "multimodal_features", "curate_metrics",
     "jsonl_roundtrip", "orc_roundtrip", "auto_full_size",
+    "truncate_decode", "chunked_roundtrip_postings",
 )
 GATE_WINDOW = 50
 
@@ -335,6 +349,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["svb_roundtrip"] = make_roundtrip("svb", "documents")
     q["svb0124_roundtrip"] = make_roundtrip("svb0124", "documents")
     q["delta_roundtrip_postings"] = make_roundtrip("svb_delta", "postings")
+    # Elias-Fano: the sorted-postings specialist (quasi-succinct monotone
+    # lists, ~2 + L bits/value vs svb_delta's 1-byte floor; not an auto
+    # candidate — defined only on non-decreasing rows, loud otherwise)
+    q["ef_roundtrip_postings"] = make_roundtrip("ef", "postings")
     q["auto_roundtrip"] = make_roundtrip("auto", "documents")
     # FSST-style symbol-table codec: per-row symbol table is not
     # SQL-expressible, but decode(encode(x)) == x gives an exact identity
@@ -366,6 +384,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["svb_size"] = make_size("svb", "documents")
     q["svb0124_size"] = make_size("svb0124", "documents")
     q["delta_size_postings"] = make_size("svb_delta", "postings")
+    q["ef_size_postings"] = make_size("ef", "postings")
     q["bitpack_size"] = make_size("bitpack", "documents")
     q["for_size"] = make_size("for", "documents")
     q["dict_size"] = make_size("dict", "documents")
@@ -1205,6 +1224,8 @@ def build_oracles() -> dict[str, str]:
         "svb0124_roundtrip": identity_doc,
         "delta_roundtrip_postings":
             f"select doc_id, cast(n_tok as int) as n_tok, source, {fp} as fingerprint from ({post})",
+        "ef_roundtrip_postings":
+            f"select doc_id, cast(n_tok as int) as n_tok, source, {fp} as fingerprint from ({post})",
         "auto_roundtrip": identity_doc,
         "fsst_roundtrip": identity_doc,
         "jsonl_roundtrip": identity_doc,
@@ -1218,6 +1239,8 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, {duckdb_size_svb0124(t, n)} as size_bytes from ({doc})",
         "delta_size_postings":
             f"select doc_id, {duckdb_size_svb_delta_wrap(t, n)} as size_bytes from ({post})",
+        "ef_size_postings":
+            f"select doc_id, {duckdb_size_ef(t, n)} as size_bytes from ({post})",
         "bitpack_size":
             f"select doc_id, {duckdb_size_bitpack(t, n)} as size_bytes from ({doc})",
         "for_size":

@@ -34,6 +34,8 @@ def families():
 def test_roundtrip_and_exact_cost(codec_name):
     codec = select.REGISTRY[codec_name]
     for fam, v in families():
+        if codec_name == "ef":
+            v = np.sort(v)  # ef's contract: non-decreasing input only
         buf = codec.encode(v)
         assert len(buf) == codec.cost(v), f"{codec_name} cost mismatch on {fam}"
         out = codec.decode(buf, v.size)
@@ -82,3 +84,75 @@ def test_signed_stream_codecs():
     for name, codec in select.SIGNED_REGISTRY.items():
         buf = codec.encode(v)
         np.testing.assert_array_equal(codec.decode(buf, v.size), v)
+
+
+# ----------------------------------------------------------- Elias-Fano (ef)
+
+def test_ef_golden_layout():
+    """Hand-computed fixture straight from the layout spec (a matched
+    encode/decode bug cannot cancel): v = [2, 3, 5, 7, 11], u=11, n=5,
+    q = 11 // 5 = 2 -> L = 1. low bits (LSB-first packed): [0,1,1,1,1] ->
+    byte 0b11110 = 0x1E. high = [1,1,2,3,5]; unary positions high+i =
+    [1,2,4,6,9] -> 10 bits 0110101001 (LSB-first) -> bytes 0x56, 0x02."""
+    import numpy as np
+    from streamvbyte_spark.codec import companions as C
+    v = np.array([2, 3, 5, 7, 11], np.uint32)
+    buf = C.ef_encode(v)
+    assert buf == bytes([1, 0x1E, 0x56, 0x02])
+    assert C.ef_cost(v) == 4
+    np.testing.assert_array_equal(C.ef_decode(buf, 5), v)
+
+
+def test_ef_roundtrip_sweep():
+    import numpy as np
+    from streamvbyte_spark.codec import companions as C
+    rng = np.random.default_rng(17)
+    for hi in (1, 7, 255, 1 << 16, 1 << 31, 2**32 - 1):
+        for n in (0, 1, 2, 3, 7, 64, 500):
+            v = np.sort(rng.integers(0, hi, n).astype(np.uint32))
+            buf = C.ef_encode(v)
+            assert len(buf) == C.ef_cost(v), (hi, n)
+            np.testing.assert_array_equal(C.ef_decode(buf, n), v)
+
+
+def test_ef_rejects_unsorted():
+    import numpy as np
+    import pytest
+    from streamvbyte_spark.codec import companions as C
+    from streamvbyte_spark.codec import batched
+    bad = np.array([5, 3], np.uint32)
+    with pytest.raises(ValueError, match="non-decreasing"):
+        C.ef_encode(bad)
+    with pytest.raises(ValueError, match="non-decreasing"):
+        C.ef_cost(bad)
+    off = np.array([0, 2], np.int64)
+    with pytest.raises(ValueError, match="non-decreasing"):
+        batched.encode_rows(bad, off, codec="ef")
+    with pytest.raises(ValueError, match="non-decreasing"):
+        batched.row_costs(bad, off, ("ef",))
+
+
+def test_ef_batched_byte_identical_to_core():
+    """Whole-batch kernels must emit exactly the single-array REGISTRY
+    bytes per row, and row_costs must equal len(encode) (the repo-wide
+    codec invariants), across mixed magnitudes and empty rows."""
+    import numpy as np
+    from streamvbyte_spark.codec import batched, select
+    rng = np.random.default_rng(23)
+    rows = [np.sort(rng.integers(0, rng.choice([40, 1 << 14, 1 << 31]),
+                                 rng.integers(0, 90)).astype(np.uint32))
+            for _ in range(250)]
+    rows.insert(3, np.zeros(0, np.uint32))
+    rows.insert(7, np.zeros(5, np.uint32))  # all-zero row: L=0, unary only
+    flat = np.concatenate(rows)
+    off = np.concatenate([[0], np.cumsum([r.size for r in rows])]).astype(np.int64)
+    out, ooff, cids = batched.encode_rows(flat, off, codec="ef")
+    for i, r in enumerate(rows):
+        assert out[ooff[i]:ooff[i + 1]].tobytes() == \
+            select.REGISTRY["ef"].encode(r), i
+    n_toks = np.array([r.size for r in rows], np.int64)
+    dec, doff = batched.decode_rows(out, ooff, n_toks, cids)
+    np.testing.assert_array_equal(dec, flat)
+    costs = batched.row_costs(flat, off, ("ef",))
+    for i, r in enumerate(rows):
+        assert costs[i, 0] == len(select.REGISTRY["ef"].encode(r)), i

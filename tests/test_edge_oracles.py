@@ -72,6 +72,7 @@ LINEITEM = (
     + [(6, 2), (6, 2), (6, 9), (6, 9), (6, 9)]    # duplicate runs
 )
 POSTING_QUERIES = ["delta_roundtrip_postings", "delta_size_postings",
+                   "ef_roundtrip_postings", "ef_size_postings",
                    "chunked_roundtrip_postings", "chunked_fused_roundtrip",
                    "chunked_truncate_decode"]
 
