@@ -34,11 +34,31 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 AVG_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_AVG_LEN", "512"))
 
 
-def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
-    """Encode (auto) + decode the synthetic token table; returns best-of-reps
-    metrics plus the raw per-pass times (the driver artifact must show
-    whether a round-over-round delta exceeds this sandbox's session spread
-    — single measurements swing 2-3x; see BENCH/BASELINE.md).
+def _converged_passes(run, min_reps: int = 3, max_reps: int = 8,
+                      tol: float = 0.15) -> list[float]:
+    """Run `run()` until the last two pass times agree within `tol` (cap
+    `max_reps`).  The r6 artifact took best-of-3 from passes that were still
+    monotonically descending (10.0 -> 3.0 -> 1.7 s: first-touch allocation +
+    JIT, not steady state) and published a phantom 1.9x encode regression;
+    convergence-gated reps make the artifact measure the kernel, not the
+    session heap (r6 verdict item 1)."""
+    times: list[float] = []
+    while len(times) < max_reps:
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= min_reps:
+            a, b = times[-2], times[-1]
+            if abs(a - b) <= tol * max(a, b):
+                break
+    return times
+
+
+def throughput_job(spark, n_docs: int, partitions: int):
+    """Encode (auto) + decode the synthetic token table; returns
+    converged-best metrics plus the raw per-pass times (the driver artifact
+    must show whether a round-over-round delta exceeds this sandbox's session
+    spread — single measurements swing 2-3x; see BENCH/BASELINE.md).
 
     The input table is generated+cached once (generation is not timed).  All
     encode reps run BEFORE the encoded table is persisted — Spark's cache
@@ -48,20 +68,24 @@ def throughput_job(spark, n_docs: int, partitions: int, reps: int = 1):
                            partitions=partitions).persist()
     n_tokens = int(tok.agg(F.sum("n_tok")).collect()[0][0])
 
-    enc_times, out_bytes = [], None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out_bytes = encode_table(tok, codec="auto").agg(F.sum("out_bytes")).collect()[0][0]
-        enc_times.append(time.perf_counter() - t0)
+    out_bytes_box = [None]
+
+    def _enc():
+        out_bytes_box[0] = (encode_table(tok, codec="auto")
+                            .agg(F.sum("out_bytes")).collect()[0][0])
+
+    enc_times = _converged_passes(_enc)
+    out_bytes = out_bytes_box[0]
 
     enc = encode_table(tok, codec="auto").persist()
     enc.count()
-    dec_times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        dec_tokens = decode_table(enc, verify_checksum=True).agg(F.sum("n_tok")).collect()[0][0]
-        dec_times.append(time.perf_counter() - t0)
+
+    def _dec():
+        dec_tokens = (decode_table(enc, verify_checksum=True)
+                      .agg(F.sum("n_tok")).collect()[0][0])
         assert dec_tokens == n_tokens
+
+    dec_times = _converged_passes(_dec)
     # svb-only wire bytes on the same table: the artifact itself shows the
     # auto-selector's wire win (the encoded pack writer ships auto bytes
     # over both shuffle legs — r6)
@@ -88,6 +112,13 @@ def main():
     timings: dict[str, float] = {}
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # throughput job FIRST (perf.c framing): it must see a clean heap —
+    # running it after the checkpoint-heavy staged queries measured executor
+    # memory pressure, not the kernels (r6 artifact: encode passes still
+    # monotonically descending 10.0/3.0/1.7 -> phantom 1.9x "regression";
+    # r6 verdict item 1).  Reps are convergence-gated (_converged_passes).
+    tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2)
 
     # headline operator queries at SF_DIR (one unmeasured warm-up first:
     # JVM JIT + python worker pool + allocator pools on this noisy sandbox)
@@ -142,8 +173,6 @@ def main():
             passes[name].append(round(time.perf_counter() - t0, 3))
         timings[name] = min(passes[name])
 
-    # throughput job (perf.c framing); best of 3, first pass doubles as warm-up
-    tp = throughput_job(spark, N_DOCS, partitions=CPUS * 2, reps=3)
     timings["throughput_encode"] = round(tp["encode_sec"], 3)
     timings["throughput_decode"] = round(tp["decode_sec"], 3)
     passes["throughput_encode"] = tp["encode_passes"]
