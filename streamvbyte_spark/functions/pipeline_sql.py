@@ -1065,9 +1065,11 @@ def curated_tok_select(d: Dialect, hits_src: str, msrc: str) -> str:
     Scale shape: the rank window's shuffle carries the token arrays (they
     must reach the pack stage and text is gone after the scan) — one extra
     token-bearing shuffle over plain pack_sequences; the hits anti-join is
-    against the SMALL contaminated set (broadcastable).  The
-    encoded-wire production form would run this gate over
-    operators/packing's encoded rows instead.
+    against the SMALL contaminated set (broadcastable).  The encoded-wire
+    production form (queries.curated_encoded_rows, r7) encodes at the scan
+    and runs this same gate over the encoded rows instead — this raw-token
+    SQL form remains as curated_pack_sequences' algorithm and both
+    composites' oracle.
 
     doc_id keeps its NATIVE type: the downstream pack cum orders by doc_id
     and the caller's bucket expression is chosen from the table's dtype —

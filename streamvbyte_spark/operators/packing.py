@@ -81,29 +81,40 @@ def derived_string_order(df: DataFrame) -> tuple[Column, Column]:
 
 
 def _encode_docs(tok: DataFrame, codec: str,
-                 candidates: tuple[str, ...]) -> DataFrame:
+                 candidates: tuple[str, ...],
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Map-only whole-batch encode (per-row argmin when codec='auto');
     output keeps only what the window needs plus the per-row codec id the
-    downstream decode dispatches on."""
+    downstream decode dispatches on.  `carry` names extra input columns
+    passed through untouched (the curated path carries md5(text) so its
+    dedup rank window can run over the ENCODED rows)."""
+    carry_types = {f.name: f.dataType.simpleString() for f in tok.schema
+                   if f.name in carry}
+    missing = [c for c in carry if c not in carry_types]
+    if missing:
+        raise ValueError(f"carry columns not in input: {missing}")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             idx = {n: batch.schema.get_field_index(n)
-                   for n in ("doc_id", "source", "tokens", "n_tok")}
+                   for n in ("doc_id", "source", "tokens", "n_tok") + carry}
             flat, off = _list_to_flat(batch.column(idx["tokens"]))
             out, ooff, cids = batched.encode_rows(flat, off, codec=codec,
                                                   candidates=candidates)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(idx["doc_id"]), batch.column(idx["source"]),
                  batch.column(idx["n_tok"]), pa.array(cids, pa.int32()),
-                 _binary_array(out, ooff)],
-                names=["doc_id", "source", "n_tok", "codec", "encoded"])
+                 _binary_array(out, ooff)]
+                + [batch.column(idx[c]) for c in carry],
+                names=["doc_id", "source", "n_tok", "codec", "encoded"]
+                + list(carry))
 
-    return tok.mapInArrow(
-        run, "doc_id string, source string, n_tok int, codec int, "
-             "encoded binary")
+    schema = ("doc_id string, source string, n_tok int, codec int, "
+              "encoded binary"
+              + "".join(f", {c} {carry_types[c]}" for c in carry))
+    return tok.mapInArrow(run, schema)
 
 
 def _slice_segments(cum: DataFrame, cap: int, codec: str,
@@ -189,17 +200,37 @@ def pack_tokens_encoded(tok: DataFrame, cap: int = PACK_CAP,
     selector encode_table uses; the documents corpus measures 2.30 B/token
     auto vs 2.76 svb-only — a further 17% off the wire), each row carrying
     its codec id for the downstream decode dispatch."""
+    nz = tok.where(F.col("n_tok") > 0)
+    enc = _encode_docs(nz, codec, candidates)
+    return pack_encoded_rows(enc, cap=cap,
+                             order_bucket=order_bucket or
+                             default_numeric_order(tok),
+                             fanout=fanout, codec=codec,
+                             candidates=candidates, emit=emit)
+
+
+def pack_encoded_rows(enc: DataFrame, cap: int = PACK_CAP,
+                      order_bucket: tuple[Column, Column] | None = None,
+                      fanout: int | None = None, codec: str = "auto",
+                      candidates: tuple[str, ...] =
+                      batched.VECTOR_COST_CODECS,
+                      emit: str = "fingerprint") -> DataFrame:
+    """The pack machinery over ALREADY-ENCODED rows (doc_id, source, n_tok,
+    codec, encoded) — `pack_tokens_encoded` minus the map-side encode.
+    Entry point for pipelines that gate/filter encoded rows upstream (the
+    curated composite runs its md5 dedup rank window + contamination
+    anti-join over encoded rows, then packs the winners here — no raw-token
+    shuffle anywhere in the composite; r6 verdict item 2)."""
     if emit not in ("fingerprint", "encoded"):
         # a typo'd mode would silently fall back to fingerprint output and
         # only fail much later (decode_packs missing codec/checksum cols)
         raise ValueError(
             f"emit must be 'fingerprint' or 'encoded', got {emit!r}")
-    okey, bkt = order_bucket or default_numeric_order(tok)
+    okey, bkt = order_bucket or default_numeric_order(enc)
     if fanout is None:
-        fanout = int(tok.sparkSession.conf.get(
+        fanout = int(enc.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
-    nz = tok.where(F.col("n_tok") > 0)
-    enc = (_encode_docs(nz, codec, candidates)
+    enc = (enc.where(F.col("n_tok") > 0)
            .withColumn("okey", okey).withColumn("bkt", bkt)
            # explicit numbered repartition on the window's keys: the window
            # reuses this partitioning (no second exchange) and a

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import batched
+from .functions import pipeline_sql
 from .functions.sqlpair import (
     duckdb_size_svb,
     duckdb_size_svb0124,
@@ -329,6 +330,108 @@ def _string_bucket_expr(spark) -> str:
                     "max(cast(doc_id as string)) as hi from documents").first()
     n = lcp_prefix_len(row["lo"], row["hi"])
     return f"substring(cast(doc_id as string), 1, {n})"
+
+
+def _build_curation_stages(spark, sf_dir, qname):
+    """Materialize the curation stage set (shingles, eval source,
+    contaminated ids, narrow curated manifest) under QNAME's OWN view
+    registry slot — each consumer query owns a disjoint set, so the
+    driver may build several of these queries' DataFrames before
+    executing any of them without one build dropping another's views.
+    Returns (hits_view, msrc_scalar_sql, manifest_view)."""
+    import uuid as _uuid
+    from .operators.staging import materialize
+    from .functions.text_udfs import register_text_udfs
+    register_text_udfs(spark)
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    d = pipeline_sql.Dialect("spark")
+    tag = _uuid.uuid4().hex[:8]
+    for old in _STAGE_VIEWS.pop((id(spark), qname), ()):
+        spark.catalog.dropTempView(old)
+    names = {}
+
+    def stage(short, df):
+        v = f"svb_stage_{qname[-12:]}_{short}_{tag}"
+        materialize(df).createOrReplaceTempView(v)
+        names[short] = v
+        return v
+    sh = stage("sh", spark.sql(pipeline_sql._shingle_rows(d, "source")))
+    ms = stage("msrc", spark.sql(
+        "select min(source) as s from documents"))
+    msrc = f"(select s from {ms})"
+    hits = stage("hits", spark.sql(
+        f"select /*+ BROADCAST(ev) */ e.doc_id from {sh} e "
+        f"join (select distinct shingle from {sh} "
+        f"      where source = {msrc}) ev on e.shingle = ev.shingle "
+        f"where e.source != {msrc} group by e.doc_id"))
+    # doc_id stays NATIVE-typed (matching curated_tok_select): the
+    # totals side's bucket expression must see the same dtype/order
+    # as the window side
+    inner = ("select doc_id, source, "
+             "size(split(text, ' ')) as n_tok, "
+             "row_number() over (partition by md5(text) "
+             "order by cast(doc_id as string)) as rn "
+             f"from documents where source != {msrc}")
+    man = stage("man", spark.sql(
+        f"select doc_id, source, n_tok from ({inner}) base "
+        f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
+        f"and not exists (select 1 from {hits} h "
+        "where h.doc_id = cast(base.doc_id as string))"))
+    _STAGE_VIEWS[(id(spark), qname)] = tuple(names.values())
+    return hits, msrc, man
+
+
+def curated_encoded_rows(spark, sf_dir, qname="curated_pack_encoded"):
+    """The curation keep-policy over ENCODED rows: tokenize+auto-encode
+    map-side AT THE SCAN (md5/n_tok computed there too), then run the md5
+    dedup rank window and the contamination anti-join over
+    (doc_id, source, n_tok, codec, encoded, md5) — no shuffle in the
+    composite ever carries a raw token array (r6 verdict item 2: the SQL
+    form's rank window shipped raw tokens, ~40 TB at 10^13 tokens; encoded
+    it is ~1.5-2.3 B/token).  Returns (winners_df, original doc_id dtype).
+
+    Policy parity with pipeline_sql.curated_tok_select (the oracle's form):
+
+    * the rank window runs over all non-eval docs BEFORE the contamination
+      filter — a contaminated rn=1 keeper must still shadow its duplicates;
+    * the LENGTH gate, by contrast, is safely pushed BELOW the window and
+      the encode: the window partitions by md5(text), so every row of a
+      partition has identical text and hence identical n_tok — the gate
+      keeps or drops whole partitions and cannot change which row is rn=1.
+      Pushing it skips encoding the short docs entirely;
+    * the window orders by the STRING-cast doc_id (the oracle's order);
+      pack ordering downstream still follows the ORIGINAL dtype via the
+      returned dtype (numeric corpora order by numeric value).
+
+    The contaminated-id set is small by construction (eval-overlap docs):
+    broadcast the anti-join, corpus never reshuffles for it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import NumericType  # noqa: F401 (callers use it)
+    from .codec import batched
+    from .operators.packing import _encode_docs
+
+    hits, msrc, _man = _build_curation_stages(spark, sf_dir, qname)
+    d = pipeline_sql.Dialect("spark")
+    dtype = spark.table("documents").schema["doc_id"].dataType
+    n_tok = d.alen(d.split("text"))
+    # numbered repartition: fans a single-row-group file out so the encode
+    # mapInArrow stage is not one task (pipeline_sql._SCAN_FANOUT note) and
+    # is AQE-coalescing-exempt
+    pre = spark.sql(
+        f"select /*+ REPARTITION({pipeline_sql._SCAN_FANOUT}, doc_id) */ "
+        "cast(doc_id as string) as doc_id, source, md5(text) as md5, "
+        f"{d.tokens()} as tokens, {n_tok} as n_tok "
+        f"from documents where source != {msrc} "
+        f"and {n_tok} >= {pipeline_sql.CURATE_MIN_TOK}")
+    enc = _encode_docs(pre, "auto", batched.VECTOR_COST_CODECS,
+                       carry=("md5",))
+    w = W.partitionBy("md5").orderBy("doc_id")
+    winners = (enc.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .join(F.broadcast(spark.table(hits)), "doc_id", "left_anti")
+               .select("doc_id", "source", "n_tok", "codec", "encoded"))
+    return winners, dtype
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1075,55 +1178,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5 window, anti-joins the small hits set, and runs the standard
     # two-level pack machinery.  Oracle: same composition as single-text
     # CTEs over the one-window DuckDB form.
-    def _build_curation_stages(spark, sf_dir, qname):
-        """Materialize the curation stage set (shingles, eval source,
-        contaminated ids, narrow curated manifest) under QNAME's OWN view
-        registry slot — each consumer query owns a disjoint set, so the
-        driver may build several of these queries' DataFrames before
-        executing any of them without one build dropping another's views.
-        Returns (hits_view, msrc_scalar_sql, manifest_view)."""
-        import uuid as _uuid
-        from .operators.staging import materialize
-        from .functions.text_udfs import register_text_udfs
-        register_text_udfs(spark)
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .createOrReplaceTempView("documents")
-        d = pipeline_sql.Dialect("spark")
-        tag = _uuid.uuid4().hex[:8]
-        for old in _STAGE_VIEWS.pop((id(spark), qname), ()):
-            spark.catalog.dropTempView(old)
-        names = {}
-
-        def stage(short, df):
-            v = f"svb_stage_{qname[-12:]}_{short}_{tag}"
-            materialize(df).createOrReplaceTempView(v)
-            names[short] = v
-            return v
-        sh = stage("sh", spark.sql(pipeline_sql._shingle_rows(d, "source")))
-        ms = stage("msrc", spark.sql(
-            "select min(source) as s from documents"))
-        msrc = f"(select s from {ms})"
-        hits = stage("hits", spark.sql(
-            f"select /*+ BROADCAST(ev) */ e.doc_id from {sh} e "
-            f"join (select distinct shingle from {sh} "
-            f"      where source = {msrc}) ev on e.shingle = ev.shingle "
-            f"where e.source != {msrc} group by e.doc_id"))
-        # doc_id stays NATIVE-typed (matching curated_tok_select): the
-        # totals side's bucket expression must see the same dtype/order
-        # as the window side
-        inner = ("select doc_id, source, "
-                 "size(split(text, ' ')) as n_tok, "
-                 "row_number() over (partition by md5(text) "
-                 "order by cast(doc_id as string)) as rn "
-                 f"from documents where source != {msrc}")
-        man = stage("man", spark.sql(
-            f"select doc_id, source, n_tok from ({inner}) base "
-            f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
-            f"and not exists (select 1 from {hits} h "
-            "where h.doc_id = cast(base.doc_id as string))"))
-        _STAGE_VIEWS[(id(spark), qname)] = tuple(names.values())
-        return hits, msrc, man
-
     def curated_pack_sequences(spark, sf_dir):
         from pyspark.sql.types import NumericType
         hits, msrc, man = _build_curation_stages(
@@ -1139,31 +1193,29 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curated_pack_sequences"] = curated_pack_sequences
 
-    # the PRODUCTION form of the same composite: the curated token table
-    # feeds the encoded-wire pack operator (both token-bearing shuffles
-    # carry auto-codec bytes).  Shares curated_pack_sequences' oracle —
-    # the gate proves the encoded plan value-identical to the raw-token
-    # SQL algorithm over the curated corpus.
+    # the PRODUCTION form of the same composite: encode AT THE SCAN, run
+    # the curation keep-policy (md5 rank window + contamination anti-join)
+    # over the encoded rows, pack the winners — NO shuffle in the whole
+    # composite carries a raw token array (r6 verdict item 2; was: the
+    # rank window shipped raw tokens, ~40 TB at 10^13).  Shares
+    # curated_pack_sequences' oracle — the gate proves the all-encoded
+    # plan value-identical to the raw-token SQL algorithm.
     def curated_pack_encoded(spark, sf_dir):
         from pyspark.sql.types import NumericType
         from .operators.packing import (default_numeric_order,
                                         derived_string_order,
-                                        pack_tokens_encoded)
+                                        pack_encoded_rows)
         # builds this query's OWN stage set (disjoint from
         # curated_pack_sequences' — see _build_curation_stages)
-        hits, msrc, _man = _build_curation_stages(
+        winners, dtype = curated_encoded_rows(
             spark, sf_dir, "curated_pack_encoded")
-        d = pipeline_sql.Dialect("spark")
-        tok = spark.sql(pipeline_sql.curated_tok_select(d, hits, msrc))
-        # the operator's Arrow schema carries doc_id as string (the
-        # canonical token-table shape); order_bucket still follows the
-        # ORIGINAL dtype so numeric corpora order by numeric value (the
-        # oracle's native order), parsed back from the string key
-        dtype = tok.schema["doc_id"].dataType
-        tok = tok.withColumn("doc_id", F.col("doc_id").cast("string"))
-        ob = default_numeric_order(tok) if isinstance(dtype, NumericType) \
-            else derived_string_order(tok)
-        return pack_tokens_encoded(tok, order_bucket=ob)
+        # order_bucket follows the ORIGINAL dtype so numeric corpora order
+        # by numeric value (the oracle's native order), parsed back from
+        # the operator's string key
+        ob = default_numeric_order(winners) \
+            if isinstance(dtype, NumericType) \
+            else derived_string_order(winners)
+        return pack_encoded_rows(winners, order_bucket=ob)
 
     q["curated_pack_encoded"] = curated_pack_encoded
 

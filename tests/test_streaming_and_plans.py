@@ -516,6 +516,32 @@ def test_pack_sequences_encoded_plan_shape(spark):
     assert got == want
 
 
+def test_curated_encoded_rank_window_carries_encoded(spark):
+    """The curated composite's md5 dedup rank window must shuffle ENCODED
+    rows, not raw token arrays (r6 verdict item 2: the SQL-form window
+    shipped raw tokens — ~40 TB at 10^13 tokens; encoded it is ~2 B/token).
+    Pins: the rank-window exchange partitions on md5 and sits ABOVE the
+    encode MapInArrow (plans print root-first), no `tokens#` column exists
+    at or above the encode stage, and the contamination anti-join is a
+    broadcast.  Values are proven by sharing curated_pack_sequences' DuckDB
+    oracle (driver gate) — re-checked here against the raw-token twin."""
+    import streamvbyte_spark.queries as Q
+    df, _ = Q.curated_encoded_rows(spark, SF, "plan_probe_curated")
+    plan = plan_string(df, "simple")
+    exch = plan.index("Exchange hashpartitioning(md5#")
+    arrow = plan.index("MapInArrow")
+    assert exch < arrow, plan                     # window shuffle above encode
+    assert "tokens#" not in plan[:arrow], plan    # no raw tokens at/above it
+    assert "encoded#" in plan[:arrow], plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    qs = Q.build_queries()
+    got = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
+           for r in qs["curated_pack_encoded"](spark, SF).collect()}
+    want = {(r["source"], r["pack_id"]): (r["n_tok"], r["fingerprint"])
+            for r in qs["curated_pack_sequences"](spark, SF).collect()}
+    assert got == want
+
+
 def test_token_quantiles_value_count_decomposition(spark):
     """token_quantiles must rank over the tiny (source, word-count)
     VALUE-COUNT table, never per-document rows: a ``row_number() over
