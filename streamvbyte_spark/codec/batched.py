@@ -335,12 +335,45 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             c = _fsst_costs(flat, offsets)
         elif name == "ef":
             _ef_validate_rows(flat, offsets)
-            enr, u, L = _ef_params_rows(flat, offsets)
-            c = 1 + (enr * L + 7) // 8 + (enr + (u >> L) + 7) // 8
+            c = _ef_cost_rows(flat, offsets)
         else:
             raise ValueError(f"no vectorized cost for codec {name!r}")
         cols.append(np.where(nr > 0, c, 0))
     return np.stack(cols, axis=1)
+
+
+def _ef_cost_rows(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Exact per-row Elias-Fano size, NO sortedness validation — callers
+    either validated already (row_costs' 'ef' branch) or mask unsorted rows
+    out themselves (the auto_sorted selector)."""
+    enr, u, L = _ef_params_rows(flat, offsets)
+    return 1 + (enr * L + 7) // 8 + (enr + (u >> L) + 7) // 8
+
+
+def row_sorted_mask(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row non-decreasing mask (bool[R]) — one vectorized
+    adjacent-compare excluding row seams; the eligibility gate that lets
+    the auto_sorted selector offer Elias-Fano only where it is defined."""
+    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    ok = np.ones(nr.size, dtype=bool)
+    if flat.size >= 2:
+        row_ids = np.repeat(np.arange(nr.size, dtype=np.int64), nr)
+        viol = (flat[1:] < flat[:-1]) & (row_ids[1:] == row_ids[:-1])
+        ok[row_ids[1:][viol]] = False
+    return ok
+
+
+def auto_sorted_sizes(flat: np.ndarray, offsets: np.ndarray,
+                      candidates: tuple[str, ...] = VECTOR_COST_CODECS
+                      ) -> np.ndarray:
+    """Per-row auto_sorted size: min over `candidates` plus Elias-Fano on
+    rows that are non-decreasing (DuckDB oracle: least() over the same
+    formulas with the EF term gated on tokens == list_sort(tokens))."""
+    best = row_costs(flat, offsets, candidates).min(axis=1)
+    nr = offsets[1:] - offsets[:-1]
+    eligible = row_sorted_mask(flat, offsets) & (nr > 0)
+    return np.where(eligible,
+                    np.minimum(best, _ef_cost_rows(flat, offsets)), best)
 
 
 def _exact_width(mx: np.ndarray) -> np.ndarray:
@@ -601,11 +634,20 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
     offsets = np.asarray(offsets, dtype=np.int64)
     R = offsets.size - 1
     nr = offsets[1:] - offsets[:-1]
-    if codec == "auto":
+    if codec in ("auto", "auto_sorted"):
         costs = row_costs(flat, offsets, candidates)
         pick = np.argmin(costs, axis=1)  # first minimum = candidate priority
         names = np.array([CODEC_ID[c] for c in candidates], dtype=np.int32)
         codec_ids = names[pick]
+        if codec == "auto_sorted":
+            # Elias-Fano joins the argmin only on rows where it is defined
+            # (non-decreasing) and STRICTLY smaller — a tie keeps the
+            # standard candidate priority, and the selected size equals the
+            # oracle's least() either way
+            best = costs[np.arange(R), pick]
+            eligible = (row_sorted_mask(flat, offsets)
+                        & (_ef_cost_rows(flat, offsets) < best))
+            codec_ids[eligible] = CODEC_ID["ef"]
         codec_ids[nr == 0] = CODEC_ID["svb"]
     else:
         codec_ids = np.full(R, CODEC_ID[codec], dtype=np.int32)
@@ -664,7 +706,11 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if rows.size == R:
             enc, eoff = _encode_group(name, flat, offsets, R)
             starts, sz = eoff[:-1], eoff[1:] - eoff[:-1]
-        elif 2 * rows.size > R and name in _WHOLE_BATCH_CODECS:
+        elif 2 * rows.size > R and name in _WHOLE_BATCH_CODECS \
+                and name != "ef":
+            # ef is excluded from the dominant-group whole-batch trick: the
+            # NON-selected minority rows may be unsorted, and ef's loud
+            # validation (correctly) rejects the full batch
             # DOMINANT group: encode the FULL batch with this codec and
             # reference only the dominant rows' segments — materializing an
             # almost-complete token subset (_subset_rows' gather index) costs

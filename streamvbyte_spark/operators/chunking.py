@@ -56,8 +56,20 @@ def chunk_tokens(df: DataFrame, chunk_size: int = 4096) -> DataFrame:
         F.lag(F.element_at("chunk", -1), 1, 0).over(w).cast("long"))
 
 
-def encode_chunked_delta(chunked: DataFrame) -> DataFrame:
-    """Each chunk -> independent svb_delta stream seeded at its prev."""
+_CHUNK_CODECS = ("svb_delta", "ef")
+
+
+def encode_chunked_delta(chunked: DataFrame,
+                         codec: str = "svb_delta") -> DataFrame:
+    """Each chunk -> an independent stream: svb_delta seeded at its prev
+    (default), or codec='ef' — Elias-Fano over the chunk's ABSOLUTE values
+    (quasi-succinct monotone lists; a sorted posting list's chunks are
+    themselves non-decreasing, and EF needs no prev seed, so chunks stay
+    independently decodable; loud on unsorted chunks).  The prev column is
+    still produced (schema-stable) but EF decode never reads it."""
+    if codec not in _CHUNK_CODECS:
+        raise ValueError(f"chunk codec must be one of {_CHUNK_CODECS}, "
+                         f"got {codec!r}")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..codec import batched
@@ -65,7 +77,11 @@ def encode_chunked_delta(chunked: DataFrame) -> DataFrame:
         for batch in batches:
             flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("chunk")))
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
-            enc, eoff = batched.encode_delta_rows_prev(flat, offsets, prev)
+            if codec == "ef":
+                enc, eoff = batched._ef_encode_rows(
+                    np.ascontiguousarray(flat, dtype=np.uint32), offsets)
+            else:
+                enc, eoff = batched.encode_delta_rows_prev(flat, offsets, prev)
             nr = offsets[1:] - offsets[:-1]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),
@@ -81,9 +97,14 @@ def encode_chunked_delta(chunked: DataFrame) -> DataFrame:
     return chunked.mapInArrow(run, CHUNKED_ENC_SCHEMA)
 
 
-def decode_chunked_delta(enc_df: DataFrame) -> DataFrame:
-    """Decode chunks (each resumable from its stored prev, no cross-chunk
-    dependency at decode time — chunks of one doc decode in parallel)."""
+def decode_chunked_delta(enc_df: DataFrame,
+                         codec: str = "svb_delta") -> DataFrame:
+    """Decode chunks (each resumable from its stored prev — or, for
+    codec='ef', self-contained absolute values — no cross-chunk dependency
+    at decode time: chunks of one doc decode in parallel)."""
+    if codec not in _CHUNK_CODECS:
+        raise ValueError(f"chunk codec must be one of {_CHUNK_CODECS}, "
+                         f"got {codec!r}")
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..codec import batched
@@ -93,8 +114,11 @@ def decode_chunked_delta(enc_df: DataFrame) -> DataFrame:
                 batch.column(batch.schema.get_field_index("encoded")))
             n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")), dtype=np.int64)
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
-            flat, offsets = batched.decode_delta_rows_prev(
-                enc, eoff, n_toks, prev)
+            if codec == "ef":
+                flat, offsets = batched._ef_decode_rows(enc, eoff, n_toks)
+            else:
+                flat, offsets = batched.decode_delta_rows_prev(
+                    enc, eoff, n_toks, prev)
             from .encode import _i32_offsets
             tok = pa.ListArray.from_arrays(
                 pa.array(_i32_offsets(offsets), pa.int32()),
@@ -170,10 +194,22 @@ def _flush_doc_batches(doc_ids: np.ndarray, flat: np.ndarray,
         start = end
 
 
+def _prefix_rows(flat: np.ndarray, offs: np.ndarray, kk: np.ndarray):
+    """First kk[i] values of each row — one vectorized gather (the EF
+    truncate path: EF has no O(prefix) partial decode like svb's
+    control-byte layout, so the straddling chunk decodes whole — bounded by
+    chunk_size — and slices here)."""
+    new_off = np.concatenate([[0], np.cumsum(kk)])
+    m = int(new_off[-1])
+    intra = np.arange(m, dtype=np.int64) - np.repeat(new_off[:-1], kk)
+    return flat[np.repeat(offs[:-1], kk) + intra], new_off
+
+
 def decode_reassemble_fused(enc_df: DataFrame,
                             max_len: int | None = None,
                             fingerprint: bool = False,
-                            fanout: int | None = None) -> DataFrame:
+                            fanout: int | None = None,
+                            codec: str = "svb_delta") -> DataFrame:
     """Decode + reassemble AFTER one hash shuffle, whole-batch (mapInArrow).
 
     The separate decode->reassemble pipeline must re-shuffle DECODED tokens
@@ -210,7 +246,14 @@ def decode_reassemble_fused(enc_df: DataFrame,
     fingerprint=True emits (doc_id, n_tok, fingerprint) — the per-document
     polynomial fold computed in-kernel over the reassembled flat vector
     (codec.batched.fingerprint_rows), never materializing token-array cells
-    (and so also free of the single-doc 2^31 Arrow-cell ceiling)."""
+    (and so also free of the single-doc 2^31 Arrow-cell ceiling).
+
+    codec='ef' consumes encode_chunked_delta(codec='ef') chunks (absolute
+    Elias-Fano values, prev ignored); under max_len the straddling chunk
+    decodes whole and prefix-slices (_prefix_rows)."""
+    if codec not in _CHUNK_CODECS:
+        raise ValueError(f"chunk codec must be one of {_CHUNK_CODECS}, "
+                         f"got {codec!r}")
     cols = ["doc_id", "chunk_id", "n_tok", "prev", "encoded"]
     pruned = enc_df
     if max_len is not None:
@@ -248,9 +291,15 @@ def decode_reassemble_fused(enc_df: DataFrame,
             return ids, kk, prev, enc, eoff, n_toks
 
         def decode_runs(ids, kk, prev, enc, eoff, n_toks):
-            flat, offs = batched.decode_delta_rows_prev(
-                enc, eoff, kk if n_toks is None else n_toks, prev,
-                n_values=None if n_toks is None else kk)
+            if codec == "ef":
+                flat, offs = batched._ef_decode_rows(
+                    enc, eoff, kk if n_toks is None else n_toks)
+                if n_toks is not None:
+                    flat, offs = _prefix_rows(flat, offs, kk)
+            else:
+                flat, offs = batched.decode_delta_rows_prev(
+                    enc, eoff, kk if n_toks is None else n_toks, prev,
+                    n_values=None if n_toks is None else kk)
             starts = np.concatenate(
                 ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
             doc_tok_off = offs[np.concatenate((starts, [ids.size]))]

@@ -219,9 +219,12 @@ def size_table(df: DataFrame, codec: str = "auto",
                     batch.column(batch.schema.get_field_index("tokens")))
             if flat_transform is not None:
                 flat = flat_transform(flat)
-            costs = batched.row_costs(
-                flat, offsets, candidates if codec == "auto" else (codec,))
-            sizes = costs.min(axis=1) if codec == "auto" else costs[:, 0]
+            if codec == "auto_sorted":
+                sizes = batched.auto_sorted_sizes(flat, offsets, candidates)
+            else:
+                costs = batched.row_costs(
+                    flat, offsets, candidates if codec == "auto" else (codec,))
+                sizes = costs.min(axis=1) if codec == "auto" else costs[:, 0]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),
                  pa.array(sizes.astype(np.int64), pa.int64())]

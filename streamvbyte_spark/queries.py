@@ -127,6 +127,17 @@ def duckdb_size_auto(t: str, n: str) -> str:
     ]))
 
 
+def duckdb_size_auto_sorted(t: str, n: str) -> str:
+    """auto_sorted selector oracle: least over the 7 standard formulas plus
+    Elias-Fano GATED on per-row sortedness (EF is only defined on
+    non-decreasing rows) — the exact mirror of batched.auto_sorted_sizes'
+    eligibility mask.  Unsorted rows see int64-max for the EF term, so the
+    least() ignores it."""
+    gated_ef = (f"(case when {t} = list_sort({t}) then {duckdb_size_ef(t, n)} "
+                f"else 9223372036854775807 end)")
+    return f"least({duckdb_size_auto(t, n)}, {gated_ef})"
+
+
 def duckdb_size_fsst_nocap(t: str, n: str) -> str:
     """Exact fsst cost (companions.py FSST layout: 1B k + 2k B table +
     ceil(m/8)B escape bitmap + 1B/hit + 2B/escape over m = 2n byte pairs)
@@ -277,16 +288,23 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 # loudly if the rotation leaves more than 50 in-window entries (a silently
 # ungated tail is exactly the blind spot this exists to close).
 GATE_ROTATE_OUT: tuple[str, ...] = (
-    # green since r1 (size formulas / validators / plain SQL aggregations)
-    "svb_size", "svb0124_size", "delta_size_postings", "bitpack_size",
-    "for_size", "dict_size", "rle_size", "auto_size",
-    "validate_stream", "validate_stream_0124", "validate_stream_truncated",
-    "max_compressed_bound", "svb_size_sql", "zone_map_prune",
-    "users_intersect", "top_users_by_value", "events_hourly",
-    "metrics_by_source", "metrics_by_codec", "metrics_rollup",
-    "multimodal_frames", "multimodal_features", "curate_metrics",
-    "jsonl_roundtrip", "orc_roundtrip", "auto_full_size",
-    "truncate_decode", "chunked_roundtrip_postings",
+    # r7 rotation: the 28 r5-green entries rotated out in r6 all RETURN to
+    # the window (they have no r6 row; r6∪r7 must cover all queries), and
+    # these r6-green entries leave.  Kept in-window besides MUST_GATE: the
+    # queries this round's code touched (curated_* rank-window rewrite,
+    # pack_encoded_rows refactor, ef/auto_sorted selector) and all new r7
+    # queries.
+    "svb_roundtrip", "svb0124_roundtrip", "fsst_roundtrip",
+    "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings",
+    "auto_full_roundtrip", "image_decode_stats", "png_decode_stats",
+    "audio_decode_stats", "csv_roundtrip", "vocab_remap_metrics",
+    "vocab_remap_join_metrics", "chunked_fused_roundtrip",
+    "chunked_truncate_decode", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_minhash_verified", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_topk", "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall",
+    "embedding_neardup", "token_count", "quality_score", "lang_id",
+    "fingerprint", "token_quantiles", "top_terms", "dedup_simhash_pairs",
+    "dedup_components_verified",
 )
 GATE_WINDOW = 50
 
@@ -457,6 +475,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # candidate — defined only on non-decreasing rows, loud otherwise)
     q["ef_roundtrip_postings"] = make_roundtrip("ef", "postings")
     q["auto_roundtrip"] = make_roundtrip("auto", "documents")
+    # auto_sorted: EF joins the per-row argmin on rows that are
+    # non-decreasing (vectorized eligibility mask) — the selector form that
+    # makes the 24%-under-svb_delta postings win reachable as stored bytes
+    # instead of a standalone demo (r6 verdict item 4).  Mixed codec ids
+    # (ef + standard winners) exercise the grouped decode dispatch.
+    q["auto_sorted_roundtrip"] = make_roundtrip("auto_sorted", "postings")
     # FSST-style symbol-table codec: per-row symbol table is not
     # SQL-expressible, but decode(encode(x)) == x gives an exact identity
     # oracle, so fsst gets full value-level verification anyway
@@ -493,6 +517,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dict_size"] = make_size("dict", "documents")
     q["rle_size"] = make_size("rle", "documents")
     q["auto_size"] = make_size("auto", "documents")
+    # the sortedness gate both ways: postings rows are all non-decreasing
+    # (EF broadly wins, least() must include its formula) while documents
+    # rows are mostly unsorted (the mask must EXCLUDE ef there or sizes
+    # diverge from the oracle's gated least())
+    q["auto_sorted_size_postings"] = make_size("auto_sorted", "postings")
+    q["auto_sorted_size"] = make_size("auto_sorted", "documents")
 
     # -- validate (operators 10-11) ------------------------------------------
     def validate_query(spark, sf_dir, codec="svb", corrupt=False):
@@ -915,6 +945,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunked_fused_roundtrip"] = chunked_fused_roundtrip
 
+    # Elias-Fano chunked postings: a sorted list's chunks are themselves
+    # non-decreasing, and EF stores ABSOLUTE values — no prev seed, chunks
+    # self-contained — so the same chunk/shuffle/fused-decode machinery
+    # stores the 24%-smaller EF wire (r6 verdict item 4).  Same identity
+    # oracle as the delta-chained form.
+    def chunked_ef_roundtrip(spark, sf_dir):
+        from .operators.chunking import (chunk_tokens, decode_reassemble_fused,
+                                         encode_chunked_delta)
+        post = posting_lists(spark, sf_dir, string_key=True)
+        re = decode_reassemble_fused(
+            encode_chunked_delta(chunk_tokens(post, chunk_size=8), codec="ef"),
+            fingerprint=True, codec="ef")
+        return re.select("doc_id", "n_tok", "fingerprint")
+
+    q["chunked_ef_roundtrip"] = chunked_ef_roundtrip
+
     # truncation over the CHUNKED layout (the realistic shape for documents
     # too long for one row): chunks past max_len are dropped by a plain
     # tok_start filter BEFORE the shuffle — the wire and decoder never see
@@ -1303,6 +1349,10 @@ def build_oracles() -> dict[str, str]:
             f"select doc_id, {duckdb_size_rle(t, n)} as size_bytes from ({doc})",
         "auto_size":
             f"select doc_id, {duckdb_size_auto(t, n)} as size_bytes from ({doc})",
+        "auto_sorted_size_postings":
+            f"select doc_id, {duckdb_size_auto_sorted(t, n)} as size_bytes from ({post})",
+        "auto_sorted_size":
+            f"select doc_id, {duckdb_size_auto_sorted(t, n)} as size_bytes from ({doc})",
         "auto_full_size":
             f"select doc_id, {duckdb_size_auto_full(t, n)} as size_bytes "
             f"from (select doc_id, {FSST_MIX_DUCK} as tokens, n_tok, source "
@@ -1336,6 +1386,8 @@ def build_oracles() -> dict[str, str]:
             f"sum({duckdb_size_auto(t, n)})::bigint as sum_out_bytes from ({doc}) group by source",
     }
     o["svb_size_sql"] = o["svb_size"]
+    # identity round-trip on postings, mixed ef/standard codec ids
+    o["auto_sorted_roundtrip"] = o["delta_roundtrip_postings"]
     # winning codec per row: first minimum in candidate priority order
     _formulas = [
         ("svb", duckdb_size_svb(t, n)),
@@ -1379,6 +1431,7 @@ def build_oracles() -> dict[str, str]:
         f"select doc_id, cast(n_tok as int) as n_tok, {fp} as fingerprint "
         f"from ({post})")
     o["chunked_fused_roundtrip"] = o["chunked_roundtrip_postings"]
+    o["chunked_ef_roundtrip"] = o["chunked_roundtrip_postings"]
     # chunked truncation: first min(20, n_tok) tokens of each posting list
     # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
     # prefix path; chunks 3+ never survive the tok_start filter)

@@ -327,6 +327,76 @@ def test_chunked_truncate_decode_boundaries(spark):
         decode_reassemble_fused(enc, max_len=0)
 
 
+def test_chunked_ef_roundtrip_and_truncate(spark):
+    """codec='ef' through the chunked pipeline: sorted rows chunk into
+    sorted chunks encoded as ABSOLUTE Elias-Fano values (no prev seed) and
+    must reassemble exactly — including under truncation at every cut
+    placement (the straddling chunk decodes whole and prefix-slices,
+    _prefix_rows) and with 2-row Arrow batches so carried runs mix in.
+    An unsorted row must fail loudly at encode, and an unknown chunk codec
+    at plan time."""
+    from streamvbyte_spark.operators.chunking import (
+        chunk_tokens, decode_reassemble_fused, encode_chunked_delta)
+    rng = np.random.default_rng(29)
+    rows = [(f"d{j:02d}", np.cumsum(rng.integers(0, 50, n)).tolist())
+            for j, n in enumerate([1, 3, 4, 8, 9, 16, 17, 23, 40])]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int")
+    enc = encode_chunked_delta(chunk_tokens(df, chunk_size=4), codec="ef")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = {r.doc_id: list(r.tokens) for r in
+               decode_reassemble_fused(enc, codec="ef").collect()}
+        assert got == dict(rows)
+        for max_len in (1, 3, 4, 5, 8, 16, 100):
+            got = {r.doc_id: (list(r.tokens), r.n_tok) for r in
+                   decode_reassemble_fused(enc, max_len=max_len,
+                                           codec="ef").collect()}
+            want = {d: (t[:max_len], min(len(t), max_len)) for d, t in rows}
+            assert got == want, max_len
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    bad = spark.createDataFrame([("u0", [5, 3, 9], 3)],
+                                "doc_id string, tokens array<int>, n_tok int")
+    with pytest.raises(Exception, match="non-decreasing"):
+        encode_chunked_delta(chunk_tokens(bad, chunk_size=4),
+                             codec="ef").collect()
+    with pytest.raises(ValueError, match="chunk codec"):
+        encode_chunked_delta(chunk_tokens(df, chunk_size=4), codec="nope")
+
+
+def test_auto_sorted_selector_kernel():
+    """auto_sorted: cost==len(encode) per row, exact round-trip with mixed
+    ef/standard codec ids, EF never assigned to an unsorted row, and the
+    selected size always <= the plain auto size (EF only ever improves)."""
+    from streamvbyte_spark.codec import batched
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(0, 60))
+        v = rng.integers(0, 2**18, n).astype(np.uint32)
+        if i % 2 == 0:
+            v = np.sort(v)
+        rows.append(v)
+    flat = np.concatenate(rows)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(r) for r in rows])]).astype(np.int64)
+    out, ooff, cids = batched.encode_rows(flat, offs, codec="auto_sorted")
+    dec, _ = batched.decode_rows(out, ooff, offs[1:] - offs[:-1], cids)
+    assert np.array_equal(dec, flat)
+    sizes = batched.auto_sorted_sizes(flat, offs)
+    assert np.array_equal(sizes, ooff[1:] - ooff[:-1])
+    auto = batched.row_costs(flat, offs,
+                             batched.VECTOR_COST_CODECS).min(axis=1)
+    assert (sizes <= auto).all()
+    is_ef = cids == batched.CODEC_ID["ef"]
+    assert is_ef.any()
+    assert not (is_ef & ~batched.row_sorted_mask(flat, offs)).any()
+
+
 def test_checkpoint_resume_idempotent_across_commit_gap(spark, tok):
     """Crash between the data write and the lineage commit must not
     duplicate rows on rerun: dynamic partition overwrite REPLACES the
