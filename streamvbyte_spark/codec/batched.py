@@ -1325,9 +1325,14 @@ def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
         sub_nr = nr[brows]
         sub_cb = (sub_nr * widths[brows] + 7) // 8
         sub_byte_off = np.concatenate([[0], np.cumsum(sub_cb)])
-        sub_packed = np.empty(int(sub_byte_off[-1]), dtype=np.uint8)
-        _gather_segments(sub_packed, packed, byte_off[:-1][brows], sub_cb,
-                         sub_byte_off)
+        # 8 spare zero bytes allocated HERE so the dense unpack's 5-byte
+        # gather windows never read past the end — the previous per-call
+        # np.concatenate pad copied the whole sub-stream on every decode
+        # batch (O(stream) alloc+copy on the hot path; advice r6)
+        sub_packed = np.empty(int(sub_byte_off[-1]) + 8, dtype=np.uint8)
+        sub_packed[-8:] = 0
+        _gather_segments(sub_packed[:int(sub_byte_off[-1])], packed,
+                         byte_off[:-1][brows], sub_cb, sub_byte_off)
         vals = _unpack_bits_dense(sub_packed, sub_byte_off, sub_nr, widths[brows])
         sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
         intra = np.arange(int(sub_off[-1]), dtype=np.int64) - np.repeat(
@@ -1343,11 +1348,19 @@ def _unpack_bits_dense(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
     consecutive bytes starting at its byte position, so the whole batch
     decodes in ONE pass of 5 vectorized gathers (reads conflict-free, no
     stride groups needed) — replacing the per-bit unpackbits+gather
-    formulation (~16 B of traffic per BIT)."""
+    formulation (~16 B of traffic per BIT).
+
+    CONTRACT: `packed` must carry >= 8 valid-to-read bytes past
+    byte_off[-1] (the caller allocates the gather buffer with a zeroed
+    8-byte tail) so the unconditional byte-lane gathers never read out of
+    bounds — padding per call here copied the whole stream each batch."""
     V = int(nr.sum())
     codes = np.zeros(V, dtype=np.uint64)
     if V == 0:
         return codes.astype(np.uint32)
+    if packed.size < int(byte_off[-1]) + 8:
+        raise ValueError("_unpack_bits_dense needs an 8-byte padded buffer "
+                         "(see _unpack_bits_rows)")
     offsets = np.concatenate([[0], np.cumsum(nr)])
     w_per_val = np.repeat(widths, nr)
     intra = np.arange(V, dtype=np.int64) - np.repeat(offsets[:-1], nr)
@@ -1355,8 +1368,7 @@ def _unpack_bits_dense(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
     p = np.repeat(byte_off[:-1], nr) + (bit0 >> 3)
     s = (bit0 & 7)
     nb = (s + w_per_val + 7) >> 3
-    # pad the source so any value's 5-byte window never reads past the end
-    src = np.concatenate([packed, np.zeros(8, np.uint8)])
+    src = packed
     # gather UNCONDITIONALLY for every byte lane up to the batch max:
     # a value whose window is narrower over-reads its neighbor's bytes,
     # but those bits sit at positions >= nb*8 >= s+w and the final width

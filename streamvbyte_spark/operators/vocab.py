@@ -76,7 +76,8 @@ def build_vocab(tok_df: DataFrame) -> DataFrame:
     w1 = Window.partitionBy("cnt", "tbkt").orderBy("token")
     lvl = b.withColumn("lr", F.row_number().over(w1).cast("long") - 1)
     bt = b.groupBy("cnt", "tbkt").agg(F.count("*").alias("m"))
-    # within-cnt bucket prefix (partitions bounded at 32768 rows)
+    # within-cnt bucket prefix (partitions bounded at 65536 rows: the
+    # int32 token domain / 2^VOCAB_TOKEN_BUCKET_BITS buckets per cnt)
     w3 = (Window.partitionBy("cnt").orderBy("tbkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     bt = bt.withColumn("boff", F.sum("m").over(w3) - F.col("m"))

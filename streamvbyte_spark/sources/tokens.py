@@ -231,19 +231,26 @@ def tokens_from_csv(spark: SparkSession, path: str) -> DataFrame:
     # BOTH modes: any malformed token raises WITH the offending row.
     # exists() is an interpreted HOF, but this is a staging reader (one
     # pass per corpus), not a codec hot path.
+    guard = "exists(split(toks, ' '), x -> try_cast(x as int) is null)"
+    err = ("cast(raise_error(concat('csv non-integer token: doc_id=', "
+           "doc_id, ' toks=', toks)) as {t})")
     tokens = F.expr(
-        "case when exists(split(toks, ' '), x -> try_cast(x as int) is null) "
-        "then cast(raise_error(concat('csv non-integer token: doc_id=', "
-        "doc_id, ' toks=', toks)) as array<int>) "
+        f"case when {guard} then {err.format(t='array<int>')} "
         "else cast(split(toks, ' ') as array<int>) end")
-    # n_tok from the UNguarded split: the guarded tokens expression above
-    # already raises on any malformed token, and re-evaluating the
-    # interpreted exists() guard just to count elements would double the
-    # staging read's slow path (CollapseProject duplicates, not shares)
+    # n_tok carries the SAME guard: Catalyst column-prunes, so a plan that
+    # reads only n_tok (a manifest/totals branch) never evaluates the
+    # tokens expression — an unguarded size(split()) would silently COUNT
+    # malformed tokens there, voiding the reader's loud-failure contract
+    # under pruning (advice r6).  When both columns are read the
+    # interpreted exists() runs twice; this is a one-pass staging reader,
+    # not a codec hot path.
+    n_tok = F.expr(
+        f"case when {guard} then {err.format(t='int')} "
+        "else size(split(toks, ' ')) end")
     return staged.select(
         "doc_id",
         tokens.alias("tokens"),
-        F.expr("size(split(toks, ' '))").alias("n_tok"),
+        n_tok.alias("n_tok"),
         "source",
     )
 

@@ -30,7 +30,12 @@ default_numeric_order / monotone_numeric_key_sql, and failing LOUDLY on a
 non-numeric id, because lexicographic placement of numeric ids silently
 diverges from the batch prefix sum ('10' < '9') — and ``order='lex'``
 compares strings for genuinely string-keyed corpora (the
-derived_string_order analog).
+derived_string_order analog).  Numeric ids must additionally be
+COLLISION-FREE after parsing: two distinct raw ids with equal numeric
+value ('7' vs '007') would be placed as a window tie by the batch writer
+but look like a redelivery here, so the operator raises loudly on any
+equal-key/different-id pair (within a batch or against the high-water
+mark) instead of silently dropping a document.
 
 The group body is whole-batch vectorized (one argsort + cumsum per source
 per micro-batch); no per-row Python.
@@ -56,11 +61,14 @@ _OUT_COLS = ["doc_id", "source", "n_tok", "st", "pack_first", "pack_last"]
 def _order_keys(ids: np.ndarray, order: str, source: str) -> np.ndarray:
     """Sort/compare keys under the chosen id policy — int64 values for
     'numeric' (loud on unparseable ids, the monotone_numeric_key_sql
-    analog), the raw strings for 'lex'."""
+    analog), the raw strings for 'lex'.  The numeric parse is one
+    object->int64 astype (a C-level per-element int(), exact int-literal
+    semantics: '1.5' fails like the batch writers' try_cast), not a Python
+    list comprehension."""
     if order == "lex":
         return ids
     try:
-        return np.array([int(i) for i in ids], dtype=np.int64)
+        return ids.astype(np.int64)
     except (TypeError, ValueError) as e:
         raise ValueError(
             f"pack_assign: non-numeric doc_id in source {source!r} under "
@@ -87,11 +95,36 @@ def _make_assign(order: str):
         ids, keys = ids[srt], keys[srt]
         # first-occurrence-wins within the batch, then skip everything at
         # or below the high-water mark: under the non-decreasing delivery
-        # contract those are provably redeliveries (see module docstring)
+        # contract those are provably redeliveries (see module docstring).
+        # Under order='numeric', a key tie between DIFFERENT raw ids (e.g.
+        # '7' vs '007') is an ERROR, not a dedup: the batch writer places
+        # both rows (window tie, nondeterministic order), so silently
+        # collapsing — or silently skipping an id that ties the high-water
+        # mark — would diverge from the batch prefix sum (advice r6)
         first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        if order == "numeric":
+            tie_diff = (~first) & np.concatenate(([False],
+                                                  ids[1:] != ids[:-1]))
+            if tie_diff.any():
+                j = int(np.flatnonzero(tie_diff)[0])
+                raise ValueError(
+                    f"pack_assign: doc_ids {ids[j - 1]!r} and {ids[j]!r} in "
+                    f"source {source!r} parse to the same numeric key "
+                    f"{int(keys[j])} — numeric ids must be collision-free "
+                    "after parsing (use order='lex' or canonical ids)")
         if last_doc:
             mark = _order_keys(np.array([last_doc], object), order,
                                source)[0]
+            if order == "numeric":
+                at_mark = (keys == mark) & (ids != last_doc)
+                if at_mark.any():
+                    j = int(np.flatnonzero(at_mark)[0])
+                    raise ValueError(
+                        f"pack_assign: doc_id {ids[j]!r} in source "
+                        f"{source!r} parses to the placed high-water key "
+                        f"{int(mark)} (last placed id {last_doc!r}) — "
+                        "numeric ids must be collision-free after parsing "
+                        "(use order='lex' or canonical ids)")
             first &= keys > mark
         kept = pdf.iloc[first]
         if not len(kept):

@@ -211,6 +211,42 @@ def test_sql_udf_registry(spark, tok):
     assert all(r.b == r.tokens for r in r2)
 
 
+def test_sql_udfs_match_batched_kernels_and_reject_nulls(spark):
+    """The registered SQL UDFs route input extraction through the shared
+    one-pass Arrow conversion (text_udfs.series_to_flat / _flat_binary).
+    Parity: UDF outputs must equal the batched kernels byte-for-byte on the
+    same frame; and a NULL ELEMENT inside an array must fail LOUDLY — the
+    replaced per-row np.asarray path silently converted the flat to float64
+    NaN and corrupted downstream folds (r6 verdict item 6)."""
+    from streamvbyte_spark.codec import batched
+    from streamvbyte_spark.functions.udfs import register_udfs
+    register_udfs(spark)
+    rows = [("a", [1, 70000, 3]), ("b", []), ("c", [5]),
+            ("d", list(range(300, 260, -1)))]
+    df = spark.createDataFrame([(d, t, len(t)) for d, t in rows],
+                               "doc_id string, tokens array<int>, n_tok int")
+    df.createOrReplaceTempView("udf_parity")
+    got = {r.doc_id: (bytes(r.e), r.sz, list(r.zz))
+           for r in spark.sql(
+               "select doc_id, svb_encode(tokens) as e, svb_size(tokens) "
+               "as sz, zigzag_decode(zigzag_encode(tokens), n_tok) as zz "
+               "from udf_parity").collect()}
+    for d, t in rows:
+        flat = np.asarray(t, dtype=np.uint32)
+        offs = np.array([0, len(t)], dtype=np.int64)
+        out, ooff, _ = batched.encode_rows(flat, offs, codec="svb")
+        assert got[d][0] == out.tobytes(), d
+        assert got[d][1] == int(ooff[-1]), d
+        assert got[d][2] == t, d
+    nulls = spark.createDataFrame([("n", [1, None, 3], 3)],
+                                  "doc_id string, tokens array<int>, n_tok int")
+    nulls.createOrReplaceTempView("udf_nulls")
+    with pytest.raises(Exception, match="NULL"):
+        spark.sql("select svb_size(tokens) from udf_nulls").collect()
+    with pytest.raises(Exception, match="NULL"):
+        spark.sql("select zigzag_encode(tokens) from udf_nulls").collect()
+
+
 def test_full_curation_pipeline(spark):
     """End-to-end: dedup -> quality gate -> tokenize -> auto encode -> lineage
     write; rerun is a no-op (resume sees all buckets committed)."""

@@ -222,6 +222,23 @@ def test_streaming_pack_assign_numeric_order_and_guards(spark):
         assert "non-numeric doc_id" in str(ei.value)
         with pytest.raises(ValueError, match="order must be"):
             pack_assign_stream(bad, order="sorted")
+        # two DISTINCT ids with equal numeric value ('7' vs '007') must
+        # fail loudly, not collapse to one placement: the batch writer
+        # places both as a window tie, so a silent within-batch dedup (or a
+        # silent skip at the high-water mark) diverges from the batch
+        # prefix sum (advice r6)
+        spark.createDataFrame([("7", "web", 5), ("007", "web", 6)],
+                              "doc_id string, source string, n_tok int") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/coll/b0")
+        coll = (spark.readStream
+                .schema("doc_id string, source string, n_tok int")
+                .parquet(tmp + "/coll/*"))
+        qc = (pack_assign_stream(coll).writeStream
+              .format("memory").queryName("pack_coll")
+              .outputMode("update").trigger(availableNow=True).start())
+        with pytest.raises(Exception) as ec:
+            qc.awaitTermination(180)
+        assert "collision-free" in str(ec.value)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
