@@ -110,10 +110,22 @@ def decode_image(payload) -> np.ndarray:
             px = px[::-1]  # bottom-up storage
         return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
     if buf[:8].tobytes() == _PNG_SIG:
-        try:
-            return decode_png(buf)
-        except NotImplementedError:
-            pass  # interlaced/paletted/16-bit: fall through to PIL
+        # LARGE PNGs route to PIL when available: the pure-NumPy unfilter
+        # is fast for None/Sub/Up rows but walks Average/Paeth rows one
+        # pixel at a time (measured ~0.3-0.8 MB/s vs 250-1200 MB/s for the
+        # vectorized filters, BENCH/BASELINE.md), and the filter mix is
+        # unknowable before inflating — so the guard is on pixel COUNT
+        # (IHDR peek, bytes 16..24).  The NumPy path stays the oracle and
+        # the only path when PIL is absent (this container).
+        w_pk = int.from_bytes(buf[16:20].tobytes(), "big")
+        h_pk = int.from_bytes(buf[20:24].tobytes(), "big")
+        if w_pk * h_pk > _PNG_PIL_ROUTE_PIXELS and _pil_available():
+            pass  # fall through to the PIL branch below
+        else:
+            try:
+                return decode_png(buf)
+            except NotImplementedError:
+                pass  # interlaced/paletted/16-bit: fall through to PIL
     try:
         import io
         from PIL import Image
@@ -125,6 +137,19 @@ def decode_image(payload) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# pixel-count threshold above which a PNG prefers PIL (C-speed for every
+# filter) when installed: 2^18 px (512x512) is ~0.8 MB of RGB rows — ~1-3 s
+# worst case through the per-pixel Average/Paeth walk, the point where the
+# NumPy path stops being interactive
+_PNG_PIL_ROUTE_PIXELS = 1 << 18
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int,
