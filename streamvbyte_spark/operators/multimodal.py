@@ -109,6 +109,16 @@ def decode_image(payload) -> np.ndarray:
         if height > 0:
             px = px[::-1]  # bottom-up storage
         return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
+    if buf[:2].tobytes() == b"\xff\xd8":
+        # REAL baseline JPEG decode, no PIL: marker walk + canonical
+        # Huffman + batched NumPy IDCT (operators/jpeg.py).  Progressive/
+        # extended/arithmetic/12-bit raise NotImplementedError and fall
+        # through to PIL where installed.
+        from .jpeg import decode_jpeg
+        try:
+            return decode_jpeg(buf)
+        except NotImplementedError:
+            pass
     if buf[:8].tobytes() == _PNG_SIG:
         # LARGE PNGs route to PIL when available: the pure-NumPy unfilter
         # is fast for None/Sub/Up rows but walks Average/Paeth rows one
@@ -410,6 +420,40 @@ def synth_png_table(docs: DataFrame, width: int = 4) -> DataFrame:
                     continue
                 img = px[:h * 3 * width].reshape(h, width, 3)
                 payloads.append(encode_png(img))
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"])
+
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode("text", "utf-8").alias("payload"))
+    return (base.mapInArrow(run, "doc_id string, payload binary")
+            .where(F.col("payload").isNotNull()))
+
+
+def synth_jpeg_table(docs: DataFrame, width_blocks: int = 2) -> DataFrame:
+    """Deterministic REAL JPEGs: each document's utf-8 bytes become the
+    CONSTANT values of the 8x8 blocks of a grayscale baseline JPEG (one
+    byte per block, `width_blocks` blocks per row; trailing partial block
+    row dropped, docs shorter than one row filtered).  With an all-ones
+    quant table a constant block is LOSSLESS (DC = 8*(c-128) exactly, zero
+    AC), so decode_jpeg must reproduce every pixel bit-exactly through the
+    full marker + Huffman + IDCT pipeline — checkable against the same
+    kind of byte-math oracle as the PPM/PNG gates, which never touches
+    JPEG code."""
+    from .jpeg import encode_gray_blocks_jpeg
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            payloads = []
+            for i in range(len(doc)):
+                px = flat[offsets[i]:offsets[i + 1]]
+                if px.size // width_blocks < 1:
+                    payloads.append(None)
+                    continue
+                payloads.append(encode_gray_blocks_jpeg(px, width_blocks))
             yield pa.RecordBatch.from_arrays(
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])

@@ -775,6 +775,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["png_decode_stats"] = png_decode_stats
 
+    # REAL JPEG decode (r7): each document's bytes become the constant 8x8
+    # block values of a grayscale BASELINE JPEG (all-ones quant table ->
+    # constant blocks are lossless: DC = 8*(c-128) exactly, zero AC), and
+    # the pure-NumPy decode_jpeg (marker walk + canonical Huffman + batched
+    # IDCT, operators/jpeg.py — no PIL) must reproduce every pixel
+    # bit-exactly to satisfy a byte-math oracle that never touches JPEG
+    # code.  Each byte appears in 64 pixels, so channel sums = 64 * byte
+    # sums.  AC/subsampling/restart paths are pinned by unit tests against
+    # an in-test reference IDCT (tests/test_jpeg.py).
+    def jpeg_decode_stats(spark, sf_dir):
+        from .operators.multimodal import image_stats_table, synth_jpeg_table
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return image_stats_table(synth_jpeg_table(docs, width_blocks=2))
+
+    q["jpeg_decode_stats"] = jpeg_decode_stats
+
     # REAL audio decode: valid RIFF PCM WAVs from the same document bytes,
     # parsed by decode_audio's chunk walker, checked as exact sample sums
     def audio_decode_stats(spark, sf_dir):
@@ -1489,6 +1505,22 @@ def build_oracles() -> dict[str, str]:
     # differs — which is exactly the point: the compressed decode must
     # reproduce what the byte-math recomputes
     o["png_decode_stats"] = o["image_decode_stats"]
+    # JPEG decode oracle: one doc byte per constant 8x8 block, 2 blocks per
+    # row -> height 8*(n//2), width 16, grayscale replicated to RGB, so
+    # every channel sum is 64 * the sum of the first 2*(n//2) bytes —
+    # byte math only, no JPEG code on the oracle side
+    o["jpeg_decode_stats"] = (
+        f"{_mm_bytes}, "
+        "img as (select doc_id, (n // 2)::int as hb, bytes from e "
+        "where n >= 2) "
+        "select doc_id, (8 * hb)::int as height, 16 as width, "
+        "cast(64 * list_sum(list_transform(range(0, 2 * hb), "
+        "i -> bytes[i + 1])) as bigint) as sum_r, "
+        "cast(64 * list_sum(list_transform(range(0, 2 * hb), "
+        "i -> bytes[i + 1])) as bigint) as sum_g, "
+        "cast(64 * list_sum(list_transform(range(0, 2 * hb), "
+        "i -> bytes[i + 1])) as bigint) as sum_b "
+        "from img")
     # audio decode oracle: WAV data is the doc's utf-8 bytes as little-endian
     # int16 mono samples (trailing odd byte dropped); signed conversion is
     # (lo + 256*hi) - 65536 when the high bit is set
