@@ -144,7 +144,12 @@ def main():
                 # decontaminate -> length gate -> pack/byte budget) now sits
                 # in the driver gate window; bench it alongside (r5 advice
                 # item 7)
-                "curation_pipeline"]
+                "curation_pipeline",
+                # r7: the all-encoded curated pack writer (encode at the
+                # scan; md5 rank window + contamination anti-join over
+                # encoded rows; no raw-token shuffle) — the flagship
+                # production composite, benched for round-over-round
+                "curated_pack_encoded"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

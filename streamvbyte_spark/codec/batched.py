@@ -22,7 +22,9 @@ whole-batch encode AND decode kernel (_fsst_encode_rows builds all per-row
 symbol tables from one composite-key sort) — no per-row Python remains on
 any hot path.  The default ``auto`` candidate set stays the 7 original
 codecs (VECTOR_COST_CODECS) so driver-facing formats are stable; passing
-VECTOR_COST_CODECS_FULL adds fsst to the argmin (the auto_full_* queries).
+VECTOR_COST_CODECS_FULL adds fsst to the argmin (the auto_full_* queries),
+and ``codec='auto_sorted'`` adds Elias-Fano on rows that are
+non-decreasing (row_sorted_mask gate; the auto_sorted_* queries — r7).
 """
 
 from __future__ import annotations
