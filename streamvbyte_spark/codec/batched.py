@@ -1224,11 +1224,24 @@ def _pack_bits_rows(codes: np.ndarray, offsets: np.ndarray, widths: np.ndarray):
 def _pack_bytes_aligned(codes, offsets, widths, byte_off, nr, out, rows):
     """Rows whose width is a byte multiple: value j of a row occupies bytes
     [j*nb, (j+1)*nb) of its section — one little-endian byte-lane scatter
-    per possible byte (<= 4)."""
+    per possible byte (<= 4).
+
+    Homogeneous fast path: when EVERY nonempty row is aligned at the SAME
+    width, sections are consecutive and dst == bpv * arange(V), so the
+    whole pack is ONE reshape copy (near-memcpy) — the dominant shape for
+    bitpack/FOR-winning corpora (a uniform 16-bit batch measured ~25x over
+    the masked lane scatters, r7)."""
     sub_nr = nr[rows]
     sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
     m = int(sub_off[-1])
     if m == 0:
+        return
+    w_rows = widths[rows]
+    if rows.size == int(np.count_nonzero(nr)) \
+            and bool((w_rows == w_rows[0]).all()) and m == int(offsets[-1]):
+        bpv0 = int(w_rows[0]) >> 3
+        vb = np.ascontiguousarray(codes, dtype="<u4").view(np.uint8)
+        out[:m * bpv0].reshape(m, bpv0)[:] = vb.reshape(m, 4)[:, :bpv0]
         return
     intra = np.arange(m, dtype=np.int64) - np.repeat(sub_off[:-1], sub_nr)
     vidx = np.repeat(offsets[:-1][rows], sub_nr) + intra
@@ -1311,17 +1324,30 @@ def _unpack_bits_rows(packed: np.ndarray, byte_off: np.ndarray, nr: np.ndarray,
         sub_nr = nr[arows]
         sub_off = np.concatenate([[0], np.cumsum(sub_nr)])
         m = int(sub_off[-1])
-        intra = np.arange(m, dtype=np.int64) - np.repeat(sub_off[:-1], sub_nr)
-        src = np.repeat(byte_off[:-1][arows], sub_nr) + intra * np.repeat(
-            widths[arows] >> 3, sub_nr)
-        bpv = np.repeat(widths[arows] >> 3, sub_nr)
-        vals = np.zeros(m, dtype=np.uint32)
-        for k in range(4):
-            sel = bpv > k
-            if not sel.any():
-                break
-            vals[sel] |= packed[src[sel] + k].astype(np.uint32) << np.uint32(8 * k)
-        out[np.repeat(offsets[:-1][arows], sub_nr) + intra] = vals
+        w_rows = widths[arows]
+        if arows.size == int(np.count_nonzero(nr)) \
+                and bool((w_rows == w_rows[0]).all()) and m == V:
+            # homogeneous fast path (mirror of _pack_bytes_aligned): all
+            # sections consecutive at one width -> the unpack is one
+            # zero-extended reshape copy, no index arrays
+            bpv0 = int(w_rows[0]) >> 3
+            tmp = np.zeros((m, 4), np.uint8)
+            tmp[:, :bpv0] = packed[:m * bpv0].reshape(m, bpv0)
+            out[:] = tmp.view("<u4").ravel()
+        else:
+            intra = np.arange(m, dtype=np.int64) \
+                - np.repeat(sub_off[:-1], sub_nr)
+            src = np.repeat(byte_off[:-1][arows], sub_nr) + intra * np.repeat(
+                widths[arows] >> 3, sub_nr)
+            bpv = np.repeat(widths[arows] >> 3, sub_nr)
+            vals = np.zeros(m, dtype=np.uint32)
+            for k in range(4):
+                sel = bpv > k
+                if not sel.any():
+                    break
+                vals[sel] |= packed[src[sel] + k].astype(np.uint32) \
+                    << np.uint32(8 * k)
+            out[np.repeat(offsets[:-1][arows], sub_nr) + intra] = vals
     brows = np.flatnonzero(~aligned & (nr > 0) & (widths > 0))
     if brows.size:
         sub_nr = nr[brows]

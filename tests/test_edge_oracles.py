@@ -74,7 +74,13 @@ LINEITEM = (
 POSTING_QUERIES = ["delta_roundtrip_postings", "delta_size_postings",
                    "ef_roundtrip_postings", "ef_size_postings",
                    "chunked_roundtrip_postings", "chunked_fused_roundtrip",
-                   "chunked_truncate_decode"]
+                   "chunked_truncate_decode",
+                   # r7: EF chunks over the same boundary lists (int32
+                   # ceiling, zero deltas at duplicate seams, single
+                   # elements), and the sortedness-gated selector where
+                   # every row is eligible
+                   "chunked_ef_roundtrip", "auto_sorted_roundtrip",
+                   "auto_sorted_size_postings"]
 
 QUERIES = [
     "svb_roundtrip", "svb0124_roundtrip", "auto_roundtrip", "fsst_roundtrip",
@@ -96,6 +102,11 @@ QUERIES = [
     "dedup_components", "curate_neardup_metrics", "multimodal_frames",
     "pack_store_roundtrip", "dedup_components_verified",
     "curated_pack_sequences", "curated_pack_encoded",
+    # r7: the sortedness gate over MOSTLY-unsorted token rows (constant
+    # and single-word docs are sorted — the mask must flip per row), and
+    # baseline JPEG decode over multibyte/emoji/empty byte streams (docs
+    # under 2 bytes are filtered on BOTH sides)
+    "auto_sorted_size", "jpeg_decode_stats",
 ]
 
 
