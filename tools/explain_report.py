@@ -25,6 +25,8 @@ HEADLINE = [
     "pack_sequences", "token_quantiles", "pack_sequences_encoded",
     "ann_recall", "dedup_minhash_verified", "pack_store_roundtrip",
     "png_decode_stats", "curation_pipeline", "curated_pack_sequences",
+    "curated_pack_encoded", "chunked_ef_roundtrip", "auto_sorted_size",
+    "jpeg_decode_stats",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -168,6 +170,26 @@ NOTES = {
                                "carries the ENCODED column (~1.5 B/token "
                                "instead of 4 B/token) and there is no "
                                "per-group Python stage.",
+    "curated_pack_encoded": "The ALL-ENCODED curated composite (r7): "
+        "encode at the scan (md5/n_tok computed there, length gate pushed "
+        "below the md5 window — partitions are text-homogeneous), the "
+        "dedup rank window + broadcast contamination anti-join run over "
+        "encoded rows (WindowGroupLimit pushes partial top-1 below the "
+        "rank exchange), winners feed pack_encoded_rows.  NO shuffle in "
+        "the composite carries raw tokens; the final plan is the "
+        "materialized pack shape (zero parquet scans).",
+    "chunked_ef_roundtrip": "Elias-Fano chunked postings (r7): same "
+        "chunk/shuffle/fused-decode machinery as chunked_fused_roundtrip "
+        "but the wire carries EF streams (absolute values, no prev seed — "
+        "24% under svb_delta on sorted postings).",
+    "auto_sorted_size": "Sortedness-gated selector (r7): map-only "
+        "cost-only kernel; EF joins the per-row argmin only where the "
+        "row is non-decreasing (vectorized mask) — no extra scan, no "
+        "shuffle.",
+    "jpeg_decode_stats": "Real baseline JPEG decode (r7, no PIL): one "
+        "MapInArrow synthesizes lossless constant-block JPEGs, one runs "
+        "the marker walk + canonical Huffman + batched einsum IDCT; "
+        "map-only, zero shuffles.",
 }
 
 
