@@ -1467,16 +1467,13 @@ def _bitpack_decode_rows(enc, enc_offsets, n_toks, frame_of_ref: bool):
 
 def _ef_validate_rows(flat, offsets):
     """Loud per-row sortedness check (ef is only defined on non-decreasing
-    rows); one vectorized adjacent-compare excluding row seams."""
-    if flat.size < 2:
-        return
-    nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    row_ids = np.repeat(np.arange(nr.size, dtype=np.int64), nr)
-    viol = (flat[1:] < flat[:-1]) & (row_ids[1:] == row_ids[:-1])
-    if viol.any():
-        r = int(row_ids[1:][viol][0])
+    rows) — the SAME mask as the auto_sorted eligibility gate, so the
+    validator and the selector can never diverge."""
+    ok = row_sorted_mask(flat, offsets)
+    if not ok.all():
         raise ValueError(
-            f"ef codec requires non-decreasing rows (row {r} is unsorted); "
+            f"ef codec requires non-decreasing rows (row "
+            f"{int(np.flatnonzero(~ok)[0])} is unsorted); "
             "use svb/svb_delta for unsorted values")
 
 

@@ -194,17 +194,6 @@ def _flush_doc_batches(doc_ids: np.ndarray, flat: np.ndarray,
         start = end
 
 
-def _prefix_rows(flat: np.ndarray, offs: np.ndarray, kk: np.ndarray):
-    """First kk[i] values of each row — one vectorized gather (the EF
-    truncate path: EF has no O(prefix) partial decode like svb's
-    control-byte layout, so the straddling chunk decodes whole — bounded by
-    chunk_size — and slices here)."""
-    new_off = np.concatenate([[0], np.cumsum(kk)])
-    m = int(new_off[-1])
-    intra = np.arange(m, dtype=np.int64) - np.repeat(new_off[:-1], kk)
-    return flat[np.repeat(offs[:-1], kk) + intra], new_off
-
-
 def decode_reassemble_fused(enc_df: DataFrame,
                             max_len: int | None = None,
                             fingerprint: bool = False,
@@ -250,7 +239,7 @@ def decode_reassemble_fused(enc_df: DataFrame,
 
     codec='ef' consumes encode_chunked_delta(codec='ef') chunks (absolute
     Elias-Fano values, prev ignored); under max_len the straddling chunk
-    decodes whole and prefix-slices (_prefix_rows)."""
+    decodes whole and prefix-slices (batched._subset_prefix)."""
     if codec not in _CHUNK_CODECS:
         raise ValueError(f"chunk codec must be one of {_CHUNK_CODECS}, "
                          f"got {codec!r}")
@@ -295,7 +284,10 @@ def decode_reassemble_fused(enc_df: DataFrame,
                 flat, offs = batched._ef_decode_rows(
                     enc, eoff, kk if n_toks is None else n_toks)
                 if n_toks is not None:
-                    flat, offs = _prefix_rows(flat, offs, kk)
+                    # EF has no O(prefix) partial decode like svb's
+                    # control-byte layout: the straddling chunk decodes
+                    # whole (bounded by chunk_size) and truncates here
+                    flat, offs = batched._subset_prefix(flat, offs, kk)
             else:
                 flat, offs = batched.decode_delta_rows_prev(
                     enc, eoff, kk if n_toks is None else n_toks, prev,

@@ -231,6 +231,15 @@ def decode_jpeg(payload) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # baseline multi-scan (non-interleaved per-component scans)
+                # would need scan-loop plumbing this decoder doesn't have;
+                # returning after the first scan would silently emit only
+                # the Y plane — raise so decode_image falls through to PIL
+                raise NotImplementedError(
+                    "only single-scan (interleaved) baseline JPEG decodes "
+                    f"natively (scan covers {ns} of "
+                    f"{len(frame['comps'])} components)")
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c:3 + 2 * c]
@@ -244,18 +253,25 @@ def decode_jpeg(payload) -> np.ndarray:
 
 def _entropy_segments(data: bytes, pos: int):
     """Split the entropy stream at RST markers, de-stuffing FF00 -> FF;
-    yields bytes segments (one per restart interval)."""
+    yields bytes segments (one per restart interval).  Runs of 0xFF before
+    a marker code are legal FILL bytes (T.81 B.1.1.2) — the segment ends
+    at the first fill byte and the marker code is read past the run."""
     arr = np.frombuffer(data, np.uint8, offset=pos)
     ff = np.flatnonzero(arr[:-1] == 0xFF)
     nxt = arr[ff + 1]
-    # markers that END a segment: anything except stuffing (00)
+    # candidate segment ends: any FF not followed by stuffing (00)
     ends = ff[nxt != 0x00]
     seg_start = 0
     for e in ends:
+        if e < seg_start:            # interior of a fill run already consumed
+            continue
         yield bytes(arr[seg_start:e]).replace(b"\xff\x00", b"\xff")
-        m = int(arr[e + 1])
+        j = int(e)
+        while j + 1 < arr.size and arr[j + 1] == 0xFF:
+            j += 1                   # skip FF fill bytes
+        m = int(arr[j + 1]) if j + 1 < arr.size else 0xD9
         if 0xD0 <= m <= 0xD7:       # RSTn: next segment follows the marker
-            seg_start = int(e) + 2
+            seg_start = j + 2
             continue
         return                       # EOI / next real marker: scan over
     yield bytes(arr[seg_start:]).replace(b"\xff\x00", b"\xff")
@@ -416,8 +432,15 @@ def encode_baseline_jpeg(comps, h: int, w: int,
     vmax = max(c["v"] for c in comps)
     out = bytearray(b"\xff\xd8")
     for tq, tab in sorted(quant.items()):
+        tab = np.asarray(tab, np.int64)
+        if (tab < 1).any() or (tab > 255).any():
+            # wrapping mod 256 would silently dequantize wrong downstream;
+            # the 16-bit Pq=1 DQT form is not emitted by this writer
+            raise ValueError(
+                f"quant table {tq} entries must be in [1, 255] "
+                "(this writer emits only the 8-bit Pq=0 DQT form)")
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(np.asarray(tab, np.int64).astype(np.uint8).tolist())
+            + bytes(tab.astype(np.uint8).tolist())
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])

@@ -350,13 +350,17 @@ def _string_bucket_expr(spark) -> str:
     return f"substring(cast(doc_id as string), 1, {n})"
 
 
-def _build_curation_stages(spark, sf_dir, qname):
+def _build_curation_stages(spark, sf_dir, qname, with_manifest=True):
     """Materialize the curation stage set (shingles, eval source,
     contaminated ids, narrow curated manifest) under QNAME's OWN view
     registry slot — each consumer query owns a disjoint set, so the
     driver may build several of these queries' DataFrames before
     executing any of them without one build dropping another's views.
-    Returns (hits_view, msrc_scalar_sql, manifest_view)."""
+    Returns (hits_view, msrc_scalar_sql, manifest_view).
+
+    with_manifest=False skips the manifest stage entirely (an extra
+    corpus scan + md5 rank window at build time): the encoded composite
+    recomputes the keep-policy over encoded rows and never reads it."""
     import uuid as _uuid
     from .operators.staging import materialize
     from .functions.text_udfs import register_text_udfs
@@ -383,19 +387,21 @@ def _build_curation_stages(spark, sf_dir, qname):
         f"join (select distinct shingle from {sh} "
         f"      where source = {msrc}) ev on e.shingle = ev.shingle "
         f"where e.source != {msrc} group by e.doc_id"))
-    # doc_id stays NATIVE-typed (matching curated_tok_select): the
-    # totals side's bucket expression must see the same dtype/order
-    # as the window side
-    inner = ("select doc_id, source, "
-             "size(split(text, ' ')) as n_tok, "
-             "row_number() over (partition by md5(text) "
-             "order by cast(doc_id as string)) as rn "
-             f"from documents where source != {msrc}")
-    man = stage("man", spark.sql(
-        f"select doc_id, source, n_tok from ({inner}) base "
-        f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
-        f"and not exists (select 1 from {hits} h "
-        "where h.doc_id = cast(base.doc_id as string))"))
+    man = None
+    if with_manifest:
+        # doc_id stays NATIVE-typed (matching curated_tok_select): the
+        # totals side's bucket expression must see the same dtype/order
+        # as the window side
+        inner = ("select doc_id, source, "
+                 "size(split(text, ' ')) as n_tok, "
+                 "row_number() over (partition by md5(text) "
+                 "order by cast(doc_id as string)) as rn "
+                 f"from documents where source != {msrc}")
+        man = stage("man", spark.sql(
+            f"select doc_id, source, n_tok from ({inner}) base "
+            f"where rn = 1 and n_tok >= {pipeline_sql.CURATE_MIN_TOK} "
+            f"and not exists (select 1 from {hits} h "
+            "where h.doc_id = cast(base.doc_id as string))"))
     _STAGE_VIEWS[(id(spark), qname)] = tuple(names.values())
     return hits, msrc, man
 
@@ -425,11 +431,14 @@ def curated_encoded_rows(spark, sf_dir, qname="curated_pack_encoded"):
     The contaminated-id set is small by construction (eval-overlap docs):
     broadcast the anti-join, corpus never reshuffles for it."""
     from pyspark.sql import Window as W
-    from pyspark.sql.types import NumericType  # noqa: F401 (callers use it)
-    from .codec import batched
     from .operators.packing import _encode_docs
 
-    hits, msrc, _man = _build_curation_stages(spark, sf_dir, qname)
+    # with_manifest=False: the raw-token manifest stage is only read by
+    # curated_pack_sequences' totals side; building it here would add an
+    # eagerly-materialized corpus scan + rank window this composite never
+    # consumes (review r7)
+    hits, msrc, _man = _build_curation_stages(spark, sf_dir, qname,
+                                              with_manifest=False)
     d = pipeline_sql.Dialect("spark")
     dtype = spark.table("documents").schema["doc_id"].dataType
     n_tok = d.alen(d.split("text"))

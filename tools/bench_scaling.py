@@ -24,13 +24,18 @@ def run_level(cores: int, n_docs: int, partitions: int) -> dict:
     only the number of concurrently running tasks changes — the local-mode
     analog of adding executors to a fixed-partitioning job.  Warm-up pass
     first (JIT, python worker pool, allocator pools), then best of 2 measured
-    passes (the sandbox's cold-page memory behavior is noisy)."""
+    passes (the sandbox's cold-page memory behavior is noisy).  Exits
+    non-zero on failure via main()'s normal exception propagation — run it
+    UNPIPED (a `| tail` masks the exit code; this bit r7 once)."""
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     import bench
     spark = get_spark(app=f"scaling-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    best = bench.throughput_job(spark, n_docs, partitions=partitions, reps=4)
+    # throughput_job reps are convergence-gated since r7 (bench.py
+    # _converged_passes: min 3, cap 8, stop when the last two passes agree
+    # within 15%) — strictly stronger than the old fixed reps=4
+    best = bench.throughput_job(spark, n_docs, partitions=partitions)
     spark.stop()
     return best
 
