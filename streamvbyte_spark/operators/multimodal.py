@@ -257,14 +257,15 @@ def decode_png(payload) -> np.ndarray:
 
 
 def decode_audio(payload) -> tuple[np.ndarray, int]:
-    """Decode a WAV (RIFF PCM, 8- or 16-bit) payload to
-    (samples[frames, channels], sample_rate) — pure NumPy chunk walk over a
-    bytes or uint8-view payload (only the 8-byte chunk headers materialize
-    as Python ints; sample data stays a NumPy view).  Other containers fall
-    through to soundfile if available, else raise."""
+    """Decode a WAV payload — RIFF PCM (8/16-bit) or COMPRESSED mono IMA
+    ADPCM (format 0x11, 4-bit) — to (samples[frames, channels],
+    sample_rate): pure NumPy chunk walk over a bytes or uint8-view payload
+    (only the 8-byte chunk headers materialize as Python ints; sample data
+    stays a NumPy view).  Other containers fall through to soundfile if
+    available, else raise."""
     buf = _as_u8(payload)
     if buf[:4].tobytes() == b"RIFF" and buf[8:12].tobytes() == b"WAVE":
-        pos, fmt, data = 12, None, None
+        pos, fmt, data, fact = 12, None, None, None
         size = buf.size
         while pos + 8 <= size:
             cid = buf[pos:pos + 4].tobytes()
@@ -274,6 +275,8 @@ def decode_audio(payload) -> tuple[np.ndarray, int]:
                 fmt = body.tobytes()
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and sz >= 4:
+                fact = int.from_bytes(body[:4].tobytes(), "little")
             pos += 8 + sz + (sz & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
@@ -281,10 +284,19 @@ def decode_audio(payload) -> tuple[np.ndarray, int]:
         channels = int.from_bytes(fmt[2:4], "little")
         rate = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format == 0x11:  # IMA/DVI ADPCM — REAL compressed audio
+            if channels != 1:
+                raise NotImplementedError(
+                    "only mono IMA ADPCM WAV decodes natively")
+            block_align = int.from_bytes(fmt[12:14], "little")
+            samples = _decode_ima_adpcm(data, block_align)
+            if fact is not None:
+                samples = samples[:fact]
+            return samples.reshape(-1, 1), rate
         if audio_format != 1 or bits not in (8, 16):
             raise NotImplementedError(
-                f"only PCM 8/16-bit WAV (got format={audio_format}, "
-                f"bits={bits})")
+                f"only PCM 8/16-bit or IMA ADPCM WAV (got "
+                f"format={audio_format}, bits={bits})")
         if bits == 8:
             samples = data
         else:
@@ -304,6 +316,117 @@ def decode_audio(payload) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             "non-WAV audio needs soundfile; install it on the cluster "
             "image (RIFF PCM WAV decodes natively)") from e
+
+
+# IMA/DVI ADPCM tables (public spec data: IMA Digital Audio Pack, 1992 —
+# the step-size and index-adjust tables every IMA decoder ships)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def _decode_ima_adpcm(data: np.ndarray, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM data chunk -> int16 samples.
+
+    Each block carries a full decoder state header (predictor int16 LE,
+    step index, reserved), so blocks are INDEPENDENT — the whole chunk
+    decodes with per-sample state arrays ACROSS blocks: the only Python
+    loop is over the samples of one block (~2*(block_align-4) steps), each
+    step a vectorized update of every block's predictor/index at once.
+    The per-nibble recurrence itself is sequential by construction (each
+    sample's prediction depends on the previous), like PNG's Paeth filter
+    — the cross-block lanes are where the parallelism lives."""
+    if block_align < 5:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    nb = data.size // block_align
+    if nb == 0:
+        return np.zeros(0, np.int16)
+    blocks = np.ascontiguousarray(data[:nb * block_align]) \
+        .reshape(nb, block_align)
+    pred = (blocks[:, 0].astype(np.uint16)
+            | (blocks[:, 1].astype(np.uint16) << 8)).view(np.int16) \
+        .astype(np.int64)
+    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    payload = blocks[:, 4:]
+    n_nib = 2 * (block_align - 4)
+    nib = np.empty((nb, n_nib), np.uint8)
+    nib[:, 0::2] = payload & 0x0F   # low nibble first (IMA WAV order)
+    nib[:, 1::2] = payload >> 4
+    out = np.empty((nb, 1 + n_nib), np.int16)
+    out[:, 0] = pred
+    for j in range(n_nib):
+        n = nib[:, j].astype(np.int64)
+        step = _IMA_STEP[idx]
+        diff = (step >> 3) + np.where(n & 4, step, 0) \
+            + np.where(n & 2, step >> 1, 0) + np.where(n & 1, step >> 2, 0)
+        pred = np.where(n & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + _IMA_INDEX[n & 7], 0, 88)
+        out[:, j + 1] = pred
+    return out.reshape(-1)
+
+
+def encode_ima_adpcm_constant(vals: np.ndarray, rate: int = 16000,
+                              block_align: int = 8) -> bytes:
+    """Valid mono IMA ADPCM WAV of CONSTANT blocks — the lossless fixture
+    shape: each block's header predictor is one int16 of `vals` and every
+    nibble is 0, which at step index 0 gives diff = step>>3 = 7>>3 = 0, so
+    the predictor never moves and the block decodes to exactly
+    1 + 2*(block_align-4) copies of its header value.  The gate query's
+    byte-math oracle recomputes that without touching ADPCM code."""
+    import struct
+    vals = np.asarray(vals, np.int16)
+    nb = vals.size
+    spb = 1 + 2 * (block_align - 4)
+    blocks = np.zeros((nb, block_align), np.uint8)
+    le = vals.astype("<i2").view(np.uint8).reshape(nb, 2)
+    blocks[:, 0:2] = le               # predictor; index 0; nibbles 0
+    data = blocks.tobytes()
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // spb, block_align, 4, 2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, nb * spb)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_adpcm_table(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Deterministic REAL COMPRESSED audio: each pair of document bytes
+    becomes the int16 header predictor of one all-zero-nibble IMA ADPCM
+    block (trailing odd byte dropped; docs shorter than one block
+    filtered) — decode_audio's block-vectorized ADPCM path must walk the
+    real header/nibble state machine to reproduce the constant samples the
+    byte-math oracle predicts."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc = batch.column(batch.schema.get_field_index("doc_id"))
+            flat, offsets = _flat_bytes(
+                batch.column(batch.schema.get_field_index("payload")))
+            payloads = []
+            for i in range(len(doc)):
+                px = flat[offsets[i]:offsets[i + 1]]
+                nb = px.size // 2
+                if nb < 1:
+                    payloads.append(None)
+                    continue
+                vals = (px[:2 * nb:2].astype(np.uint16)
+                        | (px[1:2 * nb:2].astype(np.uint16) << 8)) \
+                    .view(np.int16)
+                payloads.append(encode_ima_adpcm_constant(vals, rate))
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"])
+
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.encode("text", "utf-8").alias("payload"))
+    return (base.mapInArrow(run, "doc_id string, payload binary")
+            .where(F.col("payload").isNotNull()))
 
 
 def resize_image(img_or_payload, w: int, h: int) -> np.ndarray:

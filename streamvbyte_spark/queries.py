@@ -290,11 +290,12 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 GATE_ROTATE_OUT: tuple[str, ...] = (
     # r7 rotation: the 28 r5-green entries rotated out in r6 all RETURN to
     # the window (they have no r6 row; r6∪r7 must cover all queries), and
-    # these r6-green entries leave.  Kept in-window besides MUST_GATE: the
-    # queries this round's code touched (curated_* rank-window rewrite,
-    # pack_encoded_rows refactor, ef/auto_sorted selector) and all new r7
-    # queries.
+    # these 34 r6-green entries leave.  Kept in-window besides MUST_GATE:
+    # the queries this round's code touched (curated_* rank-window
+    # rewrite, pack_encoded_rows refactor, ef/auto_sorted selector) and
+    # all six new r7 queries.
     "svb_roundtrip", "svb0124_roundtrip", "fsst_roundtrip",
+    "delta_roundtrip_postings",
     "zigzag_roundtrip_embeddings", "zzdelta_roundtrip_embeddings",
     "auto_full_roundtrip", "image_decode_stats", "png_decode_stats",
     "audio_decode_stats", "csv_roundtrip", "vocab_remap_metrics",
@@ -808,6 +809,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_stats_table(synth_wav_table(docs))
 
     q["audio_decode_stats"] = audio_decode_stats
+
+    # REAL COMPRESSED audio decode (r7): pairs of document bytes become the
+    # int16 header predictors of all-zero-nibble IMA ADPCM blocks — a
+    # LOSSLESS fixture shape (nibble 0 at step index 0 moves the predictor
+    # by step>>3 = 0), so decode_audio's block-vectorized ADPCM state
+    # machine must reproduce exactly 9 copies of each header value and the
+    # byte-math oracle never touches ADPCM code.  Nontrivial nibble paths
+    # are pinned by a random-payload parity test against an in-test scalar
+    # reference decoder (tests/test_multimodal_decode.py).
+    def adpcm_decode_stats(spark, sf_dir):
+        from .operators.multimodal import (audio_stats_table,
+                                           synth_adpcm_table)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return audio_stats_table(synth_adpcm_table(docs))
+
+    q["adpcm_decode_stats"] = adpcm_decode_stats
 
     # JSONL staging format round-trip: the canonical token table written as
     # JSON-Lines and read back through tokens_from_jsonl must carry the
@@ -1542,6 +1559,20 @@ def build_oracles() -> dict[str, str]:
         "then bytes[2*i + 1] + 256 * bytes[2*i + 2] - 65536 "
         "else bytes[2*i + 1] + 256 * bytes[2*i + 2] end)) as bigint) as sum_samples "
         "from wav")
+    # ADPCM decode oracle: one int16 (little-endian byte pair) per
+    # constant block, 9 samples per block (block_align 8) — sum_samples is
+    # 9x the signed pair sum; byte math only, no ADPCM code
+    o["adpcm_decode_stats"] = (
+        f"{_mm_bytes}, "
+        "wav as (select doc_id, (n // 2)::int as nb, bytes from e "
+        "where n >= 2) "
+        "select doc_id, (9 * nb)::int as frames, 1 as channels, "
+        "16000 as sample_rate, "
+        "cast(9 * list_sum(list_transform(range(0, nb), i -> "
+        "case when bytes[2*i + 1] + 256 * bytes[2*i + 2] >= 32768 "
+        "then bytes[2*i + 1] + 256 * bytes[2*i + 2] - 65536 "
+        "else bytes[2*i + 1] + 256 * bytes[2*i + 2] end)) as bigint) "
+        "as sum_samples from wav")
     o["multimodal_frames"] = (
         f"{_mm_bytes}, "
         "fr as (select doc_id, n, bytes, unnest(list_filter(range(0, (n + 63) // 64), "

@@ -106,7 +106,7 @@ QUERIES = [
     # and single-word docs are sorted — the mask must flip per row), and
     # baseline JPEG decode over multibyte/emoji/empty byte streams (docs
     # under 2 bytes are filtered on BOTH sides)
-    "auto_sorted_size", "jpeg_decode_stats",
+    "auto_sorted_size", "jpeg_decode_stats", "adpcm_decode_stats",
 ]
 
 

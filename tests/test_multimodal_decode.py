@@ -166,3 +166,63 @@ def test_png_rejects_unsupported_shapes():
         decode_png(bytes(png))
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+
+
+def test_ima_adpcm_matches_scalar_reference():
+    """The block-vectorized ADPCM decoder must equal an INDEPENDENT scalar
+    implementation of the IMA recurrence on random nibble payloads — all
+    step/index transitions, both clamps, every block size.  The gate
+    query's constant-block fixtures cannot reach the nonzero-nibble
+    paths; this parity test is what pins them."""
+    from streamvbyte_spark.operators.multimodal import (
+        _IMA_INDEX, _IMA_STEP, _decode_ima_adpcm)
+
+    def ref(data, ba):
+        out = []
+        for b in range(len(data) // ba):
+            blk = data[b * ba:(b + 1) * ba]
+            pred = int.from_bytes(bytes(blk[0:2]), "little", signed=True)
+            idx = min(max(blk[2], 0), 88)
+            out.append(pred)
+            for byte in blk[4:]:
+                for n in (byte & 0xF, byte >> 4):
+                    step = int(_IMA_STEP[idx])
+                    diff = step >> 3
+                    if n & 4:
+                        diff += step
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 1:
+                        diff += step >> 2
+                    pred = pred - diff if n & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+                    out.append(pred)
+        return out
+
+    rng = np.random.default_rng(7)
+    for ba in (5, 8, 36, 256):
+        data = rng.integers(0, 256, 30 * ba).astype(np.uint8)
+        got = _decode_ima_adpcm(data, ba)
+        assert got.tolist() == ref(data.tolist(), ba), ba
+    with pytest.raises(ValueError, match="block_align"):
+        _decode_ima_adpcm(np.zeros(16, np.uint8), 4)
+
+
+def test_ima_adpcm_constant_wav_and_dispatch():
+    """encode_ima_adpcm_constant -> decode_audio: the ADPCM WAV dispatch
+    path (format 0x11, fact-chunk trim) reproduces exactly 9 copies of
+    each int16 header value, including the int16 boundary values; stereo
+    ADPCM raises loudly."""
+    from streamvbyte_spark.operators.multimodal import (
+        decode_audio, encode_ima_adpcm_constant)
+    vals = np.array([-32768, 32767, 0, -1, 1, 12345], np.int16)
+    wav = encode_ima_adpcm_constant(vals, rate=8000)
+    s, rate = decode_audio(np.frombuffer(wav, np.uint8))
+    assert rate == 8000 and s.shape == (54, 1)
+    np.testing.assert_array_equal(s[:, 0], np.repeat(vals, 9))
+    bad = bytearray(wav)
+    # channels field lives at fmt body offset 2 (RIFF 12 + 'fmt '+size 8)
+    bad[12 + 8 + 2] = 2
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_audio(np.frombuffer(bytes(bad), np.uint8))
