@@ -26,7 +26,7 @@ HEADLINE = [
     "ann_recall", "dedup_minhash_verified", "pack_store_roundtrip",
     "png_decode_stats", "curation_pipeline", "curated_pack_sequences",
     "curated_pack_encoded", "chunked_ef_roundtrip", "auto_sorted_size",
-    "jpeg_decode_stats",
+    "jpeg_decode_stats", "adpcm_decode_stats",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -190,6 +190,10 @@ NOTES = {
         "MapInArrow synthesizes lossless constant-block JPEGs, one runs "
         "the marker walk + canonical Huffman + batched einsum IDCT; "
         "map-only, zero shuffles.",
+    "adpcm_decode_stats": "Real compressed-audio decode (r7, no "
+        "soundfile): block-vectorized IMA ADPCM — state arrays across "
+        "blocks, the loop is over samples-in-block; map-only, zero "
+        "shuffles.",
 }
 
 
