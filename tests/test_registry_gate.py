@@ -40,3 +40,27 @@ def test_rotated_out_queries_exist_and_fit():
     assert len(in_window) <= q.GATE_WINDOW
     # rotated entries are contiguous at the END (insertion-order contract)
     assert names[-len(q.GATE_ROTATE_OUT):] == list(q.GATE_ROTATE_OUT)
+
+
+def test_rotated_out_queries_were_driver_green_before():
+    """A query may leave the driver's window only if SOME past round's
+    CORRECTNESS artifact shows it fully green — rotating out a
+    never-gated (or last-seen-failing) query would hide it from the
+    driver indefinitely.  New queries must therefore enter IN-window."""
+    import glob
+    import json
+    import os
+    files = sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    if not files:
+        import pytest
+        pytest.skip("no driver correctness artifacts yet (round 1)")
+    green = set()
+    for f in files:
+        for name, row in json.load(open(f)).items():
+            if isinstance(row, dict) and row.get("rows_match") \
+                    and row.get("schema_match") and row.get("hash_match"):
+                green.add(name)
+    never_green = [n for n in q.GATE_ROTATE_OUT if n not in green]
+    assert not never_green, \
+        f"rotated out without any prior green driver row: {never_green}"
