@@ -691,7 +691,7 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
         if name == "fsst":
             return _fsst_encode_rows(g_flat, g_offsets)
         if name == "ef":
-            return _ef_encode_rows(g_flat, g_offsets)
+            return ef_encode_rows(g_flat, g_offsets)
         fn = select.REGISTRY[name].encode
         bufs = [fn(g_flat[g_offsets[i]:g_offsets[i + 1]]) for i in range(g_rows)]
         enc = np.frombuffer(b"".join(bufs), dtype=np.uint8)
@@ -783,7 +783,7 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
     if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "fsst":
         return _fsst_decode_rows(enc, enc_offsets, n_toks)
     if unique_cids.size == 1 and CODEC_NAMES[unique_cids[0]] == "ef":
-        return _ef_decode_rows(enc, enc_offsets, n_toks)
+        return ef_decode_rows(enc, enc_offsets, n_toks)
     offsets = np.concatenate([[0], np.cumsum(n_toks)])
     flat = np.zeros(int(offsets[-1]), dtype=np.uint32)
     for cid in unique_cids:
@@ -807,7 +807,7 @@ def decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarray,
         elif name == "fsst":
             vals, voff = _fsst_decode_rows(sub_enc, sub_eoff, sub_n)
         elif name == "ef":
-            vals, voff = _ef_decode_rows(sub_enc, sub_eoff, sub_n)
+            vals, voff = ef_decode_rows(sub_enc, sub_eoff, sub_n)
         else:
             fn = select.REGISTRY[name].decode
             parts = [fn(sub_enc[sub_eoff[i]:sub_eoff[i + 1]].tobytes(), int(sub_n[i]))
@@ -860,14 +860,14 @@ def decode_prefix_rows(enc: np.ndarray, enc_offsets: np.ndarray,
         else:
             fvals, fvoff = decode_rows(sub_enc, sub_eoff, n_toks[rows],
                                        np.full(rows.size, cid, np.int32))
-            vals, voff = _subset_prefix(fvals, fvoff, kk[rows])
+            vals, voff = subset_prefix(fvals, fvoff, kk[rows])
         sub_k = kk[rows]
         intra = np.arange(int(voff[-1]), dtype=np.int64) - np.repeat(voff[:-1], sub_k)
         flat[np.repeat(offsets[:-1][rows], sub_k) + intra] = vals
     return flat, offsets
 
 
-def _subset_prefix(flat: np.ndarray, offsets: np.ndarray, kk: np.ndarray):
+def subset_prefix(flat: np.ndarray, offsets: np.ndarray, kk: np.ndarray):
     """First kk[r] values of each row (vectorized truncate)."""
     out_off = np.concatenate([[0], np.cumsum(kk)])
     intra = np.arange(int(out_off[-1]), dtype=np.int64) - np.repeat(out_off[:-1], kk)
@@ -1489,10 +1489,14 @@ def _ef_params_rows(flat, offsets):
     return nr, u, L
 
 
-def _ef_encode_rows(flat, offsets):
+def ef_encode_rows(flat, offsets):
     """Batched Elias-Fano: per-row layout 1B L + fixed-width low halves
     (byte-window _pack_bits_rows) + unary upper bit vector (one global
-    scatter of n ones + packbits over the batch)."""
+    scatter of n ones + packbits over the batch).
+
+    PUBLIC cross-module contract (with ef_decode_rows / subset_prefix):
+    operators/chunking.py builds the chunked-EF wire format on these —
+    renaming or changing their signatures changes stored bytes."""
     _ef_validate_rows(flat, offsets)
     nr, u, L = _ef_params_rows(flat, offsets)
     R = nr.size
@@ -1525,7 +1529,7 @@ def _ef_encode_rows(flat, offsets):
     return out, out_offsets
 
 
-def _ef_decode_rows(enc, enc_offsets, n_toks):
+def ef_decode_rows(enc, enc_offsets, n_toks):
     n_toks = np.asarray(n_toks, dtype=np.int64)
     R = n_toks.size
     offsets = np.concatenate([[0], np.cumsum(n_toks)])

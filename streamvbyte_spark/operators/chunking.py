@@ -78,7 +78,7 @@ def encode_chunked_delta(chunked: DataFrame,
             flat, offsets = _list_to_flat(batch.column(batch.schema.get_field_index("chunk")))
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
             if codec == "ef":
-                enc, eoff = batched._ef_encode_rows(
+                enc, eoff = batched.ef_encode_rows(
                     np.ascontiguousarray(flat, dtype=np.uint32), offsets)
             else:
                 enc, eoff = batched.encode_delta_rows_prev(flat, offsets, prev)
@@ -115,7 +115,7 @@ def decode_chunked_delta(enc_df: DataFrame,
             n_toks = np.asarray(batch.column(batch.schema.get_field_index("n_tok")), dtype=np.int64)
             prev = np.asarray(batch.column(batch.schema.get_field_index("prev")), dtype=np.int64)
             if codec == "ef":
-                flat, offsets = batched._ef_decode_rows(enc, eoff, n_toks)
+                flat, offsets = batched.ef_decode_rows(enc, eoff, n_toks)
             else:
                 flat, offsets = batched.decode_delta_rows_prev(
                     enc, eoff, n_toks, prev)
@@ -239,7 +239,7 @@ def decode_reassemble_fused(enc_df: DataFrame,
 
     codec='ef' consumes encode_chunked_delta(codec='ef') chunks (absolute
     Elias-Fano values, prev ignored); under max_len the straddling chunk
-    decodes whole and prefix-slices (batched._subset_prefix)."""
+    decodes whole and prefix-slices (batched.subset_prefix)."""
     if codec not in _CHUNK_CODECS:
         raise ValueError(f"chunk codec must be one of {_CHUNK_CODECS}, "
                          f"got {codec!r}")
@@ -281,13 +281,13 @@ def decode_reassemble_fused(enc_df: DataFrame,
 
         def decode_runs(ids, kk, prev, enc, eoff, n_toks):
             if codec == "ef":
-                flat, offs = batched._ef_decode_rows(
+                flat, offs = batched.ef_decode_rows(
                     enc, eoff, kk if n_toks is None else n_toks)
                 if n_toks is not None:
                     # EF has no O(prefix) partial decode like svb's
                     # control-byte layout: the straddling chunk decodes
                     # whole (bounded by chunk_size) and truncates here
-                    flat, offs = batched._subset_prefix(flat, offs, kk)
+                    flat, offs = batched.subset_prefix(flat, offs, kk)
             else:
                 flat, offs = batched.decode_delta_rows_prev(
                     enc, eoff, kk if n_toks is None else n_toks, prev,

@@ -214,11 +214,33 @@ def decode_jpeg(payload) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes natively")
+            if nc not in (1, 3):
+                # 2- and 4-component baselines (e.g. Adobe CMYK/YCCK) are
+                # legal per T.81 but this decoder's color path assumes
+                # grayscale or YCbCr; raise the NotImplementedError that
+                # decode_image catches so the PIL fallback engages instead
+                # of dying on plane unpacking (r7 advice item 1)
+                raise NotImplementedError(
+                    f"only 1- or 3-component baseline JPEG decodes "
+                    f"natively (SOF0 has {nc} components)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
+            hmax = max(x["h"] for x in comps)
+            vmax = max(x["v"] for x in comps)
+            for x in comps:
+                if x["h"] < 1 or x["v"] < 1 or hmax % x["h"] or \
+                        vmax % x["v"]:
+                    # non-integer sampling ratios (hmax=3 with h=2, legal
+                    # per T.81) would make the np.repeat upsample emit a
+                    # wrong-sized plane and garbage pixels; reject loudly
+                    # so the PIL fallback engages (r7 advice item 2)
+                    raise NotImplementedError(
+                        f"non-integer chroma sampling ratio "
+                        f"({hmax}/{x['h']} x {vmax}/{x['v']}) not "
+                        f"decoded natively")
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -307,14 +329,26 @@ def _decode_scan(data, pos, frame, scan, qt, huff, ri):
         n_units = n_mcu * per_mcu
 
     segments = _entropy_segments(data, pos)
-    reader = _BitReader(next(segments))
+
+    def next_segment():
+        # a truncated/corrupt restart-interval stream must raise a decode
+        # error, not leak the generator's bare StopIteration (r7 advice
+        # item 3)
+        try:
+            return next(segments)
+        except StopIteration:
+            raise ValueError(
+                "JPEG entropy stream truncated at restart interval") \
+                from None
+
+    reader = _BitReader(next_segment())
     pred = [0] * len(scan)
     unit = 0
     mcu_in_seg = 0
     blk_idx = [0] * len(scan)
     while unit < n_units:
         if ri and mcu_in_seg == ri * per_mcu:
-            reader = _BitReader(next(segments))
+            reader = _BitReader(next_segment())
             pred = [0] * len(scan)
             mcu_in_seg = 0
         k, td, ta = order[unit % per_mcu] if len(scan) > 1 else order[0]

@@ -368,7 +368,7 @@ def test_chunked_ef_roundtrip_and_truncate(spark):
     sorted chunks encoded as ABSOLUTE Elias-Fano values (no prev seed) and
     must reassemble exactly — including under truncation at every cut
     placement (the straddling chunk decodes whole and prefix-slices,
-    batched._subset_prefix) and with 2-row Arrow batches so carried runs
+    batched.subset_prefix) and with 2-row Arrow batches so carried runs
     mix in.
     An unsorted row must fail loudly at encode, and an unknown chunk codec
     at plan time."""
