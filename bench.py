@@ -149,7 +149,13 @@ def main():
                 # scan; md5 rank window + contamination anti-join over
                 # encoded rows; no raw-token shuffle) — the flagship
                 # production composite, benched for round-over-round
-                "curated_pack_encoded"]
+                "curated_pack_encoded",
+                # r8: the stored-pack round trip (write the encoded pack
+                # table to parquet, read it back, decode + checksum-verify)
+                # — the dataloader-serving hot path at training time; a
+                # read-path regression was previously invisible round-over-
+                # round (r7 verdict item 6)
+                "pack_store_roundtrip"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

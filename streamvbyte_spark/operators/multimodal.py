@@ -257,8 +257,8 @@ def decode_png(payload) -> np.ndarray:
 
 
 def decode_audio(payload) -> tuple[np.ndarray, int]:
-    """Decode a WAV payload — RIFF PCM (8/16-bit) or COMPRESSED mono IMA
-    ADPCM (format 0x11, 4-bit) — to (samples[frames, channels],
+    """Decode a WAV payload — RIFF PCM (8/16-bit) or COMPRESSED mono or
+    multichannel IMA ADPCM (format 0x11, 4-bit) — to (samples[frames, channels],
     sample_rate): pure NumPy chunk walk over a bytes or uint8-view payload
     (only the 8-byte chunk headers materialize as Python ints; sample data
     stays a NumPy view).  Other containers fall through to soundfile if
@@ -285,14 +285,11 @@ def decode_audio(payload) -> tuple[np.ndarray, int]:
         rate = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
         if audio_format == 0x11:  # IMA/DVI ADPCM — REAL compressed audio
-            if channels != 1:
-                raise NotImplementedError(
-                    "only mono IMA ADPCM WAV decodes natively")
             block_align = int.from_bytes(fmt[12:14], "little")
-            samples = _decode_ima_adpcm(data, block_align)
+            samples = _decode_ima_adpcm(data, block_align, channels)
             if fact is not None:
-                samples = samples[:fact]
-            return samples.reshape(-1, 1), rate
+                samples = samples[:fact]   # fact counts FRAMES
+            return samples, rate
         if audio_format != 1 or bits not in (8, 16):
             raise NotImplementedError(
                 f"only PCM 8/16-bit or IMA ADPCM WAV (got "
@@ -331,34 +328,56 @@ _IMA_STEP = np.array([
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
 
 
-def _decode_ima_adpcm(data: np.ndarray, block_align: int) -> np.ndarray:
-    """Mono IMA ADPCM data chunk -> int16 samples.
+def _decode_ima_adpcm(data: np.ndarray, block_align: int,
+                      channels: int = 1) -> np.ndarray:
+    """IMA ADPCM data chunk -> int16 samples, shape (frames, channels).
 
-    Each block carries a full decoder state header (predictor int16 LE,
-    step index, reserved), so blocks are INDEPENDENT — the whole chunk
-    decodes with per-sample state arrays ACROSS blocks: the only Python
-    loop is over the samples of one block (~2*(block_align-4) steps), each
-    step a vectorized update of every block's predictor/index at once.
-    The per-nibble recurrence itself is sequential by construction (each
-    sample's prediction depends on the previous), like PNG's Paeth filter
-    — the cross-block lanes are where the parallelism lives."""
-    if block_align < 5:
+    Each block carries a full decoder state header PER CHANNEL (predictor
+    int16 LE, step index, reserved), so every (block, channel) pair is an
+    INDEPENDENT decode lane — the whole chunk decodes with per-sample
+    state arrays ACROSS lanes: the only Python loop is over the samples
+    of one channel of one block, each step a vectorized update of every
+    lane's predictor/index at once.  The per-nibble recurrence itself is
+    sequential by construction (each sample's prediction depends on the
+    previous), like PNG's Paeth filter — the cross-lane axis is where the
+    parallelism lives.  Multichannel payloads interleave 4-byte words
+    round-robin per channel (8 nibbles = 8 consecutive samples of one
+    channel, then the next channel's word — the IMA WAV mapping), so the
+    lane-byte gather is one reshape+transpose; mono payloads stream
+    byte-granular with no word-alignment requirement."""
+    hdr = 4 * channels
+    if channels < 1:
+        raise ValueError(f"IMA ADPCM channels {channels} invalid")
+    if block_align < hdr + (1 if channels == 1 else 4 * channels):
         raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    if channels > 1 and (block_align - hdr) % (4 * channels):
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} not 4-byte-word aligned "
+            f"for {channels} channels")
     nb = data.size // block_align
     if nb == 0:
-        return np.zeros(0, np.int16)
+        return np.zeros((0, channels), np.int16)
     blocks = np.ascontiguousarray(data[:nb * block_align]) \
         .reshape(nb, block_align)
-    pred = (blocks[:, 0].astype(np.uint16)
-            | (blocks[:, 1].astype(np.uint16) << 8)).view(np.int16) \
-        .astype(np.int64)
-    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
-    payload = blocks[:, 4:]
-    n_nib = 2 * (block_align - 4)
-    nib = np.empty((nb, n_nib), np.uint8)
-    nib[:, 0::2] = payload & 0x0F   # low nibble first (IMA WAV order)
-    nib[:, 1::2] = payload >> 4
-    out = np.empty((nb, 1 + n_nib), np.int16)
+    heads = blocks[:, :hdr].reshape(nb, channels, 4)
+    pred = (heads[:, :, 0].astype(np.uint16)
+            | (heads[:, :, 1].astype(np.uint16) << 8)).view(np.int16) \
+        .astype(np.int64).reshape(nb * channels)
+    idx = np.clip(heads[:, :, 2].astype(np.int64), 0, 88) \
+        .reshape(nb * channels)
+    if channels == 1:
+        lane_bytes = blocks[:, 4:]
+    else:
+        n_words = (block_align - hdr) // (4 * channels)
+        lane_bytes = np.ascontiguousarray(
+            blocks[:, hdr:].reshape(nb, n_words, channels, 4)
+            .transpose(0, 2, 1, 3)).reshape(nb * channels, n_words * 4)
+    lanes = nb * channels
+    n_nib = 2 * lane_bytes.shape[1]
+    nib = np.empty((lanes, n_nib), np.uint8)
+    nib[:, 0::2] = lane_bytes & 0x0F   # low nibble first (IMA WAV order)
+    nib[:, 1::2] = lane_bytes >> 4
+    out = np.empty((lanes, 1 + n_nib), np.int16)
     out[:, 0] = pred
     for j in range(n_nib):
         n = nib[:, j].astype(np.int64)
@@ -369,26 +388,40 @@ def _decode_ima_adpcm(data: np.ndarray, block_align: int) -> np.ndarray:
         np.clip(pred, -32768, 32767, out=pred)
         idx = np.clip(idx + _IMA_INDEX[n & 7], 0, 88)
         out[:, j + 1] = pred
-    return out.reshape(-1)
+    # lanes (block, channel, sample) -> frame-major interleaved samples
+    return (out.reshape(nb, channels, 1 + n_nib).transpose(0, 2, 1)
+            .reshape(nb * (1 + n_nib), channels))
 
 
 def encode_ima_adpcm_constant(vals: np.ndarray, rate: int = 16000,
-                              block_align: int = 8) -> bytes:
-    """Valid mono IMA ADPCM WAV of CONSTANT blocks — the lossless fixture
-    shape: each block's header predictor is one int16 of `vals` and every
-    nibble is 0, which at step index 0 gives diff = step>>3 = 7>>3 = 0, so
-    the predictor never moves and the block decodes to exactly
-    1 + 2*(block_align-4) copies of its header value.  The gate query's
-    byte-math oracle recomputes that without touching ADPCM code."""
+                              block_align: int = 8,
+                              channels: int = 1) -> bytes:
+    """Valid IMA ADPCM WAV of CONSTANT blocks — the lossless fixture
+    shape: each block's per-channel header predictor is one int16 of
+    `vals` and every nibble is 0, which at step index 0 gives diff =
+    step>>3 = 7>>3 = 0, so the predictor never moves and each channel of
+    a block decodes to exactly 1 + 2*(block_align-4*channels)/channels
+    copies of its header value.  The gate query's byte-math oracle
+    recomputes that without touching ADPCM code.  vals: 1-D for mono
+    (one block per value), (n_blocks, channels) for multichannel.
+    Multichannel block_align defaults to 8*channels (one interleaved
+    word group)."""
     import struct
     vals = np.asarray(vals, np.int16)
-    nb = vals.size
-    spb = 1 + 2 * (block_align - 4)
+    if channels > 1:
+        vals = vals.reshape(-1, channels)
+        if block_align == 8:
+            block_align = 8 * channels
+    else:
+        vals = vals.reshape(-1, 1)
+    nb = vals.shape[0]
+    spb = 1 + 2 * (block_align - 4 * channels) // channels
     blocks = np.zeros((nb, block_align), np.uint8)
-    le = vals.astype("<i2").view(np.uint8).reshape(nb, 2)
-    blocks[:, 0:2] = le               # predictor; index 0; nibbles 0
+    le = vals.astype("<i2").view(np.uint8)   # (nb, 2*channels)
+    for c in range(channels):                # predictor; index 0; nibbles 0
+        blocks[:, 4 * c:4 * c + 2] = le[:, 2 * c:2 * c + 2]
     data = blocks.tobytes()
-    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, rate,
                       rate * block_align // spb, block_align, 4, 2, spb)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<II", 4, nb * spb)

@@ -169,51 +169,75 @@ def test_png_rejects_unsupported_shapes():
 
 
 def test_ima_adpcm_matches_scalar_reference():
-    """The block-vectorized ADPCM decoder must equal an INDEPENDENT scalar
+    """The lane-vectorized ADPCM decoder must equal an INDEPENDENT scalar
     implementation of the IMA recurrence on random nibble payloads — all
-    step/index transitions, both clamps, every block size.  The gate
-    query's constant-block fixtures cannot reach the nonzero-nibble
-    paths; this parity test is what pins them."""
+    step/index transitions, both clamps, every block size, mono AND
+    multichannel (per-channel headers, 4-byte-word round-robin payload
+    interleave).  The gate query's constant-block fixtures cannot reach
+    the nonzero-nibble paths; this parity test is what pins them."""
     from streamvbyte_spark.operators.multimodal import (
         _IMA_INDEX, _IMA_STEP, _decode_ima_adpcm)
 
-    def ref(data, ba):
-        out = []
+    def step_one(pred, idx, n):
+        step = int(_IMA_STEP[idx])
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+        return pred, idx
+
+    def ref(data, ba, ch=1):
+        frames = []
         for b in range(len(data) // ba):
             blk = data[b * ba:(b + 1) * ba]
-            pred = int.from_bytes(bytes(blk[0:2]), "little", signed=True)
-            idx = min(max(blk[2], 0), 88)
-            out.append(pred)
-            for byte in blk[4:]:
-                for n in (byte & 0xF, byte >> 4):
-                    step = int(_IMA_STEP[idx])
-                    diff = step >> 3
-                    if n & 4:
-                        diff += step
-                    if n & 2:
-                        diff += step >> 1
-                    if n & 1:
-                        diff += step >> 2
-                    pred = pred - diff if n & 8 else pred + diff
-                    pred = max(-32768, min(32767, pred))
-                    idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
-                    out.append(pred)
-        return out
+            chans = []
+            for c in range(ch):
+                pred = int.from_bytes(bytes(blk[4 * c:4 * c + 2]),
+                                      "little", signed=True)
+                idx = min(max(blk[4 * c + 2], 0), 88)
+                out = [pred]
+                # channel c owns bytes of every ch-th 4-byte word
+                payload = blk[4 * ch:]
+                lane = []
+                for w in range(len(payload) // (4 * ch)):
+                    lane += payload[(w * ch + c) * 4:(w * ch + c) * 4 + 4]
+                if ch == 1:
+                    lane = payload
+                for byte in lane:
+                    for n in (byte & 0xF, byte >> 4):
+                        pred, idx = step_one(pred, idx, n)
+                        out.append(pred)
+                chans.append(out)
+            frames += [list(t) for t in zip(*chans)]
+        return frames
 
     rng = np.random.default_rng(7)
     for ba in (5, 8, 36, 256):
         data = rng.integers(0, 256, 30 * ba).astype(np.uint8)
         got = _decode_ima_adpcm(data, ba)
         assert got.tolist() == ref(data.tolist(), ba), ba
+    for ch, ba in ((2, 16), (2, 40), (4, 32), (3, 36)):
+        data = rng.integers(0, 256, 20 * ba).astype(np.uint8)
+        got = _decode_ima_adpcm(data, ba, ch)
+        assert got.shape[1] == ch
+        assert got.tolist() == ref(data.tolist(), ba, ch), (ch, ba)
     with pytest.raises(ValueError, match="block_align"):
         _decode_ima_adpcm(np.zeros(16, np.uint8), 4)
+    with pytest.raises(ValueError, match="word aligned|word-aligned"):
+        _decode_ima_adpcm(np.zeros(40, np.uint8), 20, 2)
 
 
 def test_ima_adpcm_constant_wav_and_dispatch():
     """encode_ima_adpcm_constant -> decode_audio: the ADPCM WAV dispatch
     path (format 0x11, fact-chunk trim) reproduces exactly 9 copies of
-    each int16 header value, including the int16 boundary values; stereo
-    ADPCM raises loudly."""
+    each int16 header value, including the int16 boundary values — mono
+    and stereo (per-channel headers, interleaved word payload)."""
     from streamvbyte_spark.operators.multimodal import (
         decode_audio, encode_ima_adpcm_constant)
     vals = np.array([-32768, 32767, 0, -1, 1, 12345], np.int16)
@@ -221,8 +245,11 @@ def test_ima_adpcm_constant_wav_and_dispatch():
     s, rate = decode_audio(np.frombuffer(wav, np.uint8))
     assert rate == 8000 and s.shape == (54, 1)
     np.testing.assert_array_equal(s[:, 0], np.repeat(vals, 9))
-    bad = bytearray(wav)
-    # channels field lives at fmt body offset 2 (RIFF 12 + 'fmt '+size 8)
-    bad[12 + 8 + 2] = 2
-    with pytest.raises(NotImplementedError, match="mono"):
-        decode_audio(np.frombuffer(bytes(bad), np.uint8))
+    # stereo: 3 blocks x 2 channels of constant headers; block_align 16
+    # -> 9 frames per block, L/R streams independent
+    sval = vals.reshape(3, 2)
+    wav2 = encode_ima_adpcm_constant(sval, rate=22050, channels=2)
+    s2, rate2 = decode_audio(np.frombuffer(wav2, np.uint8))
+    assert rate2 == 22050 and s2.shape == (27, 2)
+    np.testing.assert_array_equal(s2[:, 0], np.repeat(sval[:, 0], 9))
+    np.testing.assert_array_equal(s2[:, 1], np.repeat(sval[:, 1], 9))
