@@ -215,6 +215,136 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+def _png_unfilter_batch(raws: list[np.ndarray], hs: list[int],
+                        strides: list[int], bpp: int) -> list[np.ndarray]:
+    """Across-image lane-vectorized PNG unfilter: every image of one
+    channel count decodes in ROW LOCKSTEP — at step r, row r of ALL
+    images reconstructs at once (grouped by filter type), so the
+    sequential Average/Paeth pixel walk costs max_h * max_w Python
+    iterations for the WHOLE batch instead of h*w per image, with each
+    iteration updating (n_images, bpp) lanes (r7 verdict item 5).
+    Byte-identical to _png_unfilter per image (parity-tested).
+
+    Padding rows/columns of smaller images carry filter type 0 over zero
+    bytes, reconstruct to zero, and are cropped on return — they can
+    never leak into another image's lanes."""
+    n = len(raws)
+    H, S = max(hs), max(strides)
+    ftypes = np.zeros((n, H), np.uint8)
+    rows = np.zeros((n, H, S), np.uint8)
+    for i, (raw, h, s) in enumerate(zip(raws, hs, strides)):
+        rr = raw.reshape(h, 1 + s)
+        ftypes[i, :h] = rr[:, 0]
+        rows[i, :h, :s] = rr[:, 1:]
+    bad = ftypes > 4
+    if bad.any():
+        i, r = np.argwhere(bad)[0]
+        raise ValueError(f"bad PNG filter type {ftypes[i, r]}")
+    out = np.empty((n, H, S), np.uint8)
+    prev = np.zeros((n, S), np.int16)
+    for r in range(H):
+        ft = ftypes[:, r]
+        # int16 is wide enough for every filter's intermediate (max
+        # 255+255=510; Paeth's p only feeds comparisons) EXCEPT the Sub
+        # cumsum, which widens its own subset below
+        rec = rows[:, r, :].astype(np.int16)   # ft==0 rows pass through
+        m = ft == 1
+        if m.any():
+            sub = rec[m].astype(np.int32)
+            for lane in range(bpp):
+                sub[:, lane::bpp] = np.cumsum(sub[:, lane::bpp], axis=1) % 256
+            rec[m] = sub.astype(np.int16)
+        m = ft == 2
+        if m.any():
+            rec[m] = (rec[m] + prev[m]) & 255
+        m = ft == 3
+        if m.any():
+            sub, pv = rec[m], prev[m]
+            left = np.zeros((sub.shape[0], bpp), np.int16)
+            for j in range(0, S, bpp):
+                left = (sub[:, j:j + bpp] + ((left + pv[:, j:j + bpp]) >> 1)) \
+                    & 255
+                sub[:, j:j + bpp] = left
+            rec[m] = sub
+        m = ft == 4
+        if m.any():
+            sub, pv = rec[m], prev[m]
+            k = sub.shape[0]
+            left = np.zeros((k, bpp), np.int16)
+            upleft = np.zeros((k, bpp), np.int16)
+            for j in range(0, S, bpp):
+                b = pv[:, j:j + bpp]
+                p = left + b - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - b)
+                pc = np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, b, upleft))
+                left = (sub[:, j:j + bpp] + pred) & 255
+                sub[:, j:j + bpp] = left
+                upleft = b
+            rec[m] = sub
+        out[:, r, :] = rec
+        prev = rec
+    return [out[i, :hs[i], :strides[i]] for i in range(n)]
+
+
+def decode_png_batch(payloads: list) -> list[np.ndarray]:
+    """Decode a list of native-decodable PNG payloads with across-image
+    lanes: parse+inflate each (zlib is C-speed per payload), group by
+    channel count, lockstep-unfilter each group.  Returns HxWx3 uint8
+    arrays in input order, byte-identical to decode_png per payload."""
+    parsed = [_png_parse(p) for p in payloads]
+    imgs: list = [None] * len(payloads)
+    by_nch: dict[int, list] = {}
+    for i, (raw, h, w, nch) in enumerate(parsed):
+        by_nch.setdefault(nch, []).append((i, raw, h, w))
+    for nch, grp in by_nch.items():
+        outs = _png_unfilter_batch([g[1] for g in grp],
+                                   [g[2] for g in grp],
+                                   [g[3] * nch for g in grp], nch)
+        for (i, _, h, w), o in zip(grp, outs):
+            imgs[i] = np.ascontiguousarray(
+                o.reshape(h, w, nch)[:, :, :3])
+    return imgs
+
+
+def _decode_image_batch(flat: np.ndarray,
+                        offsets: np.ndarray) -> list[np.ndarray]:
+    """Decode one Arrow batch of image payloads: PNGs the native path
+    accepts decode TOGETHER through the across-image batch unfilter
+    (unless routed to PIL by the large-pixel-count policy, exactly as
+    decode_image routes); every other payload decodes per image."""
+    n = offsets.size - 1
+    imgs: list = [None] * n
+    png_idx: list[int] = []
+    png_parsed: list[tuple] = []
+    pil = _pil_available()
+    for i in range(n):
+        buf = flat[offsets[i]:offsets[i + 1]]
+        if buf[:8].tobytes() == _PNG_SIG:
+            w_pk = int.from_bytes(buf[16:20].tobytes(), "big")
+            h_pk = int.from_bytes(buf[20:24].tobytes(), "big")
+            if not (w_pk * h_pk > _PNG_PIL_ROUTE_PIXELS and pil):
+                try:
+                    png_parsed.append(_png_parse(buf))
+                    png_idx.append(i)
+                    continue
+                except NotImplementedError:
+                    pass   # interlaced/paletted/16-bit: PIL via decode_image
+        imgs[i] = decode_image(buf)
+    by_nch: dict[int, list] = {}
+    for i, (raw, h, w, nch) in zip(png_idx, png_parsed):
+        by_nch.setdefault(nch, []).append((i, raw, h, w))
+    for nch, grp in by_nch.items():
+        outs = _png_unfilter_batch([g[1] for g in grp],
+                                   [g[2] for g in grp],
+                                   [g[3] * nch for g in grp], nch)
+        for (i, _, h, w), o in zip(grp, outs):
+            imgs[i] = np.ascontiguousarray(o.reshape(h, w, nch)[:, :, :3])
+    return imgs
+
+
 def decode_png(payload) -> np.ndarray:
     """REAL compressed-image decode of an 8-bit RGB/RGBA non-interlaced
     PNG to an HxWx3 uint8 array, with no external deps: chunk walk ->
@@ -222,6 +352,15 @@ def decode_png(payload) -> np.ndarray:
     filters reversed (``_png_unfilter``).  Alpha is dropped (matching
     PIL's ``convert("RGB")`` for fully-opaque images).  Interlaced,
     paletted, or 16-bit PNGs fall back to PIL via decode_image."""
+    raw, h, w, nch = _png_parse(payload)
+    px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    return px[:, :, :3].copy()
+
+
+def _png_parse(payload) -> tuple[np.ndarray, int, int, int]:
+    """Chunk walk + inflate of a PNG payload -> (raw filtered bytes,
+    height, width, channels).  Shared by the single-image decode_png and
+    the across-image batch path (decode_png_batch)."""
     import zlib
     buf = _as_u8(payload)
     if buf[:8].tobytes() != _PNG_SIG:
@@ -252,8 +391,7 @@ def decode_png(payload) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if raw.size != h * (1 + w * nch):
         raise ValueError("PNG inflated size mismatch")
-    px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
-    return px[:, :, :3].copy()
+    return raw, h, w, nch
 
 
 def decode_audio(payload) -> tuple[np.ndarray, int]:
@@ -505,35 +643,34 @@ def synth_ppm_table(docs: DataFrame, width: int = 4) -> DataFrame:
 
 
 def encode_png(px: np.ndarray, filters: str = "cycle") -> bytes:
-    """Minimal standards-conforming PNG writer for 8-bit RGB arrays (used
-    by synth_png_table; decodable by decode_png AND any libpng/PIL).
+    """Minimal standards-conforming PNG writer for 8-bit RGB/RGBA arrays
+    (used by synth_png_table; decodable by decode_png AND any libpng/PIL).
 
     filters: 'cycle' applies row filter type r % 5 (exercising every
     filter branch of the decoder), 'none' writes filter 0 rows."""
     import struct
     import zlib
     h, w, nch = px.shape
-    assert nch == 3
-    stride = w * 3
+    assert nch in (3, 4)
     px32 = px.astype(np.int32)
     rows = []
-    prev = np.zeros((w, 3), np.int32)
+    prev = np.zeros((w, nch), np.int32)
+    z1 = np.zeros((1, nch), np.int32)
     for r in range(h):
         cur = px32[r]
         ft = r % 5 if filters == "cycle" else 0
         if ft == 0:
             filt = cur
         elif ft == 1:  # Sub
-            filt = (cur - np.vstack([np.zeros((1, 3), np.int32),
-                                     cur[:-1]])) % 256
+            filt = (cur - np.vstack([z1, cur[:-1]])) % 256
         elif ft == 2:  # Up
             filt = (cur - prev) % 256
         elif ft == 3:  # Average
-            left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+            left = np.vstack([z1, cur[:-1]])
             filt = (cur - ((left + prev) >> 1)) % 256
         else:  # Paeth
-            left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
-            upleft = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+            left = np.vstack([z1, cur[:-1]])
+            upleft = np.vstack([z1, prev[:-1]])
             p = left + prev - upleft
             pa = np.abs(p - left)
             pb = np.abs(p - prev)
@@ -549,7 +686,7 @@ def encode_png(px: np.ndarray, filters: str = "cycle") -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nch == 3 else 6, 0, 0, 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
             + chunk(b"IEND", b""))
 
@@ -693,9 +830,11 @@ IMAGE_STATS_SCHEMA = ("doc_id string, height int, width int, "
 
 
 def image_stats_table(media: DataFrame) -> DataFrame:
-    """REAL decode of image payloads (PPM/BMP) -> shape + exact integer
-    per-channel sums (integer outputs so the driver can compare them
-    value-exactly against a byte-math oracle; floats never cross engines)."""
+    """REAL decode of image payloads (PPM/BMP/PNG/JPEG/WAV-adjacent
+    formats via decode_image; PNGs batch-unfilter across images) ->
+    shape + exact integer per-channel sums (integer outputs so the driver
+    can compare them value-exactly against a byte-math oracle; floats
+    never cross engines)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -706,8 +845,7 @@ def image_stats_table(media: DataFrame) -> DataFrame:
             hs = np.empty(n, np.int32)
             ws = np.empty(n, np.int32)
             sums = np.empty((n, 3), np.int64)
-            for i in range(n):
-                img = decode_image(flat[offsets[i]:offsets[i + 1]])
+            for i, img in enumerate(_decode_image_batch(flat, offsets)):
                 hs[i], ws[i] = img.shape[0], img.shape[1]
                 sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
@@ -742,8 +880,7 @@ def decode_image_table(media: DataFrame, out_w: int | None = None,
             hs = np.empty(n, np.int32)
             ws = np.empty(n, np.int32)
             means = np.empty((n, 3), np.float64)
-            for i in range(n):
-                img = decode_image(flat[offsets[i]:offsets[i + 1]])
+            for i, img in enumerate(_decode_image_batch(flat, offsets)):
                 if out_w and out_h:
                     img = resize_image(img, out_w, out_h)
                 hs[i], ws[i] = img.shape[0], img.shape[1]

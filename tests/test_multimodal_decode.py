@@ -132,6 +132,36 @@ def test_png_roundtrip_all_filters():
             np.testing.assert_array_equal(decode_image(png), img)
 
 
+def test_png_batch_unfilter_matches_single():
+    """The across-image batch PNG path (decode_png_batch /
+    _decode_image_batch) must be byte-identical to the single-image
+    decode on every payload: mixed sizes, RGB and RGBA lanes, all five
+    filter types (cycle), non-PNG payloads interleaved through the Arrow
+    batch driver."""
+    from streamvbyte_spark.operators.multimodal import (
+        _decode_image_batch, decode_image, decode_png, decode_png_batch,
+        encode_png)
+    rng = np.random.default_rng(11)
+    payloads = []
+    for h, w, nch in [(1, 1, 3), (3, 5, 3), (17, 9, 4), (32, 32, 3),
+                      (7, 63, 4), (40, 3, 3), (5, 5, 4), (200, 1, 3)]:
+        px = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+        payloads.append(encode_png(px, "cycle"))
+    payloads.append(encode_png(
+        rng.integers(0, 256, (6, 6, 3), dtype=np.uint8), "none"))
+    batch = decode_png_batch([np.frombuffer(p, np.uint8) for p in payloads])
+    for p, got in zip(payloads, batch):
+        np.testing.assert_array_equal(got, decode_png(p))
+    # through the Arrow-batch driver with a PPM payload interleaved
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    mixed = [payloads[0], ppm, payloads[2]]
+    flat = np.frombuffer(b"".join(mixed), np.uint8)
+    offsets = np.cumsum([0] + [len(m) for m in mixed])
+    out = _decode_image_batch(flat, offsets)
+    for m, got in zip(mixed, out):
+        np.testing.assert_array_equal(got, decode_image(m))
+
+
 def test_png_unfilter_spec_vectors():
     """Hand-computed reconstructions straight from the PNG spec (§6) — a
     matched encoder/decoder bug cannot cancel here because the expected
