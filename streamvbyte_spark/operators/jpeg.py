@@ -24,8 +24,10 @@ analytic-oracle pattern as the PPM/PNG/WAV gates (SURVEY.md §5).
 
 Per the reference's scope (lemire/streamvbyte is a codec library), JPEG is
 the engine's own multimodal roadmap — there is no reference parity target.
-The bit-serial entropy decode is a Python loop (inherent to Huffman); all
-pixel math is whole-batch NumPy.
+Single-image entropy decode is a per-symbol Python loop; `decode_jpeg_batch`
+lockstep-decodes MANY images at once (one lane per restart segment, one
+Huffman symbol per lane per numpy step via a 2^16 peek-LUT), which is what
+the Arrow-batched image stages use.  All pixel math is whole-batch NumPy.
 """
 
 from __future__ import annotations
@@ -48,6 +50,12 @@ ZIGZAG = np.array([
 _X = np.arange(8)
 _DCT_M = 0.5 * np.cos((2 * _X[None, :] + 1) * _X[:, None] * np.pi / 16)
 _DCT_M[0] *= 1 / np.sqrt(2)
+# einsum contraction path computed once: per-call greedy planning costs more
+# than the 8x8 contraction itself for small images (profiled: ~45% of
+# _reconstruct wall on 32x32 payloads)
+_IDCT_PATH = np.einsum_path("ux,nuv,vy->nxy", _DCT_M,
+                            np.zeros((1, 8, 8)), _DCT_M,
+                            optimize="greedy")[0]
 
 # Annex K.3 default Huffman tables as (bits[1..16], huffval) — the tables
 # virtually every baseline encoder ships (public spec data, not code)
@@ -171,6 +179,14 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload) -> np.ndarray:
     """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated, matching
     PIL convert('RGB') for single-component images)."""
+    data, frame, scan, qt, huff, ri, pos = _parse_jpeg(payload)
+    return _decode_scan(data, pos, frame, scan, qt, huff, ri)
+
+
+def _parse_jpeg(payload):
+    """Marker walk up to (and including) SOS -> (data bytes, frame, scan,
+    quant tables, huffman tables, restart interval, entropy start pos).
+    Shared by decode_jpeg and the across-image batch path."""
     buf = np.asarray(payload, dtype=np.uint8) if not isinstance(
         payload, (bytes, bytearray)) else np.frombuffer(payload, np.uint8)
     data = buf.tobytes()
@@ -267,8 +283,7 @@ def decode_jpeg(payload) -> np.ndarray:
                 cs, tt = body[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(data, nxt, frame, scan, qt, huff,
-                                restart_interval)
+            return data, frame, scan, qt, huff, restart_interval, nxt
         pos = nxt
     raise ValueError("JPEG truncated before SOS")
 
@@ -299,16 +314,16 @@ def _entropy_segments(data: bytes, pos: int):
     yield bytes(arr[seg_start:]).replace(b"\xff\x00", b"\xff")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, ri):
+def _scan_layout(frame, scan) -> dict:
+    """Unit geometry of one scan: MCU grid, the per-MCU data-unit order
+    (scan comp index + table ids per slot), total unit count, and each
+    scan component's coefficient-array size.  Shared by the single-image
+    entropy loop and the across-image batch machine."""
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    # per scan component: coefficient array in MCU-block order
-    coefs = [np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int64)
-             for c, _, _ in scan]
     if len(scan) == 1:
         # non-interleaved single-component scan covers the component's own
         # block grid, not MCUs (T.81 A.2.2)
@@ -317,16 +332,31 @@ def _decode_scan(data, pos, frame, scan, qt, huff, ri):
             else -(-w // 8)
         by = -(-(h * c["v"] // vmax) // 8) if len(frame["comps"]) > 1 \
             else -(-h // 8)
-        coefs = [np.zeros((by * bx, 64), np.int64)]
-        order = [(0, scan[0][1], scan[0][2])] * (by * bx)
-        per_mcu = 1
-        n_units = by * bx
-    else:
-        order = []
-        for k, (c, td, ta) in enumerate(scan):
-            order.extend([(k, td, ta)] * (c["h"] * c["v"]))
-        per_mcu = len(order)
-        n_units = n_mcu * per_mcu
+        return {"mcux": mcux, "mcuy": mcuy, "per_mcu": 1,
+                "order": [(0, scan[0][1], scan[0][2])],
+                "n_units": by * bx, "sizes": [by * bx],
+                "grid": (by, bx)}
+    order = []
+    for k, (c, td, ta) in enumerate(scan):
+        order.extend([(k, td, ta)] * (c["h"] * c["v"]))
+    return {"mcux": mcux, "mcuy": mcuy, "per_mcu": len(order),
+            "order": order, "n_units": mcux * mcuy * len(order),
+            "sizes": [mcuy * c["v"] * mcux * c["h"] for c, _, _ in scan],
+            "grid": None}
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, ri):
+    lay = _scan_layout(frame, scan)
+    coefs = _entropy_decode(data, pos, scan, huff, ri, lay)
+    return _reconstruct(frame, scan, qt, coefs, lay)
+
+
+def _entropy_decode(data, pos, scan, huff, ri, lay):
+    """Per-symbol Huffman scan decode -> per-scan-component (N, 64)
+    zigzag coefficient arrays in MCU-block order."""
+    order, per_mcu = lay["order"], lay["per_mcu"]
+    n_units = lay["n_units"]
+    coefs = [np.zeros((sz, 64), np.int64) for sz in lay["sizes"]]
 
     segments = _entropy_segments(data, pos)
 
@@ -376,17 +406,31 @@ def _decode_scan(data, pos, frame, scan, qt, huff, ri):
         blk_idx[k] += 1
         unit += 1
         mcu_in_seg += 1
+    return coefs
 
-    # ---- everything below is whole-batch NumPy ----
+
+def _idct_px(coefs_k: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize + dezigzag + IDCT + level shift/clamp for one (N, 64)
+    zigzag coefficient matrix -> (N, 8, 8) pixel blocks."""
+    dz = np.zeros((coefs_k.shape[0], 64), np.float64)
+    dz[:, ZIGZAG] = coefs_k * q[None, :]
+    blocks = dz.reshape(-1, 8, 8)
+    px = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M,
+                   optimize=_IDCT_PATH)
+    return np.clip(np.round(px) + 128, 0, 255)
+
+
+def _reconstruct(frame, scan, qt, coefs, lay, pxs=None):
+    """Plane assembly + chroma upsample + color transform over per-scan-
+    component pixel blocks (computed here via _idct_px unless the caller
+    already batched the IDCT across images and passes `pxs`)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux, mcuy = lay["mcux"], lay["mcuy"]
     planes = []
     for k, (c, _, _) in enumerate(scan):
-        q = qt[c["tq"]]
-        dz = np.zeros((coefs[k].shape[0], 64), np.float64)
-        dz[:, ZIGZAG] = coefs[k] * q[None, :]
-        blocks = dz.reshape(-1, 8, 8)
-        px = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M,
-                       optimize=True)
-        px = np.clip(np.round(px) + 128, 0, 255)
+        px = _idct_px(coefs[k], qt[c["tq"]]) if pxs is None else pxs[k]
         if len(scan) == 1 and len(frame["comps"]) == 1:
             bx, by = -(-w // 8), -(-h // 8)
             plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
@@ -416,6 +460,263 @@ def _decode_scan(data, pos, frame, scan, qt, huff, ri):
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------- batched entropy decode
+
+# 16-bit-peek LUT per distinct Huffman table: sym[peek] / ln[peek] give the
+# decoded symbol and its code length in ONE gather (canonical codes are
+# prefix-free, so every 16-bit window maps to at most one code).  Keyed by
+# the table's canonical (code, length) assignment; bounded by the distinct
+# tables a process sees (typically the four Annex K defaults).
+_PEEK_LUTS: dict[tuple, int] = {}
+_PEEK_SYM: list[np.ndarray] = []
+_PEEK_LEN: list[np.ndarray] = []
+
+
+def _peek_lut_id(table: _HuffTable) -> int:
+    # (huffval, maxcode) pins the canonical assignment without walking
+    # codes() on every call (tables are rebuilt per payload)
+    key = (tuple(table.huffval), tuple(table.maxcode))
+    lid = _PEEK_LUTS.get(key)
+    if lid is not None:
+        return lid
+    sym = np.zeros(1 << 16, np.uint8)
+    ln = np.zeros(1 << 16, np.uint8)   # ln == 0 -> invalid prefix
+    for symbol, (code, length) in table.codes().items():
+        start = code << (16 - length)
+        ln[start:start + (1 << (16 - length))] = length
+        sym[start:start + (1 << (16 - length))] = symbol
+    lid = len(_PEEK_SYM)
+    _PEEK_LUTS[key] = lid
+    _PEEK_SYM.append(sym)
+    _PEEK_LEN.append(ln)
+    return lid
+
+
+# zero padding after each lane's de-stuffed segment: the single-image
+# _BitReader yields 0 bytes past the end of a segment (flush padding), and
+# the lockstep peek window must see the same zeros instead of the NEXT
+# lane's bytes.  64 bytes covers any legitimate flush tail; a lane whose
+# bit cursor walks past its pad is decoding garbage (corrupt stream) and
+# raises, where the single path would silently fill remaining units from
+# an endless zero stream — the only intended behavioral difference.
+_LANE_PAD = 64
+
+
+def _entropy_decode_batch(jobs: list[tuple]) -> list[list[np.ndarray]]:
+    """Lockstep Huffman decode of many INDEPENDENT entropy streams: one
+    lane per (image, restart segment), one decoded SYMBOL per active lane
+    per iteration (16-bit peek -> LUT gather -> vectorized magnitude read
+    + EXTEND + coefficient scatter).  Python iteration count is the MAX
+    symbol count over lanes, not the sum over images — the across-image
+    analog of the PNG row-lockstep unfilter and the ADPCM block lanes.
+
+    jobs: (data, pos, scan, huff, ri, lay) per image; returns each
+    image's per-scan-component coefficient arrays, bit-identical to
+    _entropy_decode."""
+    n_img = len(jobs)
+    streams: list[bytes] = []
+    lane_meta = []            # (img, byte_base, n_units_lane, unit0_abs)
+    img_unit_base = np.zeros(n_img, np.int64)
+    img_slot_base = []
+    slot_k_all, slot_dc_all, slot_ac_all = [], [], []
+    base_bytes = 0
+    total_units = 0
+    for i, (data, pos, scan, huff, ri, lay) in enumerate(jobs):
+        per_mcu, n_units = lay["per_mcu"], lay["n_units"]
+        img_unit_base[i] = total_units
+        total_units += n_units
+        img_slot_base.append(len(slot_k_all))
+        for (k, td, ta) in lay["order"]:
+            slot_k_all.append(k)
+            slot_dc_all.append(_peek_lut_id(huff[(0, td)]))
+            slot_ac_all.append(_peek_lut_id(huff[(1, ta)]))
+        segs = list(_entropy_segments(data, pos))
+        full = ri * per_mcu
+        if full:
+            n_lanes = -(-n_units // full)
+            counts = [full] * (n_lanes - 1) + [n_units - full * (n_lanes - 1)]
+        else:
+            counts = [n_units]
+        if len(segs) < len(counts):
+            raise ValueError(
+                "JPEG entropy stream truncated at restart interval")
+        u0 = 0
+        for seg, cnt in zip(segs, counts):
+            lane_meta.append((i, base_bytes, cnt, u0))
+            streams.append(seg)
+            base_bytes += len(seg) + _LANE_PAD
+            u0 += cnt
+    flat = np.zeros(base_bytes + 8, np.uint8)
+    for (_, b, _, _), seg in zip(lane_meta, streams):
+        flat[b:b + len(seg)] = np.frombuffer(seg, np.uint8)
+    flat32 = flat.astype(np.int64)
+
+    L = len(lane_meta)
+    img_of = np.array([m[0] for m in lane_meta], np.int64)
+    byte_base = np.array([m[1] for m in lane_meta], np.int64)
+    units_left = np.array([m[2] for m in lane_meta], np.int64)
+    unit_abs = np.array([m[3] for m in lane_meta], np.int64)
+    lane_end_bit = np.array(
+        [(m[1] + len(seg) + _LANE_PAD) * 8
+         for m, seg in zip(lane_meta, streams)], np.int64)
+    per_mcu_l = np.array([jobs[i][5]["per_mcu"] for i in img_of], np.int64)
+    slot_base_l = np.array([img_slot_base[i] for i in img_of], np.int64)
+    slot_k = np.array(slot_k_all, np.int64)
+    slot_dc = np.array(slot_dc_all, np.int64)
+    slot_ac = np.array(slot_ac_all, np.int64)
+    sym_all = np.stack(_PEEK_SYM) if _PEEK_SYM else np.zeros((1, 1 << 16), np.uint8)
+    len_all = np.stack(_PEEK_LEN) if _PEEK_LEN else np.zeros((1, 1 << 16), np.uint8)
+
+    pos_bit = byte_base * 8
+    preds = np.zeros((L, 4), np.int64)
+    jz = np.zeros(L, np.int64)        # zigzag cursor within current block
+    phase = np.zeros(L, np.int64)     # 0 = DC next, 1 = AC next
+    done = units_left == 0
+    # per-lane current slot-derived state
+    cur_slot = slot_base_l + unit_abs % per_mcu_l
+    cur_k = slot_k[cur_slot]
+    cur_dc = slot_dc[cur_slot]
+    cur_ac = slot_ac[cur_slot]
+    coef_flat = np.zeros(total_units * 64, np.int64)
+    unit_glob = img_unit_base[img_of] + unit_abs
+
+    def peek32(idx):
+        """32 bits MSB-first at pos_bit[idx] — wide enough for the longest
+        Huffman code (16) plus the widest magnitude field (11), so one
+        gather serves both the symbol AND its EXTEND bits."""
+        b = pos_bit[idx] >> 3
+        sh = pos_bit[idx] & 7
+        v40 = ((flat32[b] << 32) | (flat32[b + 1] << 24)
+               | (flat32[b + 2] << 16) | (flat32[b + 3] << 8)
+               | flat32[b + 4])
+        return (v40 >> (8 - sh)) & 0xFFFFFFFF
+
+    while not done.all():
+        act = np.flatnonzero(~done)
+        dcm = phase[act] == 0
+        lut = np.where(dcm, cur_dc[act], cur_ac[act])
+        pk32 = peek32(act)
+        pk = pk32 >> 16
+        ln = len_all[lut, pk].astype(np.int64)
+        if (ln == 0).any():
+            raise ValueError("invalid JPEG Huffman code")
+        symv = sym_all[lut, pk].astype(np.int64)
+        # unified decode: a DC symbol IS (run=0, size=sym) at j=0 with
+        # predictor accumulation; EOB/ZRL have size 0 and read no bits.
+        # The magnitude field sits right below the code inside the same
+        # 32-bit peek — no second bit-gather.
+        rr = np.where(dcm, 0, symv >> 4)
+        sb = np.where(dcm, symv, symv & 15)
+        v = (pk32 >> (32 - ln - sb)) & ((1 << sb) - 1)
+        pos_bit[act] += ln + sb
+        ext = np.where((sb > 0) & (v < (1 << np.maximum(sb, 1) >> 1)),
+                       v - (1 << sb) + 1, v)
+
+        jcur = jz[act]
+        jw = np.where(dcm, 0, jcur + rr)
+        write = dcm | (sb > 0)
+        if (jw[write] > 63).any():
+            raise ValueError("JPEG AC coefficient index overflow")
+        # DC predictor accumulate (per-lane component slot)
+        di = act[dcm]
+        pred_new = preds[di, cur_k[di]] + ext[dcm]
+        preds[di, cur_k[di]] = pred_new
+        value = ext
+        value[dcm] = pred_new
+        wi = np.flatnonzero(write)
+        coef_flat[unit_glob[act[wi]] * 64 + jw[wi]] = value[wi]
+        # cursor/state advance
+        zrl = ~dcm & (sb == 0) & (rr == 15)
+        eob = ~dcm & (sb == 0) & (rr != 15)
+        jcur = np.where(dcm, 1,
+                        np.where(zrl, jcur + 16,
+                                 np.where(sb > 0, jw + 1, jcur)))
+        jz[act] = jcur
+        phase[act] = 1
+        finished = ~dcm & (eob | (jcur >= 64))
+
+        fi = act[finished]
+        if fi.size:
+            unit_abs[fi] += 1
+            units_left[fi] -= 1
+            newly = units_left[fi] == 0
+            done[fi[newly]] = True
+            live = fi[~newly]
+            cs = slot_base_l[live] + unit_abs[live] % per_mcu_l[live]
+            cur_k[live] = slot_k[cs]
+            cur_dc[live] = slot_dc[cs]
+            cur_ac[live] = slot_ac[cs]
+            unit_glob[live] = img_unit_base[img_of[live]] + unit_abs[live]
+            phase[live] = 0
+            jz[live] = 0
+        if (pos_bit[act] > lane_end_bit[act]).any():
+            raise ValueError("JPEG entropy stream overran its segment")
+
+    # distribute each image's decode-order units into per-component arrays
+    # (the blk_idx progression of the single-image loop, vectorized)
+    out = []
+    coefs2d = coef_flat.reshape(total_units, 64)
+    for i, (data, pos, scan, huff, ri, lay) in enumerate(jobs):
+        per_mcu, n_units = lay["per_mcu"], lay["n_units"]
+        sk = slot_k[img_slot_base[i]:img_slot_base[i] + per_mcu]
+        cnt_k = np.bincount(sk, minlength=len(scan))
+        prefix = np.zeros(per_mcu, np.int64)
+        for k in range(len(scan)):
+            m = sk == k
+            prefix[m] = np.arange(m.sum())
+        units = np.arange(n_units, dtype=np.int64)
+        slots = units % per_mcu
+        ks = sk[slots]
+        idx = (units // per_mcu) * cnt_k[ks] + prefix[slots]
+        img_coefs = coefs2d[img_unit_base[i]:img_unit_base[i] + n_units]
+        coefs = [np.zeros((sz, 64), np.int64) for sz in lay["sizes"]]
+        for k in range(len(scan)):
+            m = ks == k
+            coefs[k][idx[m]] = img_coefs[m]
+        out.append(coefs)
+    return out
+
+
+def decode_jpeg_batch(payloads: list, parsed: list | None = None) \
+        -> list[np.ndarray]:
+    """Decode a list of baseline JPEG payloads with across-image lockstep
+    entropy decode (one lane per restart segment) + the shared whole-batch
+    reconstruction per image.  Byte-identical to decode_jpeg per payload;
+    raises NotImplementedError only if EVERY payload needs it (callers
+    wanting per-payload PIL fallback should pre-screen with _parse_jpeg
+    and pass the results via `parsed`, as
+    operators.multimodal._decode_image_batch does)."""
+    if parsed is None:
+        parsed = [_parse_jpeg(pl) for pl in payloads]
+    jobs = [(data, pos, scan, huff, ri, _scan_layout(frame, scan))
+            for (data, frame, scan, qt, huff, ri, pos) in parsed]
+    all_coefs = _entropy_decode_batch(jobs)
+    # ONE dequantized IDCT over every block of every image/component —
+    # per-image einsum calls cost more in dispatch than in math for
+    # typical corpus-sized images
+    dz_parts, spans, nblk = [], [], 0
+    for (data, frame, scan, qt, huff, ri, pos), coefs in zip(parsed,
+                                                             all_coefs):
+        img_spans = []
+        for k, (c, _, _) in enumerate(scan):
+            dz = np.zeros((coefs[k].shape[0], 64), np.float64)
+            dz[:, ZIGZAG] = coefs[k] * qt[c["tq"]][None, :]
+            img_spans.append((nblk, dz.shape[0]))
+            nblk += dz.shape[0]
+            dz_parts.append(dz)
+        spans.append(img_spans)
+    blocks = np.concatenate(dz_parts).reshape(-1, 8, 8)
+    px_all = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M,
+                       optimize=_IDCT_PATH)
+    px_all = np.clip(np.round(px_all) + 128, 0, 255)
+    out = []
+    for (data, frame, scan, qt, huff, ri, pos), job, coefs, img_spans \
+            in zip(parsed, jobs, all_coefs, spans):
+        pxs = [px_all[b:b + n] for b, n in img_spans]
+        out.append(_reconstruct(frame, scan, qt, coefs, job[5], pxs=pxs))
+    return out
 
 
 # ----------------------------------------------------------------- encoder

@@ -314,11 +314,16 @@ def _decode_image_batch(flat: np.ndarray,
     """Decode one Arrow batch of image payloads: PNGs the native path
     accepts decode TOGETHER through the across-image batch unfilter
     (unless routed to PIL by the large-pixel-count policy, exactly as
-    decode_image routes); every other payload decodes per image."""
+    decode_image routes), baseline JPEGs decode TOGETHER through the
+    lockstep entropy machine (operators.jpeg.decode_jpeg_batch); every
+    other payload decodes per image."""
+    from .jpeg import _parse_jpeg, decode_jpeg_batch
     n = offsets.size - 1
     imgs: list = [None] * n
     png_idx: list[int] = []
     png_parsed: list[tuple] = []
+    jpg_idx: list[int] = []
+    jpg_parsed: list[tuple] = []
     pil = _pil_available()
     for i in range(n):
         buf = flat[offsets[i]:offsets[i + 1]]
@@ -332,7 +337,19 @@ def _decode_image_batch(flat: np.ndarray,
                     continue
                 except NotImplementedError:
                     pass   # interlaced/paletted/16-bit: PIL via decode_image
+        elif buf[:2].tobytes() == b"\xff\xd8":
+            try:
+                jpg_parsed.append(_parse_jpeg(buf))
+                jpg_idx.append(i)
+                continue
+            except NotImplementedError:
+                pass       # progressive/extended/12-bit: PIL via decode_image
         imgs[i] = decode_image(buf)
+    if jpg_idx:
+        for i, img in zip(jpg_idx,
+                          decode_jpeg_batch([None] * len(jpg_idx),
+                                            parsed=jpg_parsed)):
+            imgs[i] = img
     by_nch: dict[int, list] = {}
     for i, (raw, h, w, nch) in zip(png_idx, png_parsed):
         by_nch.setdefault(nch, []).append((i, raw, h, w))

@@ -146,3 +146,56 @@ def test_pil_crosscheck_if_available():
     ours = decode_jpeg(jp)
     theirs = np.asarray(PIL.open(io.BytesIO(jp)).convert("RGB"))
     assert np.array_equal(ours, theirs)
+
+
+def test_jpeg_batch_matches_single():
+    """decode_jpeg_batch (across-image lockstep entropy machine, one lane
+    per restart segment, one Huffman symbol per lane per iteration) must
+    be byte-identical to decode_jpeg on every payload: grayscale random
+    AC (runs, ZRL, EOB), 4:2:0 color with cropping, restart intervals,
+    DC categories up to 11, mixed sizes in one batch."""
+    rng = np.random.default_rng(21)
+    payloads = []
+    for hb, wb in [(2, 3), (4, 5), (1, 1)]:
+        q = rng.integers(1, 20, 64)
+        blocks = np.zeros((hb, wb, 64), np.int64)
+        for i in range(hb):
+            for j in range(wb):
+                nz = int(rng.integers(0, 12))
+                idx = rng.choice(64, nz, replace=False)
+                blocks[i, j, idx] = rng.integers(-255, 256, nz)
+        payloads.append(encode_baseline_jpeg(
+            [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+            h=hb * 8, w=wb * 8, quant={0: q}))
+    Y = np.zeros((2, 4, 64), np.int64)
+    Y[:, :, 0] = rng.integers(-900, 900, (2, 4))
+    Cb = np.zeros((1, 2, 64), np.int64)
+    Cb[:, :, 0] = rng.integers(-900, 900, (1, 2))
+    Cr = np.zeros((1, 2, 64), np.int64)
+    Cr[:, :, 0] = rng.integers(-900, 900, (1, 2))
+    ones = np.ones(64, np.int64)
+    payloads.append(encode_baseline_jpeg(
+        [{"id": 1, "h": 2, "v": 2, "tq": 0, "blocks": Y},
+         {"id": 2, "h": 1, "v": 1, "tq": 1, "blocks": Cb},
+         {"id": 3, "h": 1, "v": 1, "tq": 1, "blocks": Cr}],
+        h=13, w=27, quant={0: ones, 1: ones}))
+    vals = rng.integers(0, 256, 14)
+    blocks = np.zeros((7, 2, 64), np.int64)
+    blocks[:, :, 0] = 8 * (vals.reshape(7, 2) - 128)
+    payloads.append(encode_baseline_jpeg(
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        h=56, w=16, quant={0: ones}, restart_interval=3))
+    payloads.append(encode_gray_blocks_jpeg(np.array([0, 255, 128, 13]), 2))
+    from streamvbyte_spark.operators.jpeg import decode_jpeg_batch
+    batch = decode_jpeg_batch(payloads)
+    for i, (p, got) in enumerate(zip(payloads, batch)):
+        np.testing.assert_array_equal(got, decode_jpeg(p), err_msg=str(i))
+    # and through the Arrow-batch image driver, mixed with a PPM
+    from streamvbyte_spark.operators.multimodal import (_decode_image_batch,
+                                                        decode_image)
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    mixed = [payloads[1], ppm, payloads[3], payloads[5]]
+    flat = np.frombuffer(b"".join(mixed), np.uint8)
+    offsets = np.cumsum([0] + [len(m) for m in mixed])
+    for m, got in zip(mixed, _decode_image_batch(flat, offsets)):
+        np.testing.assert_array_equal(got, decode_image(m))
