@@ -137,10 +137,13 @@ def q_dedup_exact(d: Dialect) -> str:
     )
 
 
-def _shingle_rows(d: Dialect, extra_cols: str = "") -> str:
+def _shingle_rows(d: Dialect, extra_cols: str = "",
+                  distinct: bool = True) -> str:
     """SQL producing one row per DISTINCT word-3-gram shingle per document:
     ``(doc_id[, extra_cols], shingle)`` — shared by MinHash and the n-gram
-    Jaccard query.
+    Jaccard query.  distinct=False keeps one row per OCCURRENCE (the
+    repetition-quality signal measures exactly the duplicates the
+    distinct would erase).
 
     Shape: posexplode words -> window lead(1)/lead(2) builds the 3-gram ->
     distinct.  Spark's array higher-order functions (transform/element_at
@@ -168,7 +171,8 @@ def _shingle_rows(d: Dialect, extra_cols: str = "") -> str:
         "lead(word, 1) over win, lead(word, 2) over win) as shingle, "
         "pos, count(*) over (partition by doc_id) as n "
         f"from ({word_rows}) window win as (partition by doc_id order by pos)")
-    return (f"select distinct doc_id{ec}, shingle from ({shingled}) "
+    dedup = "distinct " if distinct else ""
+    return (f"select {dedup}doc_id{ec}, shingle from ({shingled}) "
             "where pos + 2 <= n")
 
 
@@ -1317,6 +1321,63 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
         f"cast(len(toks) as int) as n_tok, {fp} as fingerprint from g")
 
 
+def q_quality_repetition(d: Dialect) -> str:
+    """Within-document repetition signal (the Gopher/C4-family quality
+    rule): fraction of word-3-grams that are DUPLICATE occurrences,
+    1 - distinct/total per doc.  Pure SQL on both engines over the same
+    shingle construction the dedup family uses (_shingle_rows without the
+    distinct), so the driver gate proves the duplicate counting exact;
+    the rounded double divides the same two integers on both sides.
+    Docs with fewer than 3 words have no 3-grams and emit no row (both
+    engines).  Scale shape: the codegen'd explode+window shingle build +
+    one hash aggregate on doc_id — no HOF lambdas, no self-join."""
+    rows = _shingle_rows(d, distinct=False)
+    return (
+        "select doc_id, count(*) as n_grams, "
+        "count(distinct shingle) as n_distinct, "
+        "round(1 - cast(count(distinct shingle) as double) / count(*), 4) "
+        "as dup_frac "
+        f"from ({rows}) group by doc_id")
+
+
+def q_domain_mix_sample(d: Dialect) -> str:
+    """Deterministic domain-mix sampler (training-data mixture balancing):
+    compute each source's token total, target the SMALLEST source's total
+    (balance down), and keep each doc iff
+    ``hash16(doc_id) * tok_source < target * 65536`` — i.e. keep fraction
+    target/tok_source per source, decided per doc by a cross-engine-exact
+    16-bit hash (first 4 hex chars of md5(doc_id), decoded with instr
+    arithmetic — both engines share md5 and instr, so the SAME docs are
+    kept everywhere; no engine-specific hash(), no floats in the keep
+    rule).  Returns the per-source audit: docs/tokens total vs kept.
+
+    Scale shape: one corpus scan + one tiny per-source aggregate; the
+    target is a ``min() over ()`` window ON that aggregate (rows = number
+    of sources), so no 1-row cross join ever enters the plan — the
+    registry-wide plan test forbids BroadcastNestedLoopJoin, and the
+    windowed form keeps the per-source table the only broadcast side.
+    The kept-doc manifest is the same select without the final group-by."""
+    n_tok = d.alen(d.split("text"))
+    h = "md5(cast(doc_id as string))"
+    hv = " + ".join(
+        f"cast((instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (3 - i)} as bigint)" for i in range(4))
+    big = (lambda x: f"cast({x} as bigint)")
+    keep = "t.hv * s.tok_s < s.target * 65536"
+    return (
+        f"with t as (select cast(doc_id as string) as doc_id, source, "
+        f"{n_tok} as n_tok, {hv} as hv from documents), "
+        f"s as (select source, tok_s, min(tok_s) over () as target from "
+        f"(select source, {big('sum(n_tok)')} as tok_s "
+        "from t group by source)) "
+        "select t.source, count(*) as n_docs, "
+        f"{big(f'sum(case when {keep} then 1 else 0 end)')} as n_kept, "
+        f"{big('sum(t.n_tok)')} as tok_total, "
+        f"{big(f'sum(case when {keep} then t.n_tok else 0 end)')} as tok_kept "
+        "from t join s on t.source = s.source "
+        "group by t.source")
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1342,6 +1403,8 @@ PIPELINE_QUERIES = {
     "sequence_pack": q_sequence_pack,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    "quality_repetition": q_quality_repetition,
+    "domain_mix_sample": q_domain_mix_sample,
 }
 
 

@@ -290,12 +290,16 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 GATE_ROTATE_OUT: tuple[str, ...] = (
     # r8 rotation: the 34 r6-green entries rotated out in r7 all RETURN to
     # the window (they have no r7 row; r7∪r8 must cover all queries), and
-    # these 34 r7-green entries leave.  Kept in-window besides MUST_GATE:
-    # the queries this round's code touched — jpeg_decode_stats (SOF
-    # component/sampling guards), adpcm_decode_stats (stereo decode),
-    # chunked_ef_roundtrip + ef_roundtrip_postings (ef_*_rows made the
-    # public cross-module contract), curated_pack_encoded (stage-view
-    # release fix), pack_store_roundtrip (new bench headline coverage).
+    # these 36 r7-green entries leave.  Kept in-window besides MUST_GATE:
+    # the queries this round's code behaviorally touched —
+    # jpeg_decode_stats (SOF guards + the lockstep batch entropy machine),
+    # adpcm_decode_stats (multichannel decode), curated_pack_encoded
+    # (stage-generation reuse), pack_store_roundtrip (new bench headline
+    # coverage) — plus the two NEW r8 queries (quality_repetition,
+    # domain_mix_sample), which must enter in-window.  The chunked-EF pair
+    # rotates out with only a cosmetic rename this round (ef_*_rows made
+    # public), re-verified by the local 84/84 gate.
+    "ef_roundtrip_postings", "chunked_ef_roundtrip",
     "auto_roundtrip", "auto_sorted_roundtrip", "svb_size", "svb0124_size",
     "delta_size_postings", "ef_size_postings", "bitpack_size", "for_size",
     "dict_size", "rle_size", "auto_size", "auto_sorted_size_postings",

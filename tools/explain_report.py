@@ -27,6 +27,7 @@ HEADLINE = [
     "png_decode_stats", "curation_pipeline", "curated_pack_sequences",
     "curated_pack_encoded", "chunked_ef_roundtrip", "auto_sorted_size",
     "jpeg_decode_stats", "adpcm_decode_stats",
+    "quality_repetition", "domain_mix_sample",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
