@@ -155,7 +155,11 @@ def main():
                 # — the dataloader-serving hot path at training time; a
                 # read-path regression was previously invisible round-over-
                 # round (r7 verdict item 6)
-                "pack_store_roundtrip"]
+                "pack_store_roundtrip",
+                # r8: the inverted-index family — the skew-proof chunked
+                # build (groupBy (term, did div span) + EF per chunk) and
+                # boolean-AND serving from the encoded wire
+                "index_build_chunked", "index_intersect"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

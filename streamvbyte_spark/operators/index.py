@@ -1,0 +1,134 @@
+"""Inverted-index build + serving over the documents corpus.
+
+Sorted doc-id posting lists are THE canonical input of this codec family:
+the reference names differential coding as the preferred mode for sorted
+values (/root/reference/README.md:54-59) and points at its sibling library
+for "compress and intersect sorted lists of integers"
+(/root/reference/README.md:253).  This module closes that loop Spark-first:
+build the index as a DataFrame job, store postings on the auto_sorted /
+Elias-Fano wire, and serve boolean AND queries by decoding only the probed
+terms' chunks.
+
+Two build shapes:
+
+* ``term_postings`` — the LOGICAL index: one row per term holding the full
+  sorted doc-id list.  Exact and oracle-checkable, but ``collect_set`` puts
+  a stopword's entire postings on one reducer — at 10^10 documents a df~0.8
+  term is a multi-GB cell on a single task.  The flat queries use it as the
+  size/round-trip showcase; it is NOT the scale build.
+
+* ``build_index_chunked`` — the SCALE build: group by ``(term,
+  did div span)`` so a term's postings land as bounded ~span-wide chunks
+  across MANY reducers (a stopword spreads over n_docs/span tasks instead
+  of one), then Elias-Fano-encode each chunk (a sorted list's chunks are
+  themselves sorted, and EF stores absolute values — chunks stay
+  independently decodable, no prev chain needed).  The chunk key is
+  ``did div span`` itself: monotone in did, so ordering by it restores the
+  full list, and it needs no global per-term window over posting rows.
+  Skew never concentrates: the ONLY per-term sequential state
+  (``tok_start``, each chunk's offset in the term's full list) is computed
+  by a window over CHUNK AGGREGATES — n_docs/span rows per term, not df.
+
+Serving (``intersect_terms``): filter the encoded chunk table to the probed
+terms (a pushable predicate on the stored index — at scale this prunes to
+~df/span rows read per term), decode those chunks, and equi-join the two
+exploded posting streams on doc id.  The df-ordered probe (decode the RARER
+term first, semi-join the denser one) is the classic refinement; the
+equi-join form here already never materializes either full list as one cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .chunking import decode_chunked_delta, encode_chunked_delta
+
+# chunk span in doc-id space: bounds every chunk row to <= span postings.
+# Gate scale (500-5000 docs) uses a small span so multi-chunk terms exist;
+# at 10^10 docs pick ~2^17 so chunk rows stay ~0.5 MB on the EF wire.
+INDEX_CHUNK_SPAN = 128
+
+# a probe term must hit at least this many documents to be selected by the
+# deterministic query-term rule (the two lexicographically smallest terms
+# with df >= INDEX_MIN_DF)
+INDEX_MIN_DF = 5
+
+
+def term_doc_pairs(docs: DataFrame) -> DataFrame:
+    """(term, did) rows, duplicates NOT yet removed: the explode output.
+    Tokenizer parity with the SQL pipeline family: split on single space,
+    empty strings dropped (pipeline_sql.Dialect.split semantics)."""
+    return (docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+        F.col("doc_id").cast("int").alias("did"))
+        .where(F.col("term") != ""))
+
+
+def term_postings(docs: DataFrame) -> DataFrame:
+    """The logical index as a token table: (doc_id=term, tokens=sorted
+    distinct doc ids, n_tok=df, source) — plugs straight into
+    encode_table/size_table/decode_table.  collect_set dedups (a term
+    appearing k times in one doc is one posting) and sort_array fixes the
+    order both engines agree on.  Skew caveat in the module docstring."""
+    return (term_doc_pairs(docs)
+            .groupBy("term")
+            .agg(F.sort_array(F.collect_set("did")).alias("tokens"))
+            .select(F.col("term").alias("doc_id"),
+                    F.col("tokens").cast("array<int>").alias("tokens"),
+                    F.size("tokens").alias("n_tok"),
+                    F.lit("documents").alias("source")))
+
+
+def build_index_chunked(docs: DataFrame,
+                        span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """documents -> encoded chunked postings table (the scale build).
+
+    One shuffle builds the chunks: groupBy (term, did div span) with
+    collect_set dedup — no distinct pre-pass (it would shuffle the pairs a
+    second time on a key the chunk groupBy cannot reuse).  A second, chunk-
+    level shuffle runs the tok_start window per term; its input is already
+    span-bounded aggregates.  Output schema = chunking.CHUNKED_ENC_SCHEMA
+    with doc_id = term: (doc_id, chunk_id, tok_start, n_tok, prev, encoded,
+    out_bytes) — EF wire, prev unused (schema-stable zero)."""
+    pairs = term_doc_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
+    chunks = (pairs.groupBy("term", "chunk_id")
+              .agg(F.sort_array(F.collect_set("did")).alias("chunk"))
+              .select("term", "chunk_id",
+                      F.col("chunk").cast("array<int>").alias("chunk")))
+    w = (Window.partitionBy("term").orderBy("chunk_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = (chunks
+               .withColumn("tok_start",
+                           F.coalesce(F.sum(F.size("chunk")).over(w),
+                                      F.lit(0)).cast("long"))
+               .withColumn("prev", F.lit(0).cast("long"))
+               .select(F.col("term").alias("doc_id"), "chunk_id",
+                       "tok_start", "chunk", "prev"))
+    return encode_chunked_delta(chunked, codec="ef")
+
+
+def intersect_terms(enc_index: DataFrame, term_a: str,
+                    term_b: str) -> DataFrame:
+    """Serve ``term_a AND term_b`` from the ENCODED chunked index: prune to
+    the two terms' chunks (pushable predicate when the index is read from
+    storage), EF-decode only those, and equi-join the posting streams on
+    doc id.  Returns one row: (term_a, term_b, n_common, fingerprint) with
+    the polynomial fold over the ASCENDING common ids — the driver-gate
+    scalar form of the intersection."""
+    from ..queries import spark_fingerprint
+    dec = decode_chunked_delta(
+        enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")
+    posts = dec.select("doc_id", F.explode("chunk").alias("did"))
+    common = (posts.where(F.col("doc_id") == term_a).select("did")
+              .join(posts.where(F.col("doc_id") == term_b).select("did"),
+                    "did"))
+    # single-row global agg: the HOF fold runs once over the (deduped by
+    # construction) common-id list — not a per-row hot path
+    return (common.groupBy()
+            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
+            .select(F.lit(term_a).alias("term_a"),
+                    F.lit(term_b).alias("term_b"),
+                    F.size("ids").alias("n_common"),
+                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))

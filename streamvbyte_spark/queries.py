@@ -51,6 +51,20 @@ POSTING_SQL = (
     "from lineitem group by l_partkey"
 )
 
+# the LOGICAL inverted index over documents: term -> sorted distinct doc-id
+# posting list (operators/index.term_postings is the Spark twin; tokenizer
+# parity with pipeline_sql.Dialect.split — single-space split, empties
+# dropped).  The oracle for every index_* query: the chunked scale build
+# must reproduce exactly these lists.
+TERM_POSTING_SQL = (
+    "select term as doc_id, list(did order by did) as tokens, "
+    "cast(count(*) as int) as n_tok, 'documents' as source from "
+    "(select distinct term, did from "
+    "(select unnest(string_split(text, ' ')) as term, "
+    "cast(doc_id as int) as did from documents)) w "
+    "where term != '' group by term"
+)
+
 
 def _bits(expr: str) -> str:
     """Exact bit_length in DuckDB (length of the binary string, no padding)."""
@@ -269,10 +283,18 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
     # than fusing the numpy tokenizer into the kernel at this corpus shape
     # (0.27s vs 0.35s encode at sf0.1 — Spark's codegen'd string ops beat
     # the kernel's ~25 gather-heavy passes; see text_udfs.tokenize_rows)
-    base = tokens_from_documents(spark, sf_dir) if source == "documents" \
-        else posting_lists(spark, sf_dir)
+    base = _token_source(spark, sf_dir, source)
     return encode_table(base, codec=codec,
                         candidates=batched.VECTOR_COST_CODECS)
+
+
+def _token_source(spark: SparkSession, sf_dir: str, source: str) -> DataFrame:
+    if source == "documents":
+        return tokens_from_documents(spark, sf_dir)
+    if source == "terms":
+        from .operators.index import term_postings
+        return term_postings(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return posting_lists(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -290,15 +312,22 @@ def _encoded(spark: SparkSession, sf_dir: str, codec: str,
 GATE_ROTATE_OUT: tuple[str, ...] = (
     # r8 rotation: the 34 r6-green entries rotated out in r7 all RETURN to
     # the window (they have no r7 row; r7∪r8 must cover all queries), and
-    # these 36 r7-green entries leave.  Kept in-window besides MUST_GATE:
-    # the queries this round's code behaviorally touched —
-    # jpeg_decode_stats (SOF guards + the lockstep batch entropy machine),
-    # adpcm_decode_stats (multichannel decode), curated_pack_encoded
-    # (stage-generation reuse), pack_store_roundtrip (new bench headline
-    # coverage) — plus the two NEW r8 queries (quality_repetition,
-    # domain_mix_sample), which must enter in-window.  The chunked-EF pair
-    # rotates out with only a cosmetic rename this round (ef_*_rows made
-    # public), re-verified by the local 84/84 gate.
+    # these 40 r7-green entries leave; the six NEW r8 queries
+    # (quality_repetition, domain_mix_sample, index_postings_roundtrip,
+    # index_postings_size, index_build_chunked, index_intersect) enter
+    # in-window, as new queries must.  The r8-touched r7-green entries
+    # rotate out to make room, each with its change covered elsewhere:
+    # jpeg/adpcm_decode_stats — the lockstep batch machines are pinned
+    # byte-identical to the single-payload decoders by pytest parity
+    # suites, and those single decoders carry r7 driver rows (batch ==
+    # single == oracle by transitivity, plus the local 90/90 gate this
+    # session); curated_pack_encoded — stage-generation REUSE changes
+    # invocation lifecycle only, and a single driver invocation never hits
+    # the reuse path anyway; pack_store_roundtrip — bench-headline change
+    # only, query code untouched.  The chunked-EF pair rotates out with a
+    # cosmetic rename (ef_*_rows made public).
+    "jpeg_decode_stats", "adpcm_decode_stats",
+    "curated_pack_encoded", "pack_store_roundtrip",
     "ef_roundtrip_postings", "chunked_ef_roundtrip",
     "auto_roundtrip", "auto_sorted_roundtrip", "svb_size", "svb0124_size",
     "delta_size_postings", "ef_size_postings", "bitpack_size", "for_size",
@@ -585,9 +614,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bytes in the plan; cost==len(encode) is invariant-tested and the
         # auto_size least() oracle checks the full formula set
         def run(spark, sf_dir):
-            base = tokens_from_documents(spark, sf_dir) if src == "documents" \
-                else posting_lists(spark, sf_dir)
-            return size_table(base, codec=codec)
+            return size_table(_token_source(spark, sf_dir, src), codec=codec)
         return run
 
     q["svb_size"] = make_size("svb", "documents")
@@ -1090,6 +1117,70 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunked_truncate_decode"] = chunked_truncate_decode
 
+    # -- inverted index over documents: the codec family's canonical
+    # application (reference README.md:54-59 names differential coding for
+    # sorted values; README.md:253 points at "compress and intersect sorted
+    # lists of integers").  Logical index = term -> sorted doc-id postings;
+    # the flat pair below showcases per-row codec selection + the cost
+    # model over the postings distribution, the chunked build is the
+    # skew-proof 100 TB shape, and index_intersect serves a boolean AND
+    # from the encoded wire.  See operators/index.py.
+    q["index_postings_roundtrip"] = make_roundtrip("auto_sorted", "terms")
+    q["index_postings_size"] = make_size("auto_sorted", "terms")
+
+    def index_build_chunked(spark, sf_dir):
+        # the SCALE build: groupBy (term, did div span) bounds every chunk
+        # to <= span postings — a df~0.8 stopword spreads over n_docs/span
+        # reducers instead of one collect_set cell — then EF-encodes each
+        # chunk (absolute values, independently decodable).  The identity
+        # oracle proves the distributed build reassembles to EXACTLY the
+        # logical full-list index.
+        from .operators.chunking import decode_reassemble_fused
+        from .operators.index import build_index_chunked as _build
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # pinned fanout: the decode input is byte-small but CPU-heavy EF
+        # chunks — a count-less repartition is AQE-coalescible to 1 task
+        # (CLAUDE.md; packing.py hit exactly this at sf0.1)
+        re = decode_reassemble_fused(_build(docs), fingerprint=True,
+                                     codec="ef",
+                                     fanout=pipeline_sql._SCAN_FANOUT)
+        return re.select("doc_id", "n_tok", "fingerprint")
+
+    q["index_build_chunked"] = index_build_chunked
+
+    def index_intersect(spark, sf_dir):
+        # serving: decode ONLY the probed terms' chunks from the encoded
+        # index (pushable predicate on the stored chunk table) and
+        # equi-join the posting streams.  Probe terms are data-derived and
+        # deterministic: the two lexicographically smallest terms with
+        # df >= INDEX_MIN_DF.  The encoded index is materialized once per
+        # (session, sf_dir) — the probe agg and both join sides read the
+        # checkpointed stage, not three rebuilds (SPARK_STAGES policy).
+        import uuid as _uuid
+        from .operators.index import (INDEX_CHUNK_SPAN, INDEX_MIN_DF,
+                                      build_index_chunked, intersect_terms)
+        from .operators.staging import materialize
+        fpk = (sf_dir, INDEX_CHUNK_SPAN, INDEX_MIN_DF)
+        hit = _stage_cache_get(spark, "index_intersect", fpk)
+        if hit is None:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            v = f"svb_stage_index_{_uuid.uuid4().hex[:8]}"
+            enc = materialize(build_index_chunked(docs))
+            enc.createOrReplaceTempView(v)
+            _stage_cache_put(spark, "index_intersect", fpk, ((v, enc),), (v,))
+            hit = (v,)
+        enc = spark.table(hit[0])
+        probe = (enc.groupBy("doc_id").agg(F.sum("n_tok").alias("df"))
+                 .where(F.col("df") >= INDEX_MIN_DF)
+                 .orderBy("doc_id").limit(2).collect())
+        if len(probe) < 2:
+            raise ValueError(
+                f"index_intersect needs two probe terms with df >= "
+                f"{INDEX_MIN_DF}; corpus has {len(probe)}")
+        return intersect_terms(enc, probe[0]["doc_id"], probe[1]["doc_id"])
+
+    q["index_intersect"] = index_intersect
+
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
         from .pipeline import curate_documents
@@ -1555,6 +1646,35 @@ def build_oracles() -> dict[str, str]:
         f"from ({post})")
     o["chunked_fused_roundtrip"] = o["chunked_roundtrip_postings"]
     o["chunked_ef_roundtrip"] = o["chunked_roundtrip_postings"]
+    # inverted index: every index_* oracle derives from the LOGICAL
+    # full-list index (TERM_POSTING_SQL) — the chunked scale build and the
+    # encoded-wire serving path must reproduce it exactly
+    tp = TERM_POSTING_SQL
+    o["index_postings_roundtrip"] = (
+        f"select doc_id, n_tok, source, {fp} as fingerprint from ({tp})")
+    o["index_postings_size"] = (
+        f"select doc_id, {duckdb_size_auto_sorted(t, n)} as size_bytes "
+        f"from ({tp})")
+    o["index_build_chunked"] = (
+        f"select doc_id, n_tok, {fp} as fingerprint from ({tp})")
+    # probe terms: the two lexicographically smallest with df >= 5 (the
+    # Spark query derives the same pair from the encoded chunk table);
+    # intersect of distinct posting sets, folded over ascending ids
+    o["index_intersect"] = (
+        f"with tp as ({tp}), "
+        "q as (select doc_id as term from tp where n_tok >= 5 "
+        "      order by doc_id limit 2), "
+        "c as (select unnest(tokens) as did from tp "
+        "      where doc_id = (select min(term) from q) "
+        "      intersect "
+        "      select unnest(tokens) as did from tp "
+        "      where doc_id = (select max(term) from q)), "
+        "ids as (select coalesce(list(did order by did), "
+        "        cast([] as int[])) as ids from c) "
+        "select (select min(term) from q) as term_a, "
+        "(select max(term) from q) as term_b, "
+        "cast(len(ids) as int) as n_common, "
+        f"{duckdb_fingerprint('ids')} as fingerprint from ids")
     # chunked truncation: first min(20, n_tok) tokens of each posting list
     # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
     # prefix path; chunks 3+ never survive the tok_start filter)

@@ -816,3 +816,67 @@ def test_fused_text_paths_reject_null_text(spark):
             docs.select(doc_fingerprint_text("text")).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- inverted index
+
+_IDX_ROWS = [
+    (0, "a b a c", "s"),      # duplicate word within one doc -> one posting
+    (1, "", "s"),             # empty text -> no terms
+    (127, "a  b", "s"),       # double space -> empty token dropped
+    (128, "b c", "s"),        # exact chunk-span boundary (span = 128)
+    (129, "a", "s"),
+    (300, "c a", "s"),
+    (4096, "a", "s"),         # far, sparse chunk
+]
+
+
+def _idx_docs(spark):
+    return spark.createDataFrame(
+        _IDX_ROWS, "doc_id long, text string, source string")
+
+
+def test_index_chunked_matches_logical(spark):
+    """The skew-proof chunked build (groupBy (term, did div span), EF per
+    chunk) must reassemble to EXACTLY the logical full-list index, across
+    chunk-span boundaries, duplicate in-doc terms, and empty texts."""
+    from streamvbyte_spark.operators.chunking import decode_chunked_delta
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   term_postings)
+    docs = _idx_docs(spark)
+    enc = build_index_chunked(docs)
+    got: dict[str, list] = {}
+    for r in decode_chunked_delta(enc, codec="ef").collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, list(r.chunk)))
+    rebuilt = {t: [d for _, ch in sorted(v) for d in ch]
+               for t, v in got.items()}
+    want = {r.doc_id: list(r.tokens) for r in term_postings(docs).collect()}
+    assert rebuilt == want
+    assert want["a"] == [0, 127, 129, 300, 4096]
+    # the span really split a term across chunks
+    assert max(len(v) for v in got.values()) >= 3
+    # tok_start is each chunk's offset in the term's full list
+    starts = {(r.doc_id, r.chunk_id): r.tok_start for r in enc.collect()}
+    for term, chunks in got.items():
+        off = 0
+        for cid, ch in sorted(chunks):
+            assert starts[(term, cid)] == off, (term, cid)
+            off += len(ch)
+
+
+def test_index_intersect_terms(spark):
+    """Serving from the encoded wire: AND of two terms = the exact set
+    intersection, fingerprinted over ascending ids; absent/disjoint terms
+    yield the (0, 0) row, not an empty result."""
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   intersect_terms)
+    enc = build_index_chunked(_idx_docs(spark)).localCheckpoint()
+    row = intersect_terms(enc, "a", "c").collect()[0]
+    # a -> {0,127,129,300,4096}; c -> {0,128,300}; common {0,300}
+    p, fp = 10**9 + 7, 0
+    for t in [0, 300]:
+        fp = (fp * 31 + t) % p
+    assert (row.term_a, row.term_b, row.n_common) == ("a", "c", 2)
+    assert row.fingerprint == fp
+    empty = intersect_terms(enc, "b", "zzz").collect()[0]
+    assert (empty.n_common, empty.fingerprint) == (0, 0)

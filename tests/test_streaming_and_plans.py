@@ -1060,3 +1060,26 @@ def test_sequence_pack_string_bucket_derived_multibucket(spark):
         assert got == want, (got[:3], want[:3])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_index_intersect_materializes_encoded_index(spark):
+    """The serving query's join plan reads the CHECKPOINTED encoded index
+    (stage-cache policy): zero parquet scans, no all-pairs join — the
+    explode/groupBy/encode build ran exactly once, at stage-build time."""
+    import streamvbyte_spark.queries as Q
+    df = Q.build_queries()["index_intersect"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_index_build_pins_decode_fanout(spark):
+    """index_build_chunked's fused-decode repartition must be NUMBERED
+    (AQE-coalescing-exempt): its input is byte-small but CPU-heavy encoded
+    chunks, exactly the shape AQE's byte-based advisory collapses to one
+    task (CLAUDE.md; operators/packing.py regression)."""
+    import streamvbyte_spark.queries as Q
+    df = Q.build_queries()["index_build_chunked"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert "REPARTITION_BY_NUM" in plan, plan
