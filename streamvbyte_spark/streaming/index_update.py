@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator: incremental inverted-index maintenance.
+
+The batch build (operators/index.build_index_chunked) groups the corpus by
+``(term, did div span)`` and Elias-Fano-encodes each bounded chunk.  A LIVE
+ingestion pipeline needs the same index as documents ARRIVE:
+``applyInPandasWithState`` keyed by ``(term, chunk_id)`` keeps each chunk's
+CURRENT ENCODED BYTES as the state value — every micro-batch decodes the
+touched chunks, set-merges the new doc ids, re-encodes, and emits the
+updated chunk row.  The state store IS the index; a consumer upserting the
+emitted rows by ``(term, chunk_id)`` maintains the exact table the batch
+build would produce over the union of all arrived documents.
+
+Correctness properties (all pinned by the replay test):
+
+* **No ordering contract.**  Chunk content is a SET of doc ids; merge is a
+  set union, so any arrival order across micro-batches converges to the
+  same chunk bytes — unlike pack_assign's prefix-sum state, which needs
+  non-decreasing delivery.
+* **Redelivery-safe.**  An at-least-once source replaying documents merges
+  already-present ids: a no-op.  Updates are emitted only when a chunk
+  actually GREW, so n_tok strictly increases along one chunk's emission
+  history (the latest generation of a chunk is its max-n_tok row).
+* **Bounded state.**  A chunk holds <= span ids (did div span partitions
+  doc-id space), so decode+union+encode per touched chunk is O(span)
+  whatever the corpus size; a hot stopword term spreads across
+  n_docs/span state keys exactly like the batch build's reducers.  The
+  state store shards by key hash across executors — the streaming twin of
+  the batch build's skew story.
+
+Wire parity: chunk bytes are ef_encode_rows output (the PUBLIC cross-module
+EF contract shared with operators/chunking) — a batch reader decodes
+streamed chunks with the same ef_decode_rows call, and the replay test
+asserts the drained stream's chunks byte-equal the batch build's.
+
+Reference hook: sorted-postings delta/EF is the codec family's canonical
+application (/root/reference/README.md:54-59,253); this operator is the
+engine's own streaming extension (the reference is a batch codec library).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.index import INDEX_CHUNK_SPAN
+
+OUT_SCHEMA = "term string, chunk_id int, n_tok int, encoded binary"
+STATE_SCHEMA = "n_tok int, encoded binary"
+_OUT_COLS = ["term", "chunk_id", "n_tok", "encoded"]
+
+
+def _merge_chunk(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    from ..codec import batched
+    term, chunk_id = key
+    dids = [pdf["did"].to_numpy(np.int64) for pdf in pdf_iter if len(pdf)]
+    if not dids:
+        if state.exists:
+            state.update(state.get)
+        yield pd.DataFrame(columns=_OUT_COLS)
+        return
+    new = np.unique(np.concatenate(dids) if len(dids) > 1 else dids[0])
+    if state.exists:
+        n_old, enc_old = state.get
+        old = batched.ef_decode_rows(
+            np.frombuffer(enc_old, dtype=np.uint8),
+            np.array([0, len(enc_old)], dtype=np.int64),
+            np.array([n_old], dtype=np.int64))[0].astype(np.int64)
+        merged = np.union1d(old, new)
+        if merged.size == old.size:
+            # pure redelivery: nothing grew, emit nothing
+            state.update((n_old, enc_old))
+            yield pd.DataFrame(columns=_OUT_COLS)
+            return
+    else:
+        merged = new
+    enc, _eoff = batched.ef_encode_rows(
+        merged.astype(np.uint32),
+        np.array([0, merged.size], dtype=np.int64))
+    buf = enc.tobytes()
+    state.update((int(merged.size), buf))
+    yield pd.DataFrame({"term": [term],
+                        "chunk_id": np.array([chunk_id], dtype=np.int32),
+                        "n_tok": np.array([merged.size], dtype=np.int32),
+                        "encoded": [buf]})
+
+
+def index_update_stream(docs: DataFrame,
+                        span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """documents stream (doc_id, text, ...) -> upsert rows (term, chunk_id,
+    n_tok, encoded) for every chunk a micro-batch grew; state = one encoded
+    EF chunk per (term, chunk_id).  Tokenizer parity with the batch build
+    (operators/index.term_doc_pairs: single-space split, empties dropped)."""
+    pairs = (docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+        F.col("doc_id").cast("int").alias("did"))
+        .where(F.col("term") != "")
+        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
+    return (pairs.groupBy("term", "chunk_id")
+            .applyInPandasWithState(_merge_chunk, OUT_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

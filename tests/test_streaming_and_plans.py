@@ -1083,3 +1083,52 @@ def test_index_build_pins_decode_fanout(spark):
     df = Q.build_queries()["index_build_chunked"](spark, SF)
     plan = plan_string(df, "simple")
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_streaming_index_update_batch_exact(spark):
+    """Replaying a corpus through micro-batches — OUT of doc_id order and
+    WITH an at-least-once redelivery overlap — must drain to chunk rows
+    BYTE-IDENTICAL to the batch build over the same documents: the state
+    value is the encoded EF chunk, merge is a set union, so arrival order
+    cannot matter and redeliveries are no-ops."""
+    import numpy as np
+    from streamvbyte_spark.operators.index import build_index_chunked
+    from streamvbyte_spark.streaming.index_update import index_update_stream
+
+    tmp = tempfile.mkdtemp(prefix="svb_idxst_")
+    words = ["scan", "sort", "join", "agg", "key"]
+    rng = np.random.default_rng(11)
+    docs = [(j, " ".join(rng.choice(words, rng.integers(1, 6)).tolist()), "s")
+            for j in range(0, 400, 3)]  # ids span > 2 chunks at span=128
+    try:
+        # batch 0 delivers the HIGH ids first (no ordering contract),
+        # batch 1 the low ids PLUS a multi-doc redelivery tail of batch 0
+        schema = "doc_id long, text string, source string"
+        spark.createDataFrame(docs[70:], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(docs[:80], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(tmp + "/in/*"))
+        q = (index_update_stream(stream).writeStream
+             .format("memory").queryName("idx_upd").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {}
+        for r in spark.sql("select * from idx_upd").collect():
+            k = (r.term, r.chunk_id)
+            # n_tok strictly grows along a chunk's emission history: the
+            # max-n_tok row is the final generation
+            if k not in got or r.n_tok > got[k][0]:
+                got[k] = (r.n_tok, bytes(r.encoded))
+        batch_docs = spark.createDataFrame(docs, schema)
+        want = {(r.doc_id, r.chunk_id): (r.n_tok, bytes(r.encoded))
+                for r in build_index_chunked(batch_docs).collect()}
+        assert got == want
+        # the replay genuinely exercised the merge path: some chunk was
+        # emitted in more than one generation
+        gens = spark.sql("select term, chunk_id, count(*) as g from idx_upd "
+                         "group by term, chunk_id having count(*) > 1")
+        assert gens.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
