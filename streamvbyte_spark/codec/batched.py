@@ -293,12 +293,27 @@ def _svb_decode_rows(enc: np.ndarray, enc_offsets: np.ndarray, n_toks: np.ndarra
 # -------------------------------------------------------------- per-row costs
 
 def row_costs(flat: np.ndarray, offsets: np.ndarray,
-              candidates: tuple[str, ...]) -> np.ndarray:
-    """(R, len(candidates)) exact per-row encoded sizes. Empty rows cost 0."""
+              candidates: tuple[str, ...], prune: bool = False) -> np.ndarray:
+    """(R, len(candidates)) exact per-row encoded sizes. Empty rows cost 0.
+
+    prune=True relaxes the dict column ONLY: rows where a cheap PROVEN
+    lower bound on the dict cost already meets the running minimum of the
+    candidates BEFORE dict in priority order carry that bound instead of
+    the exact cost (skipping the composite-key sort, ~65% of the full cost
+    pass on the bench mix).  Argmin/min consumers are unaffected by
+    construction: the bound is <= the exact cost, so a row whose exact
+    dict cost could win is never pruned; and a pruned value >= the prior
+    minimum can neither change the matrix minimum nor steal a first-
+    minimum tie from an earlier candidate (a tie at the prior minimum
+    resolves to the earlier column with or without pruning, and a later
+    candidate below the prior minimum is below the bound too).  Cell-exact
+    consumers (per-codec size queries, the parity tests) use the default
+    prune=False."""
     nr = (offsets[1:] - offsets[:-1]).astype(np.int64)
     R = nr.size
     key_len = (nr + 3) // 4
     cols = []
+    prior_min = None
     # shared single-pass classifications (b1/b2 feed both svb schemes;
     # max/min feed both bitpack and for)
     if flat.size:
@@ -328,9 +343,8 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             w = _exact_width(mx - mn)
             c = 5 + (nr * w + 7) // 8
         elif name == "dict":
-            k = _row_distinct(flat, offsets)
-            w = _exact_width(np.maximum(k - 1, 0))
-            c = 4 + 4 * k + (nr * w + 7) // 8
+            c = _dict_costs(flat, offsets, nr,
+                            prior_min if prune else None)
         elif name == "rle":
             c = _rle_costs(flat, offsets, lens1234)
         elif name == "fsst":
@@ -340,8 +354,55 @@ def row_costs(flat: np.ndarray, offsets: np.ndarray,
             c = _ef_cost_rows(flat, offsets)
         else:
             raise ValueError(f"no vectorized cost for codec {name!r}")
-        cols.append(np.where(nr > 0, c, 0))
+        col = np.where(nr > 0, c, 0)
+        cols.append(col)
+        if prune:
+            prior_min = col if prior_min is None \
+                else np.minimum(prior_min, col)
     return np.stack(cols, axis=1)
+
+
+def _dict_costs(flat: np.ndarray, offsets: np.ndarray, nr: np.ndarray,
+                prior_min: np.ndarray | None) -> np.ndarray:
+    """Per-row dict cost: exact everywhere when prior_min is None; with a
+    prior minimum, exact ONLY where dict could still be the argmin winner
+    and a proven lower bound elsewhere (see row_costs' prune contract).
+
+    The bound: distinct full values >= distinct LOW BYTES (any projection
+    only merges values), and the dict formula 4 + 4K + nr*width(K-1)/8 is
+    nondecreasing in K — so evaluating it at the low-byte distinct count
+    bounds the true cost from below.  The presence table is one byte
+    scatter + a 256-wide row sum (no sort); the composite-key sort then
+    runs only over the surviving rows' values (16% of the bench mix)."""
+    if prior_min is None or flat.size == 0 or nr.size > (1 << 18):
+        k = _row_distinct(flat, offsets)
+        w = _exact_width(np.maximum(k - 1, 0))
+        return 4 + 4 * k + (nr * w + 7) // 8
+    R = nr.size
+    # int32 index arithmetic: R <= 2^18 (guard above), so rid*256 + low
+    # fits int32 — half the temp traffic of the int64 form
+    rid = np.repeat(_cached_arange(R, np.int32), nr)
+    idx = _scratch("dictlb_idx", flat.size, np.int32)
+    np.left_shift(rid, 8, out=idx)
+    lo = _scratch("dictlb_lo", flat.size, np.uint32)
+    np.bitwise_and(flat, np.uint32(0xFF), out=lo)
+    idx += lo.view(np.int32)
+    pres = _scratch("dictlb_pres", R << 8, np.uint8)
+    pres[:] = 0
+    pres[idx] = 1
+    klb = _seg_sum(pres, _cached_arange(R + 1, np.int64) << 8)
+    wlb = _exact_width(np.maximum(klb - 1, 0))
+    c = 4 + 4 * klb + (nr * wlb + 7) // 8
+    need = np.flatnonzero(c < prior_min)
+    if need.size:
+        if need.size == R:
+            sub_flat, sub_off = flat, offsets
+        else:
+            sub_flat, sub_off = _subset_rows(flat, offsets, need)
+        k = _row_distinct(sub_flat, sub_off)
+        w = _exact_width(np.maximum(k - 1, 0))
+        c[need] = 4 + 4 * k + (nr[need] * w + 7) // 8
+    return c
 
 
 def _ef_cost_rows(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -371,7 +432,7 @@ def auto_sorted_sizes(flat: np.ndarray, offsets: np.ndarray,
     """Per-row auto_sorted size: min over `candidates` plus Elias-Fano on
     rows that are non-decreasing (DuckDB oracle: least() over the same
     formulas with the EF term gated on tokens == list_sort(tokens))."""
-    best = row_costs(flat, offsets, candidates).min(axis=1)
+    best = row_costs(flat, offsets, candidates, prune=True).min(axis=1)
     nr = offsets[1:] - offsets[:-1]
     eligible = row_sorted_mask(flat, offsets) & (nr > 0)
     return np.where(eligible,
@@ -637,7 +698,7 @@ def encode_rows(flat: np.ndarray, offsets: np.ndarray, codec: str = "auto",
     R = offsets.size - 1
     nr = offsets[1:] - offsets[:-1]
     if codec in ("auto", "auto_sorted"):
-        costs = row_costs(flat, offsets, candidates)
+        costs = row_costs(flat, offsets, candidates, prune=True)
         pick = np.argmin(costs, axis=1)  # first minimum = candidate priority
         names = np.array([CODEC_ID[c] for c in candidates], dtype=np.int32)
         codec_ids = names[pick]

@@ -111,7 +111,8 @@ def svb_size(tokens: pd.Series) -> pd.Series:
 def auto_size(tokens: pd.Series) -> pd.Series:
     """Cost-model minimum over every vectorized candidate."""
     flat, offsets = _series_to_flat(tokens)
-    costs = batched.row_costs(flat, offsets, batched.VECTOR_COST_CODECS)
+    costs = batched.row_costs(flat, offsets, batched.VECTOR_COST_CODECS,
+                              prune=True)
     return pd.Series(costs.min(axis=1))
 
 

@@ -223,7 +223,8 @@ def size_table(df: DataFrame, codec: str = "auto",
                 sizes = batched.auto_sorted_sizes(flat, offsets, candidates)
             else:
                 costs = batched.row_costs(
-                    flat, offsets, candidates if codec == "auto" else (codec,))
+                    flat, offsets, candidates if codec == "auto" else (codec,),
+                    prune=codec == "auto")
                 sizes = costs.min(axis=1) if codec == "auto" else costs[:, 0]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("doc_id")),

@@ -341,3 +341,48 @@ def test_fingerprint_rows_empty_and_growth():
     long = np.arange(200_000, dtype=np.int32)
     got = batched.fingerprint_rows(long, np.array([0, long.size], np.int64))
     assert got[0] == _fp_fold(long)
+
+
+def test_row_costs_prune_matches_exact_selection():
+    """prune=True may relax the dict COLUMN to a proven lower bound, but
+    the matrix minimum and the first-minimum argmin (= selector winner,
+    incl. candidate-priority ties) must be IDENTICAL to the exact matrix —
+    on dict winners, rle winners, near-ties, low-byte collisions (the
+    bound's weakest case: distinct values sharing one low byte), empties,
+    and the fsst-extended candidate set."""
+    rng = np.random.default_rng(5)
+    arrays = []
+    for i in range(600):
+        kind = i % 6
+        n = int(rng.integers(0, 50)) if kind == 5 else int(rng.integers(1, 400))
+        if kind == 0:    # dict-friendly: 3 distinct values across uint32
+            vals = rng.choice(np.array([7, 2**30 + 1, 2**31 + 5], np.uint32), n)
+        elif kind == 1:  # rle-friendly runs
+            vals = np.repeat(rng.integers(0, 1000, max(n // 20, 1))
+                             .astype(np.uint32), 20)[:n]
+        elif kind == 2:  # low-byte collisions: distinct values, one low byte
+            vals = (rng.integers(0, 50, n).astype(np.uint32)
+                    << np.uint32(8)) + np.uint32(7)
+        elif kind == 3:
+            vals = rng.integers(0, 255, n).astype(np.uint32)
+        elif kind == 4:
+            vals = np.sort(rng.integers(0, 2**31, n).astype(np.uint32))
+        else:
+            vals = rng.integers(0, 2**16, n).astype(np.uint32)
+        arrays.append(vals)
+    arrays.append(np.zeros(0, np.uint32))
+    flat = np.concatenate(arrays).astype(np.uint32)
+    off = np.concatenate(
+        [[0], np.cumsum([a.size for a in arrays])]).astype(np.int64)
+    saw_dict_winner = False
+    for cand in (batched.VECTOR_COST_CODECS, batched.VECTOR_COST_CODECS_FULL):
+        exact = batched.row_costs(flat, off, cand)
+        pruned = batched.row_costs(flat, off, cand, prune=True)
+        np.testing.assert_array_equal(exact.min(axis=1), pruned.min(axis=1))
+        np.testing.assert_array_equal(np.argmin(exact, axis=1),
+                                      np.argmin(pruned, axis=1))
+        j = cand.index("dict")
+        # the relaxed column is a true LOWER bound (never above exact)
+        assert (pruned[:, j] <= exact[:, j]).all()
+        saw_dict_winner |= bool((np.argmin(exact, axis=1) == j).any())
+    assert saw_dict_winner  # the mix must actually exercise dict wins
