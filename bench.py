@@ -157,9 +157,10 @@ def main():
                 # round (r7 verdict item 6)
                 "pack_store_roundtrip",
                 # r8: the inverted-index family — the skew-proof chunked
-                # build (groupBy (term, did div span) + EF per chunk) and
-                # boolean-AND serving from the encoded wire
-                "index_build_chunked", "index_intersect"]
+                # build (groupBy (term, did div span) + EF per chunk),
+                # boolean-AND serving from the encoded wire, and the
+                # TF-weighted integer top-k
+                "index_build_chunked", "index_intersect", "index_topk_and"]
     passes: dict[str, list[float]] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this

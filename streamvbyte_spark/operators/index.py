@@ -109,6 +109,128 @@ def build_index_chunked(docs: DataFrame,
     return encode_chunked_delta(chunked, codec="ef")
 
 
+TF_ENC_SCHEMA = ("doc_id string, chunk_id int, n_doc int, "
+                 "enc_dids binary, enc_tfs binary, out_bytes bigint")
+
+
+def build_index_tf_chunked(docs: DataFrame,
+                           span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """TF-weighted chunked index: each (term, did div span) chunk stores the
+    sorted distinct doc ids as an Elias-Fano stream AND the per-doc term
+    frequencies (in did order) as an svb stream.
+
+    ONE posting-level shuffle, like the set build: the chunk groupBy
+    collects the raw (duplicated) dids — ``sort_array(collect_list)`` —
+    and the ENCODE KERNEL run-lengths each sorted chunk into (distinct
+    dids, tfs) in one vectorized pass, instead of a separate
+    (term, did)-keyed counting aggregate whose partitioning the chunk
+    groupBy could not reuse (that form shuffles the postings twice).
+    Chunk rows are bounded by span * max_tf raw values pre-dedup; the
+    encoded payload by span postings."""
+    pairs = term_doc_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
+    chunks = (pairs.groupBy("term", "chunk_id")
+              .agg(F.sort_array(F.collect_list("did")).alias("raw"))
+              .select(F.col("term").alias("doc_id"), "chunk_id",
+                      F.col("raw").cast("array<int>").alias("raw")))
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _binary_array, _list_to_flat
+        for batch in batches:
+            flat, offsets = _list_to_flat(
+                batch.column(batch.schema.get_field_index("raw")))
+            flat = np.ascontiguousarray(flat, dtype=np.uint32)
+            V = flat.size
+            rid = np.repeat(
+                np.arange(offsets.size - 1, dtype=np.int64),
+                offsets[1:] - offsets[:-1])
+            # run-length the sorted duplicated dids: starts mark distinct
+            # (row, did) pairs; run length = that doc's tf for the term
+            new = np.ones(V, dtype=bool)
+            if V > 1:
+                new[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
+            starts = np.flatnonzero(new)
+            dids = flat[starts]
+            tfs = (np.diff(np.append(starts, V))).astype(np.uint32)
+            doff = np.zeros(offsets.size, dtype=np.int64)
+            np.cumsum(np.bincount(rid[starts],
+                                  minlength=offsets.size - 1), out=doff[1:])
+            enc_d, eoff_d = batched.ef_encode_rows(dids, doff)
+            enc_t, eoff_t = batched.encode_rows(tfs, doff, "svb")[:2]
+            n_doc = (doff[1:] - doff[:-1]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("doc_id")),
+                 batch.column(batch.schema.get_field_index("chunk_id")),
+                 pa.array(n_doc, pa.int32()),
+                 _binary_array(enc_d, eoff_d),
+                 _binary_array(enc_t, eoff_t),
+                 pa.array((eoff_d[1:] - eoff_d[:-1])
+                          + (eoff_t[1:] - eoff_t[:-1]), pa.int64())],
+                names=["doc_id", "chunk_id", "n_doc", "enc_dids",
+                       "enc_tfs", "out_bytes"])
+
+    return chunks.mapInArrow(run, TF_ENC_SCHEMA)
+
+
+def decode_index_tf(enc_index: DataFrame) -> DataFrame:
+    """TF chunks -> (term, did, tf) posting rows (EF dids + svb tfs decoded
+    whole-batch, exploded JVM-side via arrays_zip/inline)."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary, _i32_offsets
+        for batch in batches:
+            n_doc = np.asarray(
+                batch.column(batch.schema.get_field_index("n_doc")),
+                dtype=np.int64)
+            enc_d, eoff_d = _flat_binary(
+                batch.column(batch.schema.get_field_index("enc_dids")))
+            enc_t, eoff_t = _flat_binary(
+                batch.column(batch.schema.get_field_index("enc_tfs")))
+            dids, doff = batched.ef_decode_rows(enc_d, eoff_d, n_doc)
+            tfs, _ = batched.decode_rows(
+                enc_t, eoff_t, n_doc,
+                np.full(n_doc.size, batched.CODEC_ID["svb"], np.int32))
+            o32 = pa.array(_i32_offsets(doff), pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("doc_id")),
+                 pa.ListArray.from_arrays(o32, pa.array(dids.view(np.int32),
+                                                        pa.int32())),
+                 pa.ListArray.from_arrays(o32, pa.array(tfs.view(np.int32),
+                                                        pa.int32()))],
+                names=["term", "dids", "tfs"])
+
+    lists = enc_index.mapInArrow(
+        run, "term string, dids array<int>, tfs array<int>")
+    return lists.select(
+        "term", F.expr("inline(arrays_zip(dids, tfs))")) \
+        .withColumnRenamed("dids", "did").withColumnRenamed("tfs", "tf")
+
+
+def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
+                   k: int = 10) -> DataFrame:
+    """Integer-relevance top-k for ``term_a AND term_b`` served from the
+    TF index wire: decode only the probed terms' chunks, join the posting
+    streams on doc id, score = tf_a + tf_b (exact integers both engines),
+    deterministic order (score desc, did asc), limit k."""
+    posts = decode_index_tf(
+        enc_index.where(F.col("doc_id").isin([term_a, term_b])))
+    a = posts.where(F.col("term") == term_a).select(
+        "did", F.col("tf").alias("tf_a"))
+    b = posts.where(F.col("term") == term_b).select(
+        "did", F.col("tf").alias("tf_b"))
+    return (a.join(b, "did")
+            .select("did", "tf_a", "tf_b",
+                    (F.col("tf_a") + F.col("tf_b")).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("did").asc())
+            .limit(k))
+
+
 def intersect_terms(enc_index: DataFrame, term_a: str,
                     term_b: str) -> DataFrame:
     """Serve ``term_a AND term_b`` from the ENCODED chunked index: prune to

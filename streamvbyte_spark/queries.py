@@ -326,6 +326,11 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     # the reuse path anyway; pack_store_roundtrip — bench-headline change
     # only, query code untouched.  The chunked-EF pair rotates out with a
     # cosmetic rename (ef_*_rows made public).
+    # nation_revenue leaves the r5-verdict pinned set for ONE round (green
+    # in both r6 and r7, code untouched since; the pin's purpose — force
+    # first-time gating of the r5 list — is long fulfilled) to admit
+    # index_topk_and, which must enter in-window as a new query.
+    "nation_revenue",
     "jpeg_decode_stats", "adpcm_decode_stats",
     "curated_pack_encoded", "pack_store_roundtrip",
     "ef_roundtrip_postings", "chunked_ef_roundtrip",
@@ -1181,6 +1186,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_intersect"] = index_intersect
 
+    def index_topk_and(spark, sf_dir):
+        # integer-relevance serving from the TF-weighted index wire: the
+        # same probe rule as index_intersect, score = tf_a + tf_b (exact
+        # integers both engines), deterministic (score desc, did asc)
+        # top-10.  The TF build stores each chunk as an EF did stream + an
+        # svb tf stream, collected in ONE posting-level shuffle (the encode
+        # kernel run-lengths the sorted duplicated dids into (did, tf) —
+        # a separate counting aggregate would shuffle the postings twice).
+        import uuid as _uuid
+        from .operators.index import (INDEX_CHUNK_SPAN, INDEX_MIN_DF,
+                                      build_index_tf_chunked, topk_and_terms)
+        from .operators.staging import materialize
+        fpk = (sf_dir, INDEX_CHUNK_SPAN, INDEX_MIN_DF, "tf")
+        hit = _stage_cache_get(spark, "index_topk_and", fpk)
+        if hit is None:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            v = f"svb_stage_idxtf_{_uuid.uuid4().hex[:8]}"
+            enc = materialize(build_index_tf_chunked(docs))
+            enc.createOrReplaceTempView(v)
+            _stage_cache_put(spark, "index_topk_and", fpk, ((v, enc),), (v,))
+            hit = (v,)
+        enc = spark.table(hit[0])
+        probe = (enc.groupBy("doc_id").agg(F.sum("n_doc").alias("df"))
+                 .where(F.col("df") >= INDEX_MIN_DF)
+                 .orderBy("doc_id").limit(2).collect())
+        if len(probe) < 2:
+            raise ValueError(
+                f"index_topk_and needs two probe terms with df >= "
+                f"{INDEX_MIN_DF}; corpus has {len(probe)}")
+        return topk_and_terms(enc, probe[0]["doc_id"], probe[1]["doc_id"])
+
+    q["index_topk_and"] = index_topk_and
+
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
         from .pipeline import curate_documents
@@ -1675,6 +1713,23 @@ def build_oracles() -> dict[str, str]:
         "(select max(term) from q) as term_b, "
         "cast(len(ids) as int) as n_common, "
         f"{duckdb_fingerprint('ids')} as fingerprint from ids")
+    # TF-weighted AND top-k: per-(term, doc) counts joined on doc id,
+    # integer score, deterministic (score desc, did asc) cut — the set of
+    # k rows is total-ordered, so the driver's sorted compare is exact
+    o["index_topk_and"] = (
+        "with p as (select term, did, cast(count(*) as int) as tf from "
+        "(select unnest(string_split(text, ' ')) as term, "
+        "cast(doc_id as int) as did from documents) w "
+        "where term != '' group by term, did), "
+        "q as (select term from (select term, count(*) as df from p "
+        "      group by term) t where df >= 5 order by term limit 2) "
+        "select a.did, a.tf as tf_a, b.tf as tf_b, "
+        "a.tf + b.tf as score "
+        "from (select did, tf from p "
+        "      where term = (select min(term) from q)) a "
+        "join (select did, tf from p "
+        "      where term = (select max(term) from q)) b using (did) "
+        "order by score desc, a.did asc limit 10")
     # chunked truncation: first min(20, n_tok) tokens of each posting list
     # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
     # prefix path; chunks 3+ never survive the tok_start filter)

@@ -10,11 +10,14 @@ from __future__ import annotations
 import __spark_entry__ as entry
 from streamvbyte_spark import queries as q
 
-# the r5-verdict list: never driver-gated before round 6
+# the r5-verdict list: never driver-gated before round 6.  nation_revenue
+# left the pin in r8 (green r6 AND r7, untouched since; its slot admits the
+# new index_topk_and, and the prior-green-row guard below still governs its
+# rotation) — re-pin it if its code is ever touched again.
 MUST_GATE = {
     "pack_sequences", "pack_sequences_encoded", "curation_pipeline",
     "sequence_pack", "decontaminate", "dedup_components",
-    "curate_neardup_metrics", "event_sessions", "nation_revenue",
+    "curate_neardup_metrics", "event_sessions",
     "ann_recall_ivf",
 }
 

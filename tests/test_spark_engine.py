@@ -880,3 +880,29 @@ def test_index_intersect_terms(spark):
     assert row.fingerprint == fp
     empty = intersect_terms(enc, "b", "zzz").collect()[0]
     assert (empty.n_common, empty.fingerprint) == (0, 0)
+
+
+def test_index_tf_chunked_and_topk(spark):
+    """The TF build's in-kernel run-length (sorted duplicated dids ->
+    (distinct did, tf)) must reproduce exact per-(term, doc) counts, and
+    the AND top-k must score tf_a + tf_b with deterministic
+    (score desc, did asc) order."""
+    from collections import Counter
+    from streamvbyte_spark.operators.index import (build_index_tf_chunked,
+                                                   decode_index_tf,
+                                                   topk_and_terms)
+    docs = _idx_docs(spark)
+    enc = build_index_tf_chunked(docs).localCheckpoint()
+    got = {(r.term, r.did): r.tf for r in decode_index_tf(enc).collect()}
+    want = Counter()
+    for did, text, _ in _IDX_ROWS:
+        for w in text.split(" "):
+            if w:
+                want[(w, did)] += 1
+    assert got == dict(want)
+    # a AND c: doc 0 has a twice + c once (score 3), doc 300 once each (2)
+    rows = topk_and_terms(enc, "a", "c", k=10).collect()
+    assert [(r.did, r.tf_a, r.tf_b, r.score) for r in rows] == \
+        [(0, 2, 1, 3), (300, 1, 1, 2)]
+    # k cuts the list, order preserved
+    assert [r.did for r in topk_and_terms(enc, "a", "c", k=1).collect()] == [0]

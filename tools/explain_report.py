@@ -28,7 +28,7 @@ HEADLINE = [
     "curated_pack_encoded", "chunked_ef_roundtrip", "auto_sorted_size",
     "jpeg_decode_stats", "adpcm_decode_stats",
     "quality_repetition", "domain_mix_sample",
-    "index_build_chunked", "index_intersect",
+    "index_build_chunked", "index_intersect", "index_topk_and",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
