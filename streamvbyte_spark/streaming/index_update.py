@@ -90,17 +90,89 @@ def _merge_chunk(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
                         "encoded": [buf]})
 
 
-def index_update_stream(docs: DataFrame,
-                        span: int = INDEX_CHUNK_SPAN) -> DataFrame:
-    """documents stream (doc_id, text, ...) -> upsert rows (term, chunk_id,
-    n_tok, encoded) for every chunk a micro-batch grew; state = one encoded
-    EF chunk per (term, chunk_id).  Tokenizer parity with the batch build
-    (operators/index.term_doc_pairs: single-space split, empties dropped)."""
-    pairs = (docs.select(
+TF_OUT_SCHEMA = ("term string, chunk_id int, n_doc int, "
+                 "enc_dids binary, enc_tfs binary")
+TF_STATE_SCHEMA = "n_doc int, enc_dids binary, enc_tfs binary"
+_TF_OUT_COLS = ["term", "chunk_id", "n_doc", "enc_dids", "enc_tfs"]
+
+
+def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    from ..codec import batched
+    term, chunk_id = key
+    raw = [pdf["did"].to_numpy(np.int64) for pdf in pdf_iter if len(pdf)]
+    if not raw:
+        if state.exists:
+            state.update(state.get)
+        yield pd.DataFrame(columns=_TF_OUT_COLS)
+        return
+    new_dids, new_tfs = np.unique(
+        np.concatenate(raw) if len(raw) > 1 else raw[0], return_counts=True)
+    if state.exists:
+        n_old, ed, et = state.get
+        one = np.array([n_old], dtype=np.int64)
+        old_dids = batched.ef_decode_rows(
+            np.frombuffer(ed, dtype=np.uint8),
+            np.array([0, len(ed)], dtype=np.int64), one)[0].astype(np.int64)
+        old_tfs = batched.decode_rows(
+            np.frombuffer(et, dtype=np.uint8),
+            np.array([0, len(et)], dtype=np.int64), one,
+            np.array([batched.CODEC_ID["svb"]], np.int32))[0]
+        # a doc's tf for a term is COMPLETE within the micro-batch that
+        # delivered the doc (explode keeps a row's words together), so a
+        # did already present is a redelivery: keep the stored count —
+        # adding would double it.  Only FRESH dids insert.
+        fresh = ~np.isin(new_dids, old_dids)
+        if not fresh.any():
+            state.update((n_old, ed, et))
+            yield pd.DataFrame(columns=_TF_OUT_COLS)
+            return
+        md = np.union1d(old_dids, new_dids[fresh])
+        tf = np.zeros(md.size, dtype=np.uint32)
+        tf[np.searchsorted(md, old_dids)] = old_tfs
+        tf[np.searchsorted(md, new_dids[fresh])] = new_tfs[fresh]
+    else:
+        md, tf = new_dids, new_tfs.astype(np.uint32)
+    off = np.array([0, md.size], dtype=np.int64)
+    enc_d = batched.ef_encode_rows(md.astype(np.uint32), off)[0].tobytes()
+    enc_t = batched.encode_rows(tf, off, "svb")[0].tobytes()
+    state.update((int(md.size), enc_d, enc_t))
+    yield pd.DataFrame({"term": [term],
+                        "chunk_id": np.array([chunk_id], dtype=np.int32),
+                        "n_doc": np.array([md.size], dtype=np.int32),
+                        "enc_dids": [enc_d], "enc_tfs": [enc_t]})
+
+
+def _pairs(docs: DataFrame, span: int) -> DataFrame:
+    """Tokenizer parity with the batch build (operators/index.
+    term_doc_pairs: single-space split, empties dropped); duplicates kept —
+    the set merge uniques them, the tf merge counts them."""
+    return (docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term"),
         F.col("doc_id").cast("int").alias("did"))
         .where(F.col("term") != "")
         .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
-    return (pairs.groupBy("term", "chunk_id")
+
+
+def index_update_stream(docs: DataFrame,
+                        span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """documents stream (doc_id, text, ...) -> upsert rows (term, chunk_id,
+    n_tok, encoded) for every chunk a micro-batch grew; state = one encoded
+    EF chunk per (term, chunk_id)."""
+    return (_pairs(docs, span).groupBy("term", "chunk_id")
             .applyInPandasWithState(_merge_chunk, OUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def index_update_stream_tf(docs: DataFrame,
+                           span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """TF twin: state and upserts carry BOTH wires of the TF index (EF did
+    stream + svb tf stream, operators/index.build_index_tf_chunked parity).
+    Contract beyond the set form: doc ids are unique and documents
+    immutable — a did already in the chunk is treated as a redelivery and
+    keeps its stored count (tf addition is not idempotent; the did-set
+    membership is exactly the dedup the set form gets for free)."""
+    return (_pairs(docs, span).groupBy("term", "chunk_id")
+            .applyInPandasWithState(_merge_chunk_tf, TF_OUT_SCHEMA,
+                                    TF_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

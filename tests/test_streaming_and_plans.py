@@ -1132,3 +1132,43 @@ def test_streaming_index_update_batch_exact(spark):
         assert gens.count() > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_index_update_tf_batch_exact(spark):
+    """The TF twin must drain to chunk rows with BOTH wires byte-identical
+    to build_index_tf_chunked — and a redelivered document must NOT double
+    its term frequencies (dids already present keep their stored counts)."""
+    import numpy as np
+    from streamvbyte_spark.operators.index import build_index_tf_chunked
+    from streamvbyte_spark.streaming.index_update import index_update_stream_tf
+
+    tmp = tempfile.mkdtemp(prefix="svb_idxtfst_")
+    words = ["scan", "sort", "join", "agg", "key"]
+    rng = np.random.default_rng(13)
+    docs = [(j, " ".join(rng.choice(words, rng.integers(1, 8)).tolist()), "s")
+            for j in range(0, 300, 2)]
+    try:
+        schema = "doc_id long, text string, source string"
+        spark.createDataFrame(docs[60:], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        # b1 redelivers a tail of b0 (the double-count hazard) + the rest
+        spark.createDataFrame(docs[:70], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(tmp + "/in/*"))
+        q = (index_update_stream_tf(stream).writeStream
+             .format("memory").queryName("idx_tf_upd").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {}
+        for r in spark.sql("select * from idx_tf_upd").collect():
+            k = (r.term, r.chunk_id)
+            if k not in got or r.n_doc > got[k][0]:
+                got[k] = (r.n_doc, bytes(r.enc_dids), bytes(r.enc_tfs))
+        want = {(r.doc_id, r.chunk_id): (r.n_doc, bytes(r.enc_dids),
+                                         bytes(r.enc_tfs))
+                for r in build_index_tf_chunked(
+                    spark.createDataFrame(docs, schema)).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
