@@ -906,3 +906,32 @@ def test_index_tf_chunked_and_topk(spark):
         [(0, 2, 1, 3), (300, 1, 1, 2)]
     # k cuts the list, order preserved
     assert [r.did for r in topk_and_terms(enc, "a", "c", k=1).collect()] == [0]
+
+
+def test_index_store_and_serve_pushes_probe_predicate(spark):
+    """The real serving path: the TF index STORED as parquet, top-k served
+    from storage.  The probe filter must reach the parquet scan as a
+    pushed filter (at 100 TB this is what makes a query read ~df/span
+    chunk rows instead of the whole index), and the served result must
+    match the in-memory build."""
+    import re
+    from streamvbyte_spark.operators.index import (build_index_tf_chunked,
+                                                   topk_and_terms)
+    from streamvbyte_spark.plans.explain import plan_string
+    tmp = tempfile.mkdtemp(prefix="svb_idxstore_")
+    try:
+        docs = _idx_docs(spark)
+        build_index_tf_chunked(docs).write.mode("overwrite") \
+            .parquet(f"{tmp}/index")
+        stored = spark.read.parquet(f"{tmp}/index")
+        served = topk_and_terms(stored, "a", "c", k=10)
+        plan = plan_string(served, "simple")
+        scan = re.search(r"FileScan parquet.*", plan).group(0)
+        assert "PushedFilters" in scan and "In(doc_id" in scan, scan
+        want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
+                topk_and_terms(build_index_tf_chunked(docs).localCheckpoint(),
+                               "a", "c", k=10).collect()]
+        got = [(r.did, r.tf_a, r.tf_b, r.score) for r in served.collect()]
+        assert got == want == [(0, 2, 1, 3), (300, 1, 1, 2)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
