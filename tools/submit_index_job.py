@@ -1,0 +1,69 @@
+"""Cluster entry point for the inverted-index build — spark-submit --py-files.
+
+    cd /root/repo && zip -qr /tmp/streamvbyte_spark.zip streamvbyte_spark
+    spark-submit --master <cluster-or-local[N]> \
+        --py-files /tmp/streamvbyte_spark.zip \
+        tools/submit_index_job.py \
+        --input  <documents parquet path> \
+        --output <index table path> \
+        [--span 131072] [--probe term_a,term_b]
+
+Builds the TF-weighted chunked index (operators/index.build_index_tf_chunked:
+one posting-level shuffle, every chunk bounded by the span — the skew-proof
+100 TB shape) and writes it as parquet, partitioned so a serving query's
+probe predicate prunes at the scan.  --probe runs a top-k AND against the
+STORED index and includes the rows in the report (the serving smoke check).
+
+The JSON report (last stdout line): terms, chunks, postings, encoded bytes,
+bytes/posting, wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--span", type=int, default=131072)
+    ap.add_argument("--probe", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from streamvbyte_spark.operators.index import (build_index_tf_chunked,
+                                                   topk_and_terms)
+
+    spark = SparkSession.builder.appName("svb-index-job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    build_index_tf_chunked(docs, span=args.span) \
+        .write.mode("overwrite").parquet(args.output)
+    stored = spark.read.parquet(args.output)
+    agg = stored.agg(
+        F.countDistinct("doc_id").alias("terms"),
+        F.count("*").alias("chunks"),
+        F.sum("n_doc").alias("postings"),
+        F.sum("out_bytes").alias("enc_bytes")).collect()[0]
+    report = {"terms": agg.terms, "chunks": agg.chunks,
+              "postings": agg.postings, "enc_bytes": agg.enc_bytes,
+              "bytes_per_posting": round(agg.enc_bytes / max(agg.postings, 1),
+                                         4),
+              "wall_sec": round(time.time() - t0, 2)}
+    if args.probe:
+        a, b = args.probe.split(",", 1)
+        report["probe"] = [r.asDict() for r in
+                           topk_and_terms(stored, a, b, k=10).collect()]
+    print(json.dumps(report, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
