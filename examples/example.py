@@ -78,4 +78,26 @@ try:
     assert n_tok == total
 finally:
     shutil.rmtree(pack_dir, ignore_errors=True)
+
+# --- search path: inverted index on the codec wire ----------------------------
+# (the reference README points at "compress and intersect sorted lists of
+# integers" as the companion use case — this is that loop, Spark-first)
+from streamvbyte_spark.operators.index import (
+    build_index_tf_chunked, topk_and_terms)
+
+docs = spark.createDataFrame(
+    [(0, "fast scan fast", "s"), (1, "fast join", "s"),
+     (2, "scan join fast", "s"), (3, "join scan", "s")],
+    "doc_id long, text string, source string")
+idx_dir = tempfile.mkdtemp(prefix="svb_example_index_")
+try:
+    build_index_tf_chunked(docs).write.mode("overwrite") \
+        .parquet(idx_dir + "/i")
+    stored = spark.read.parquet(idx_dir + "/i")
+    hits = topk_and_terms(stored, "fast", "scan", k=3).collect()
+    print("index: 'fast AND scan' top-k from the stored EF+svb wire ->",
+          [(r.did, r.score) for r in hits])
+    assert [(r.did, r.score) for r in hits] == [(0, 3), (2, 2)]
+finally:
+    shutil.rmtree(idx_dir, ignore_errors=True)
 spark.stop()
