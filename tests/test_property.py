@@ -210,3 +210,27 @@ def test_tokenize_rows_equals_python_reference(texts):
     flat, toff = tokenize_rows(data, off)
     got = [flat[toff[i]:toff[i + 1]].tolist() for i in range(len(texts))]
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 2**32 - 1), max_size=60),
+                max_size=30),
+       st.booleans())
+def test_row_costs_prune_property(rows, full):
+    """For ANY batch, prune=True must preserve the cost-matrix minimum and
+    the first-minimum argmin exactly, and never lift the dict column above
+    its exact value (the lower-bound contract)."""
+    from streamvbyte_spark.codec import batched
+    flat = np.concatenate([np.array(r, np.uint32) for r in rows]) \
+        if rows else np.zeros(0, np.uint32)
+    off = np.concatenate(
+        [[0], np.cumsum([len(r) for r in rows])]).astype(np.int64)
+    cand = batched.VECTOR_COST_CODECS_FULL if full \
+        else batched.VECTOR_COST_CODECS
+    exact = batched.row_costs(flat, off, cand)
+    pruned = batched.row_costs(flat, off, cand, prune=True)
+    np.testing.assert_array_equal(exact.min(axis=1), pruned.min(axis=1))
+    np.testing.assert_array_equal(np.argmin(exact, axis=1),
+                                  np.argmin(pruned, axis=1))
+    j = cand.index("dict")
+    assert (pruned[:, j] <= exact[:, j]).all()
