@@ -58,11 +58,21 @@ INDEX_MIN_DF = 5
 def term_doc_pairs(docs: DataFrame) -> DataFrame:
     """(term, did) rows, duplicates NOT yet removed: the explode output.
     Tokenizer parity with the SQL pipeline family: split on single space,
-    empty strings dropped (pipeline_sql.Dialect.split semantics)."""
+    empty strings dropped (pipeline_sql.Dialect.split semantics).
+
+    Doc-id domain: non-negative int32 (the uint32 posting space every codec
+    in the family shares).  Out-of-range ids fail LOUDLY: ANSI cast throws
+    past int32, and the assert_true guard throws on negatives — a negative
+    id in a MIXED chunk would already trip the EF sortedness check, but an
+    isolated all-negative chunk preserves two's-complement order and would
+    otherwise wrap silently onto the uint32 wire (probed)."""
     return (docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term"),
         F.col("doc_id").cast("int").alias("did"))
-        .where(F.col("term") != ""))
+        .where(F.col("term") != "")
+        .where(F.expr(
+            "assert_true(did >= 0, 'inverted-index doc ids must be "
+            "non-negative int32 (uint32 posting space)') is null")))
 
 
 def term_postings(docs: DataFrame) -> DataFrame:

@@ -144,14 +144,12 @@ def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
 
 
 def _pairs(docs: DataFrame, span: int) -> DataFrame:
-    """Tokenizer parity with the batch build (operators/index.
-    term_doc_pairs: single-space split, empties dropped); duplicates kept —
-    the set merge uniques them, the tf merge counts them."""
-    return (docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
-        F.col("doc_id").cast("int").alias("did"))
-        .where(F.col("term") != "")
-        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
+    """The batch build's explode (operators/index.term_doc_pairs: tokenizer
+    parity, duplicates kept — the set merge uniques them, the tf merge
+    counts them — and the same loud non-negative-int32 id guard)."""
+    from ..operators.index import term_doc_pairs
+    return term_doc_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
 
 
 def index_update_stream(docs: DataFrame,
