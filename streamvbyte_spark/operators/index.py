@@ -185,6 +185,145 @@ def build_index_tf_chunked(docs: DataFrame,
     return chunks.mapInArrow(run, TF_ENC_SCHEMA)
 
 
+POS_ENC_SCHEMA = ("doc_id string, chunk_id int, n_doc int, n_pos int, "
+                  "enc_dids binary, enc_tfs binary, enc_pos binary, "
+                  "out_bytes bigint")
+
+
+def build_index_pos_chunked(docs: DataFrame,
+                            span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """Positional chunked index: beside the TF wires, each chunk stores the
+    term's token POSITIONS (doc-major, ascending within a doc) as an svb
+    stream — the payload phrase queries need.  Positions are offsets in the
+    RAW split (empty tokens from doubled spaces occupy a slot), so
+    adjacency means adjacency in the original text.
+
+    Same one-shuffle shape as the TF build: the chunk groupBy collects
+    sorted (did, pos) structs — struct order = (did asc, pos asc), exactly
+    the doc-major layout the wire wants — and the kernel run-lengths the
+    did column into (distinct dids, tfs) while the pos column IS the
+    position stream.  The tf stream doubles as the per-doc split of the
+    positions at decode time."""
+    pairs = (docs.select(
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        F.col("doc_id").cast("int").alias("did"))
+        .where(F.col("term") != "")
+        .where(F.expr(
+            "assert_true(did >= 0, 'inverted-index doc ids must be "
+            "non-negative int32 (uint32 posting space)') is null"))
+        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
+    chunks = (pairs.groupBy("term", "chunk_id")
+              .agg(F.sort_array(F.collect_list(F.struct("did", "pos")))
+                   .alias("occ"))
+              .select(F.col("term").alias("doc_id"), "chunk_id",
+                      F.col("occ.did").cast("array<int>").alias("dids_raw"),
+                      F.col("occ.pos").cast("array<int>").alias("poss")))
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _binary_array, _list_to_flat
+        for batch in batches:
+            flat, offsets = _list_to_flat(
+                batch.column(batch.schema.get_field_index("dids_raw")))
+            flat = np.ascontiguousarray(flat, dtype=np.uint32)
+            poss, _poff = _list_to_flat(
+                batch.column(batch.schema.get_field_index("poss")))
+            poss = np.ascontiguousarray(poss, dtype=np.uint32)
+            V = flat.size
+            rid = np.repeat(
+                np.arange(offsets.size - 1, dtype=np.int64),
+                offsets[1:] - offsets[:-1])
+            new = np.ones(V, dtype=bool)
+            if V > 1:
+                new[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
+            starts = np.flatnonzero(new)
+            dids = flat[starts]
+            tfs = np.diff(np.append(starts, V)).astype(np.uint32)
+            doff = np.zeros(offsets.size, dtype=np.int64)
+            np.cumsum(np.bincount(rid[starts],
+                                  minlength=offsets.size - 1), out=doff[1:])
+            enc_d, eoff_d = batched.ef_encode_rows(dids, doff)
+            enc_t, eoff_t = batched.encode_rows(tfs, doff, "svb")[:2]
+            enc_p, eoff_p = batched.encode_rows(poss, offsets, "svb")[:2]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("doc_id")),
+                 batch.column(batch.schema.get_field_index("chunk_id")),
+                 pa.array((doff[1:] - doff[:-1]).astype(np.int32),
+                          pa.int32()),
+                 pa.array((offsets[1:] - offsets[:-1]).astype(np.int32),
+                          pa.int32()),
+                 _binary_array(enc_d, eoff_d),
+                 _binary_array(enc_t, eoff_t),
+                 _binary_array(enc_p, eoff_p),
+                 pa.array((eoff_d[1:] - eoff_d[:-1])
+                          + (eoff_t[1:] - eoff_t[:-1])
+                          + (eoff_p[1:] - eoff_p[:-1]), pa.int64())],
+                names=["doc_id", "chunk_id", "n_doc", "n_pos", "enc_dids",
+                       "enc_tfs", "enc_pos", "out_bytes"])
+
+    return chunks.mapInArrow(run, POS_ENC_SCHEMA)
+
+
+def decode_index_pos(enc_index: DataFrame) -> DataFrame:
+    """Positional chunks -> flat (term, did, pos) occurrence rows: the tf
+    stream repeats each did over its positions, so the kernel emits the
+    occurrence table directly — no nested arrays, no JVM re-explode."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary
+        for batch in batches:
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("doc_id", "n_doc", "n_pos", "enc_dids",
+                             "enc_tfs", "enc_pos")}
+            n_doc = np.asarray(batch.column(idx["n_doc"]), dtype=np.int64)
+            n_pos = np.asarray(batch.column(idx["n_pos"]), dtype=np.int64)
+            enc_d, eoff_d = _flat_binary(batch.column(idx["enc_dids"]))
+            enc_t, eoff_t = _flat_binary(batch.column(idx["enc_tfs"]))
+            enc_p, eoff_p = _flat_binary(batch.column(idx["enc_pos"]))
+            svb = np.full(n_doc.size, batched.CODEC_ID["svb"], np.int32)
+            dids, _ = batched.ef_decode_rows(enc_d, eoff_d, n_doc)
+            tfs, _ = batched.decode_rows(enc_t, eoff_t, n_doc, svb)
+            poss, _ = batched.decode_rows(enc_p, eoff_p, n_pos, svb)
+            terms = batch.column(idx["doc_id"]).to_numpy(
+                zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(terms, n_pos), pa.string()),
+                 pa.array(np.repeat(dids.view(np.int32),
+                                    tfs.astype(np.int64)), pa.int32()),
+                 pa.array(poss.view(np.int32), pa.int32())],
+                names=["term", "did", "pos"])
+
+    return enc_index.mapInArrow(run, "term string, did int, pos int")
+
+
+def phrase_match_terms(enc_index: DataFrame, term_a: str,
+                       term_b: str) -> DataFrame:
+    """Serve the PHRASE query ``"term_a term_b"`` (adjacent, in order) from
+    the positional wire: decode only the probed terms' chunks to occurrence
+    rows and join on (did, pos_a + 1 = pos_b).  Returns one row
+    (term_a, term_b, n_docs, fingerprint over ascending matching ids) —
+    the gate-scalar form; scale consumers take the matched rows."""
+    from ..queries import spark_fingerprint
+    occ = decode_index_pos(
+        enc_index.where(F.col("doc_id").isin([term_a, term_b])))
+    a = occ.where(F.col("term") == term_a).select(
+        "did", (F.col("pos") + 1).alias("next_pos"))
+    b = occ.where(F.col("term") == term_b).select(
+        "did", F.col("pos").alias("next_pos"))
+    hits = a.join(b, ["did", "next_pos"]).select("did").distinct()
+    return (hits.groupBy()
+            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
+            .select(F.lit(term_a).alias("term_a"),
+                    F.lit(term_b).alias("term_b"),
+                    F.size("ids").alias("n_docs"),
+                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+
+
 def decode_index_tf(enc_index: DataFrame) -> DataFrame:
     """TF chunks -> (term, did, tf) posting rows (EF dids + svb tfs decoded
     whole-batch, exploded JVM-side via arrays_zip/inline)."""
@@ -248,7 +387,9 @@ def intersect_terms(enc_index: DataFrame, term_a: str,
     storage), EF-decode only those, and equi-join the posting streams on
     doc id.  Returns one row: (term_a, term_b, n_common, fingerprint) with
     the polynomial fold over the ASCENDING common ids — the driver-gate
-    scalar form of the intersection."""
+    scalar form.  A scale consumer takes the joined ``common`` rows
+    directly (distributed, no single-cell id list); the fold-to-one-row
+    tail exists so the gate can hash the intersection."""
     from ..queries import spark_fingerprint
     dec = decode_chunked_delta(
         enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")

@@ -935,3 +935,38 @@ def test_index_store_and_serve_pushes_probe_predicate(spark):
         assert got == want == [(0, 2, 1, 3), (300, 1, 1, 2)]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_index_positional_phrase(spark):
+    """The positional wire must reproduce exact (term, did, pos)
+    occurrences — positions are offsets in the RAW split, so a doubled
+    space breaks adjacency — and the phrase join must find exactly the
+    docs where term_b directly follows term_a."""
+    from streamvbyte_spark.operators.index import (build_index_pos_chunked,
+                                                   decode_index_pos,
+                                                   phrase_match_terms)
+    rows = [
+        (0, "x y", "s"),          # adjacent
+        (1, "x z y", "s"),        # not adjacent
+        (2, "y x", "s"),          # wrong order
+        (3, "x  y", "s"),         # doubled space -> positions 0 and 2
+        (4, "w x y x y", "s"),    # two matches in one doc -> one hit
+        (200, "x y", "s"),        # second chunk at span 128
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    enc = build_index_pos_chunked(docs).localCheckpoint()
+    got = {(r.term, r.did, r.pos) for r in decode_index_pos(enc).collect()}
+    want = set()
+    for did, text, _ in rows:
+        for p, w in enumerate(text.split(" ")):
+            if w:
+                want.add((w, did, p))
+    assert got == want
+    hit = phrase_match_terms(enc, "x", "y").collect()[0]
+    p, fp = 10**9 + 7, 0
+    for t in [0, 4, 200]:
+        fp = (fp * 31 + t) % p
+    assert (hit.term_a, hit.term_b, hit.n_docs, hit.fingerprint) == \
+        ("x", "y", 3, fp)
+    none = phrase_match_terms(enc, "y", "w").collect()[0]
+    assert (none.n_docs, none.fingerprint) == (0, 0)
