@@ -1172,3 +1172,21 @@ def test_streaming_index_update_tf_batch_exact(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_index_stage_generation_reuse(spark):
+    """Plan-identical re-invocations of the staged index queries must REUSE
+    the live checkpointed generation (the r7-fix contract extended to the
+    r8 queries) — and a different sf_dir is a fingerprint MISS that builds
+    a fresh generation."""
+    import streamvbyte_spark.queries as Q
+    queries = Q.build_queries()
+    r1 = sorted(map(tuple, queries["index_intersect"](spark, SF).collect()))
+    g1 = Q._STAGE_VIEWS[(id(spark), "index_intersect")].views
+    r2 = sorted(map(tuple, queries["index_intersect"](spark, SF).collect()))
+    g2 = Q._STAGE_VIEWS[(id(spark), "index_intersect")].views
+    assert [v for v, _ in g1] == [v for v, _ in g2]   # same generation
+    assert r1 == r2
+    queries["index_intersect"](spark, "/root/testdata/sf0.01")
+    g3 = Q._STAGE_VIEWS[(id(spark), "index_intersect")].views
+    assert [v for v, _ in g3] != [v for v, _ in g1]   # miss -> fresh build
