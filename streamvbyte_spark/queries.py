@@ -312,10 +312,12 @@ def _token_source(spark: SparkSession, sf_dir: str, source: str) -> DataFrame:
 GATE_ROTATE_OUT: tuple[str, ...] = (
     # r8 rotation: the 34 r6-green entries rotated out in r7 all RETURN to
     # the window (they have no r7 row; r7∪r8 must cover all queries), and
-    # these 40 r7-green entries leave; the six NEW r8 queries
+    # these 41 r7-green entries leave; the seven NEW r8 queries
     # (quality_repetition, domain_mix_sample, index_postings_roundtrip,
-    # index_postings_size, index_build_chunked, index_intersect) enter
-    # in-window, as new queries must.  The r8-touched r7-green entries
+    # index_postings_size, index_build_chunked, index_intersect,
+    # index_topk_and) enter in-window, as new queries must.  The local
+    # 91/91 check_oracles gate covers every rotated entry this round.
+    # The r8-touched r7-green entries
     # rotate out to make room, each with its change covered elsewhere:
     # jpeg/adpcm_decode_stats — the lockstep batch machines are pinned
     # byte-identical to the single-payload decoders by pytest parity
