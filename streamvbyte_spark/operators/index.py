@@ -123,6 +123,27 @@ TF_ENC_SCHEMA = ("doc_id string, chunk_id int, n_doc int, "
                  "enc_dids binary, enc_tfs binary, out_bytes bigint")
 
 
+def runlength_dids(flat, offsets):
+    """Run-length the per-row SORTED duplicated did streams into
+    (dids, tfs, doff): distinct dids per row, each did's occurrence count,
+    and int64 row offsets into the distinct streams.  Shared by the TF and
+    positional batch builds and the TF streaming merge's batch side."""
+    import numpy as np
+    V = flat.size
+    rid = np.repeat(np.arange(offsets.size - 1, dtype=np.int64),
+                    offsets[1:] - offsets[:-1])
+    new = np.ones(V, dtype=bool)
+    if V > 1:
+        new[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
+    starts = np.flatnonzero(new)
+    dids = flat[starts]
+    tfs = np.diff(np.append(starts, V)).astype(np.uint32)
+    doff = np.zeros(offsets.size, dtype=np.int64)
+    np.cumsum(np.bincount(rid[starts], minlength=offsets.size - 1),
+              out=doff[1:])
+    return dids, tfs, doff
+
+
 def build_index_tf_chunked(docs: DataFrame,
                            span: int = INDEX_CHUNK_SPAN) -> DataFrame:
     """TF-weighted chunked index: each (term, did div span) chunk stores the
@@ -153,21 +174,9 @@ def build_index_tf_chunked(docs: DataFrame,
             flat, offsets = _list_to_flat(
                 batch.column(batch.schema.get_field_index("raw")))
             flat = np.ascontiguousarray(flat, dtype=np.uint32)
-            V = flat.size
-            rid = np.repeat(
-                np.arange(offsets.size - 1, dtype=np.int64),
-                offsets[1:] - offsets[:-1])
             # run-length the sorted duplicated dids: starts mark distinct
             # (row, did) pairs; run length = that doc's tf for the term
-            new = np.ones(V, dtype=bool)
-            if V > 1:
-                new[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
-            starts = np.flatnonzero(new)
-            dids = flat[starts]
-            tfs = (np.diff(np.append(starts, V))).astype(np.uint32)
-            doff = np.zeros(offsets.size, dtype=np.int64)
-            np.cumsum(np.bincount(rid[starts],
-                                  minlength=offsets.size - 1), out=doff[1:])
+            dids, tfs, doff = runlength_dids(flat, offsets)
             enc_d, eoff_d = batched.ef_encode_rows(dids, doff)
             enc_t, eoff_t = batched.encode_rows(tfs, doff, "svb")[:2]
             n_doc = (doff[1:] - doff[:-1]).astype(np.int32)
@@ -231,19 +240,7 @@ def build_index_pos_chunked(docs: DataFrame,
             poss, _poff = _list_to_flat(
                 batch.column(batch.schema.get_field_index("poss")))
             poss = np.ascontiguousarray(poss, dtype=np.uint32)
-            V = flat.size
-            rid = np.repeat(
-                np.arange(offsets.size - 1, dtype=np.int64),
-                offsets[1:] - offsets[:-1])
-            new = np.ones(V, dtype=bool)
-            if V > 1:
-                new[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
-            starts = np.flatnonzero(new)
-            dids = flat[starts]
-            tfs = np.diff(np.append(starts, V)).astype(np.uint32)
-            doff = np.zeros(offsets.size, dtype=np.int64)
-            np.cumsum(np.bincount(rid[starts],
-                                  minlength=offsets.size - 1), out=doff[1:])
+            dids, tfs, doff = runlength_dids(flat, offsets)
             enc_d, eoff_d = batched.ef_encode_rows(dids, doff)
             enc_t, eoff_t = batched.encode_rows(tfs, doff, "svb")[:2]
             enc_p, eoff_p = batched.encode_rows(poss, offsets, "svb")[:2]

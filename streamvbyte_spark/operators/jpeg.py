@@ -683,11 +683,11 @@ def decode_jpeg_batch(payloads: list, parsed: list | None = None) \
         -> list[np.ndarray]:
     """Decode a list of baseline JPEG payloads with across-image lockstep
     entropy decode (one lane per restart segment) + the shared whole-batch
-    reconstruction per image.  Byte-identical to decode_jpeg per payload;
-    raises NotImplementedError only if EVERY payload needs it (callers
-    wanting per-payload PIL fallback should pre-screen with _parse_jpeg
-    and pass the results via `parsed`, as
-    operators.multimodal._decode_image_batch does)."""
+    reconstruction per image.  Byte-identical to decode_jpeg per payload.
+    With parsed=None, the FIRST unsupported payload's NotImplementedError
+    fails the whole batch — callers wanting per-payload PIL fallback must
+    pre-screen with _parse_jpeg and pass only supported payloads' results
+    via `parsed`, as operators.multimodal._decode_image_batch does."""
     if parsed is None:
         parsed = [_parse_jpeg(pl) for pl in payloads]
     jobs = [(data, pos, scan, huff, ri, _scan_layout(frame, scan))

@@ -225,9 +225,13 @@ def _png_unfilter_batch(raws: list[np.ndarray], hs: list[int],
     iteration updating (n_images, bpp) lanes (r7 verdict item 5).
     Byte-identical to _png_unfilter per image (parity-tested).
 
-    Padding rows/columns of smaller images carry filter type 0 over zero
-    bytes, reconstruct to zero, and are cropped on return — they can
-    never leak into another image's lanes."""
+    Padding of smaller images is benign, not zero: a padding COLUMN can
+    inherit the last real column's value through a Sub/Paeth row's lane
+    cumsum (and propagate down via prev), and padding ROWS carry filter 0
+    over whatever the lanes hold.  The actual isolation guarantee is that
+    lanes are PER-IMAGE (axis 0 of the (n, H, S) tensor) — no operation
+    mixes images — and every image is cropped to its own (h, stride) on
+    return, so padding garbage is never emitted."""
     n = len(raws)
     H, S = max(hs), max(strides)
     ftypes = np.zeros((n, H), np.uint8)
@@ -289,6 +293,22 @@ def _png_unfilter_batch(raws: list[np.ndarray], hs: list[int],
     return [out[i, :hs[i], :strides[i]] for i in range(n)]
 
 
+def _png_batch_into(imgs: list, indexed_parsed) -> None:
+    """Grouped lockstep decode of pre-parsed PNGs into ``imgs`` slots:
+    group (index, (raw, h, w, nch)) pairs by channel count, batch-unfilter
+    each group, reshape + RGB-crop each image into its slot.  The ONE
+    implementation behind decode_png_batch and _decode_image_batch."""
+    by_nch: dict[int, list] = {}
+    for i, (raw, h, w, nch) in indexed_parsed:
+        by_nch.setdefault(nch, []).append((i, raw, h, w))
+    for nch, grp in by_nch.items():
+        outs = _png_unfilter_batch([g[1] for g in grp],
+                                   [g[2] for g in grp],
+                                   [g[3] * nch for g in grp], nch)
+        for (i, _, h, w), o in zip(grp, outs):
+            imgs[i] = np.ascontiguousarray(o.reshape(h, w, nch)[:, :, :3])
+
+
 def decode_png_batch(payloads: list) -> list[np.ndarray]:
     """Decode a list of native-decodable PNG payloads with across-image
     lanes: parse+inflate each (zlib is C-speed per payload), group by
@@ -296,16 +316,7 @@ def decode_png_batch(payloads: list) -> list[np.ndarray]:
     arrays in input order, byte-identical to decode_png per payload."""
     parsed = [_png_parse(p) for p in payloads]
     imgs: list = [None] * len(payloads)
-    by_nch: dict[int, list] = {}
-    for i, (raw, h, w, nch) in enumerate(parsed):
-        by_nch.setdefault(nch, []).append((i, raw, h, w))
-    for nch, grp in by_nch.items():
-        outs = _png_unfilter_batch([g[1] for g in grp],
-                                   [g[2] for g in grp],
-                                   [g[3] * nch for g in grp], nch)
-        for (i, _, h, w), o in zip(grp, outs):
-            imgs[i] = np.ascontiguousarray(
-                o.reshape(h, w, nch)[:, :, :3])
+    _png_batch_into(imgs, enumerate(parsed))
     return imgs
 
 
@@ -350,15 +361,7 @@ def _decode_image_batch(flat: np.ndarray,
                           decode_jpeg_batch([None] * len(jpg_idx),
                                             parsed=jpg_parsed)):
             imgs[i] = img
-    by_nch: dict[int, list] = {}
-    for i, (raw, h, w, nch) in zip(png_idx, png_parsed):
-        by_nch.setdefault(nch, []).append((i, raw, h, w))
-    for nch, grp in by_nch.items():
-        outs = _png_unfilter_batch([g[1] for g in grp],
-                                   [g[2] for g in grp],
-                                   [g[3] * nch for g in grp], nch)
-        for (i, _, h, w), o in zip(grp, outs):
-            imgs[i] = np.ascontiguousarray(o.reshape(h, w, nch)[:, :, :3])
+    _png_batch_into(imgs, zip(png_idx, png_parsed))
     return imgs
 
 

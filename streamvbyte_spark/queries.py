@@ -1155,69 +1155,57 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_build_chunked"] = index_build_chunked
 
-    def index_intersect(spark, sf_dir):
-        # serving: decode ONLY the probed terms' chunks from the encoded
-        # index (pushable predicate on the stored chunk table) and
-        # equi-join the posting streams.  Probe terms are data-derived and
-        # deterministic: the two lexicographically smallest terms with
-        # df >= INDEX_MIN_DF.  The encoded index is materialized once per
-        # (session, sf_dir) — the probe agg and both join sides read the
-        # checkpointed stage, not three rebuilds (SPARK_STAGES policy).
+    def _staged_index_probe(spark, sf_dir, key, builder, df_col):
+        """Materialize the encoded index ONCE per (session, sf_dir) — the
+        probe agg and both serving sides read the checkpointed stage, not
+        three rebuilds (SPARK_STAGES policy) — and derive the deterministic
+        probe pair: the two lexicographically smallest terms with
+        df >= INDEX_MIN_DF (df = sum of the wire's per-chunk doc count)."""
         import uuid as _uuid
-        from .operators.index import (INDEX_CHUNK_SPAN, INDEX_MIN_DF,
-                                      build_index_chunked, intersect_terms)
+        from .operators.index import INDEX_CHUNK_SPAN, INDEX_MIN_DF
         from .operators.staging import materialize
-        fpk = (sf_dir, INDEX_CHUNK_SPAN, INDEX_MIN_DF)
-        hit = _stage_cache_get(spark, "index_intersect", fpk)
+        fpk = (sf_dir, INDEX_CHUNK_SPAN, INDEX_MIN_DF, key)
+        hit = _stage_cache_get(spark, key, fpk)
         if hit is None:
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            v = f"svb_stage_index_{_uuid.uuid4().hex[:8]}"
-            enc = materialize(build_index_chunked(docs))
+            v = f"svb_stage_{key[-10:]}_{_uuid.uuid4().hex[:8]}"
+            enc = materialize(builder(docs))
             enc.createOrReplaceTempView(v)
-            _stage_cache_put(spark, "index_intersect", fpk, ((v, enc),), (v,))
+            _stage_cache_put(spark, key, fpk, ((v, enc),), (v,))
             hit = (v,)
         enc = spark.table(hit[0])
-        probe = (enc.groupBy("doc_id").agg(F.sum("n_tok").alias("df"))
+        probe = (enc.groupBy("doc_id").agg(F.sum(df_col).alias("df"))
                  .where(F.col("df") >= INDEX_MIN_DF)
                  .orderBy("doc_id").limit(2).collect())
         if len(probe) < 2:
             raise ValueError(
-                f"index_intersect needs two probe terms with df >= "
-                f"{INDEX_MIN_DF}; corpus has {len(probe)}")
-        return intersect_terms(enc, probe[0]["doc_id"], probe[1]["doc_id"])
+                f"{key} needs two probe terms with df >= {INDEX_MIN_DF}; "
+                f"corpus has {len(probe)}")
+        return enc, probe[0]["doc_id"], probe[1]["doc_id"]
+
+    def index_intersect(spark, sf_dir):
+        # serving: decode ONLY the probed terms' chunks from the encoded
+        # index (pushable predicate on the stored chunk table) and
+        # equi-join the posting streams
+        from .operators.index import build_index_chunked, intersect_terms
+        enc, a, b = _staged_index_probe(spark, sf_dir, "index_intersect",
+                                        build_index_chunked, "n_tok")
+        return intersect_terms(enc, a, b)
 
     q["index_intersect"] = index_intersect
 
     def index_topk_and(spark, sf_dir):
         # integer-relevance serving from the TF-weighted index wire: the
-        # same probe rule as index_intersect, score = tf_a + tf_b (exact
-        # integers both engines), deterministic (score desc, did asc)
-        # top-10.  The TF build stores each chunk as an EF did stream + an
-        # svb tf stream, collected in ONE posting-level shuffle (the encode
-        # kernel run-lengths the sorted duplicated dids into (did, tf) —
-        # a separate counting aggregate would shuffle the postings twice).
-        import uuid as _uuid
-        from .operators.index import (INDEX_CHUNK_SPAN, INDEX_MIN_DF,
-                                      build_index_tf_chunked, topk_and_terms)
-        from .operators.staging import materialize
-        fpk = (sf_dir, INDEX_CHUNK_SPAN, INDEX_MIN_DF, "tf")
-        hit = _stage_cache_get(spark, "index_topk_and", fpk)
-        if hit is None:
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            v = f"svb_stage_idxtf_{_uuid.uuid4().hex[:8]}"
-            enc = materialize(build_index_tf_chunked(docs))
-            enc.createOrReplaceTempView(v)
-            _stage_cache_put(spark, "index_topk_and", fpk, ((v, enc),), (v,))
-            hit = (v,)
-        enc = spark.table(hit[0])
-        probe = (enc.groupBy("doc_id").agg(F.sum("n_doc").alias("df"))
-                 .where(F.col("df") >= INDEX_MIN_DF)
-                 .orderBy("doc_id").limit(2).collect())
-        if len(probe) < 2:
-            raise ValueError(
-                f"index_topk_and needs two probe terms with df >= "
-                f"{INDEX_MIN_DF}; corpus has {len(probe)}")
-        return topk_and_terms(enc, probe[0]["doc_id"], probe[1]["doc_id"])
+        # same probe rule, score = tf_a + tf_b (exact integers both
+        # engines), deterministic (score desc, did asc) top-10.  The TF
+        # build stores each chunk as an EF did stream + an svb tf stream,
+        # collected in ONE posting-level shuffle (the encode kernel
+        # run-lengths the sorted duplicated dids into (did, tf) — a
+        # separate counting aggregate would shuffle the postings twice).
+        from .operators.index import build_index_tf_chunked, topk_and_terms
+        enc, a, b = _staged_index_probe(spark, sf_dir, "index_topk_and",
+                                        build_index_tf_chunked, "n_doc")
+        return topk_and_terms(enc, a, b)
 
     q["index_topk_and"] = index_topk_and
 

@@ -100,14 +100,21 @@ def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
     from ..codec import batched
     term, chunk_id = key
-    raw = [pdf["did"].to_numpy(np.int64) for pdf in pdf_iter if len(pdf)]
+    raw = [(pdf["did"].to_numpy(np.int64), pdf["pos"].to_numpy(np.int64))
+           for pdf in pdf_iter if len(pdf)]
     if not raw:
         if state.exists:
             state.update(state.get)
         yield pd.DataFrame(columns=_TF_OUT_COLS)
         return
-    new_dids, new_tfs = np.unique(
-        np.concatenate(raw) if len(raw) > 1 else raw[0], return_counts=True)
+    dids_raw = np.concatenate([r[0] for r in raw])
+    pos_raw = np.concatenate([r[1] for r in raw])
+    # dedupe (did, pos) PAIRS before counting: a document redelivered
+    # within this same micro-batch contributes exact-duplicate pairs
+    # (immutable docs -> identical positions), so the pair dedup recovers
+    # the true tf where a raw occurrence count would double it
+    occ = np.unique((dids_raw << np.int64(32)) | pos_raw)
+    new_dids, new_tfs = np.unique(occ >> np.int64(32), return_counts=True)
     if state.exists:
         n_old, ed, et = state.get
         one = np.array([n_old], dtype=np.int64)
@@ -144,12 +151,22 @@ def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
 
 
 def _pairs(docs: DataFrame, span: int) -> DataFrame:
-    """The batch build's explode (operators/index.term_doc_pairs: tokenizer
-    parity, duplicates kept — the set merge uniques them, the tf merge
-    counts them — and the same loud non-negative-int32 id guard)."""
-    from ..operators.index import term_doc_pairs
-    return term_doc_pairs(docs).withColumn(
-        "chunk_id", F.expr(f"did div {span}").cast("int"))
+    """The batch build's explode with the token POSITION carried: tokenizer
+    parity with operators/index.term_doc_pairs (single-space split, empties
+    dropped — positions are raw-split offsets, so they survive the filter
+    unchanged) and the same loud non-negative-int32 id guard.  The position
+    is what makes the TF merge idempotent WITHIN a micro-batch: a document
+    delivered twice in one trigger contributes exact-duplicate (did, pos)
+    pairs, so deduping pairs recovers the true counts — counting raw
+    occurrences would double them (review r8)."""
+    return (docs.select(
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        F.col("doc_id").cast("int").alias("did"))
+        .where(F.col("term") != "")
+        .where(F.expr(
+            "assert_true(did >= 0, 'inverted-index doc ids must be "
+            "non-negative int32 (uint32 posting space)') is null"))
+        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
 
 
 def index_update_stream(docs: DataFrame,
@@ -167,9 +184,11 @@ def index_update_stream_tf(docs: DataFrame,
     """TF twin: state and upserts carry BOTH wires of the TF index (EF did
     stream + svb tf stream, operators/index.build_index_tf_chunked parity).
     Contract beyond the set form: doc ids are unique and documents
-    immutable — a did already in the chunk is treated as a redelivery and
-    keeps its stored count (tf addition is not idempotent; the did-set
-    membership is exactly the dedup the set form gets for free)."""
+    immutable — tf addition is not idempotent, so redeliveries are
+    neutralized at BOTH granularities: across micro-batches a did already
+    in the chunk keeps its stored count, and within one micro-batch the
+    (did, pos) pair dedup collapses a twice-delivered document to its true
+    counts before they are ever added (review r8)."""
     return (_pairs(docs, span).groupBy("term", "chunk_id")
             .applyInPandasWithState(_merge_chunk_tf, TF_OUT_SCHEMA,
                                     TF_STATE_SCHEMA, "update",

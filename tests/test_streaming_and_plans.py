@@ -1149,9 +1149,12 @@ def test_streaming_index_update_tf_batch_exact(spark):
             for j in range(0, 300, 2)]
     try:
         schema = "doc_id long, text string, source string"
-        spark.createDataFrame(docs[60:], schema) \
+        # b0 contains docs[100:] TWICE — a WITHIN-batch redelivery, the
+        # exact shape that double-counts tf if the merge counts raw
+        # occurrences instead of deduped (did, pos) pairs (review r8)
+        spark.createDataFrame(docs[60:] + docs[100:], schema) \
             .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
-        # b1 redelivers a tail of b0 (the double-count hazard) + the rest
+        # b1 redelivers a tail of b0 (the cross-batch hazard) + the rest
         spark.createDataFrame(docs[:70], schema) \
             .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
         stream = (spark.readStream.schema(schema)

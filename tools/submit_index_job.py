@@ -10,8 +10,11 @@
 
 Builds the TF-weighted chunked index (operators/index.build_index_tf_chunked:
 one posting-level shuffle, every chunk bounded by the span — the skew-proof
-100 TB shape) and writes it as parquet, partitioned so a serving query's
-probe predicate prunes at the scan.  --probe runs a top-k AND against the
+100 TB shape) and writes it as parquet; a serving query's probe predicate
+prunes at the scan via parquet row-group min/max PushedFilters (plan-tested
+in test_index_store_and_serve_pushes_probe_predicate — NOT directory
+partitioning: partitionBy(term) would mint one directory per vocabulary
+entry).  --probe runs a top-k AND against the
 STORED index and includes the rows in the report (the serving smoke check).
 
 The JSON report (last stdout line): terms, chunks, postings, encoded bytes,
@@ -47,11 +50,14 @@ def main():
     build_index_tf_chunked(docs, span=args.span) \
         .write.mode("overwrite").parquet(args.output)
     stored = spark.read.parquet(args.output)
+    # coalesce: sum() over an EMPTY index (all-empty texts) is NULL — the
+    # report must say zeros, not die on None arithmetic (review r8)
     agg = stored.agg(
         F.countDistinct("doc_id").alias("terms"),
         F.count("*").alias("chunks"),
-        F.sum("n_doc").alias("postings"),
-        F.sum("out_bytes").alias("enc_bytes")).collect()[0]
+        F.coalesce(F.sum("n_doc"), F.lit(0)).alias("postings"),
+        F.coalesce(F.sum("out_bytes"), F.lit(0)).alias("enc_bytes")
+    ).collect()[0]
     report = {"terms": agg.terms, "chunks": agg.chunks,
               "postings": agg.postings, "enc_bytes": agg.enc_bytes,
               "bytes_per_posting": round(agg.enc_bytes / max(agg.postings, 1),
