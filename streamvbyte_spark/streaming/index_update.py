@@ -151,14 +151,23 @@ def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
 
 
 def _pairs(docs: DataFrame, span: int) -> DataFrame:
-    """The batch build's explode with the token POSITION carried: tokenizer
-    parity with operators/index.term_doc_pairs (single-space split, empties
-    dropped — positions are raw-split offsets, so they survive the filter
-    unchanged) and the same loud non-negative-int32 id guard.  The position
-    is what makes the TF merge idempotent WITHIN a micro-batch: a document
+    """The batch build's explode (operators/index.term_doc_pairs: tokenizer
+    parity, the same loud non-negative-int32 id guard); duplicates kept —
+    the set merge uniques them."""
+    from ..operators.index import term_doc_pairs
+    return term_doc_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
+
+
+def _pairs_pos(docs: DataFrame, span: int) -> DataFrame:
+    """The TF form's explode with the token POSITION carried (raw-split
+    offsets survive the empty filter unchanged).  The position is what
+    makes the TF merge idempotent WITHIN a micro-batch: a document
     delivered twice in one trigger contributes exact-duplicate (did, pos)
     pairs, so deduping pairs recovers the true counts — counting raw
-    occurrences would double them (review r8)."""
+    occurrences would double them (review r8).  The set form's stream
+    stays position-free (its merge is a set union; no reason to widen its
+    stateful shuffle by 4 B/occurrence)."""
     return (docs.select(
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
         F.col("doc_id").cast("int").alias("did"))
@@ -189,7 +198,7 @@ def index_update_stream_tf(docs: DataFrame,
     in the chunk keeps its stored count, and within one micro-batch the
     (did, pos) pair dedup collapses a twice-delivered document to its true
     counts before they are ever added (review r8)."""
-    return (_pairs(docs, span).groupBy("term", "chunk_id")
+    return (_pairs_pos(docs, span).groupBy("term", "chunk_id")
             .applyInPandasWithState(_merge_chunk_tf, TF_OUT_SCHEMA,
                                     TF_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
