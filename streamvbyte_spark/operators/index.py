@@ -377,8 +377,76 @@ def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
             .limit(k))
 
 
-def intersect_terms(enc_index: DataFrame, term_a: str,
-                    term_b: str) -> DataFrame:
+def union_terms(enc_index: DataFrame, term_a: str,
+                term_b: str) -> DataFrame:
+    """Serve ``term_a OR term_b`` from the encoded set index: decode the
+    probed terms' chunks, distinct-union the posting streams.  Same
+    gate-scalar row shape as intersect_terms (n_docs + fingerprint over
+    ascending ids); scale consumers take the distinct rows."""
+    from ..queries import spark_fingerprint
+    dec = decode_chunked_delta(
+        enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")
+    union = (dec.select(F.explode("chunk").alias("did"))
+             .distinct())
+    return (union.groupBy()
+            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
+            .select(F.lit(term_a).alias("term_a"),
+                    F.lit(term_b).alias("term_b"),
+                    F.size("ids").alias("n_docs"),
+                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+
+
+def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
+    """Fold a drained stream of index-update generations into the stored
+    chunk table: per (term, chunk_id) the generation with the LARGEST doc
+    count wins — chunk content only ever GROWS under the streaming merges,
+    so the max-count row is the latest — and stored chunks no update
+    touched pass through.  Returns the stored table's full schema for
+    either wire (set: CHUNKED_ENC_SCHEMA, tok_start re-derived by the same
+    chunk-aggregate window the batch build uses; tf: TF_ENC_SCHEMA).
+
+    CONTRACT — the continuous-maintenance lifecycle only: a generation
+    REPLACES the stored chunk byte-level, so the updates must come from a
+    stream whose state already covers everything the stored chunk holds
+    (the stored table is a previous drain of the SAME checkpointed stream,
+    or the stream consumed the stored corpus before the new documents).
+    A FRESH stream over only-new documents emits generations containing
+    only the new ids; replacing a stored chunk with one silently DROPS the
+    stored postings — merging such disjoint slices needs the content-wise
+    path instead (decode both, set-union, re-encode: exactly what the
+    streaming merge itself does per chunk).
+
+    Scale shape: one hash shuffle on the chunk key over CHUNK rows (not
+    postings); no decode — generations replace whole chunks byte-level."""
+    from pyspark.sql import Window as W
+    up = updates.withColumnRenamed("term", "doc_id") \
+        if "term" in updates.columns else updates
+    is_set = "n_tok" in up.columns
+    if is_set:
+        cnt = "n_tok"
+        up = (up.withColumn("prev", F.lit(0).cast("long"))
+              .withColumn("out_bytes", F.length("encoded").cast("long")))
+        cols = ["doc_id", "chunk_id", "n_tok", "prev", "encoded",
+                "out_bytes"]
+    else:
+        cnt = "n_doc"
+        if "out_bytes" not in up.columns:
+            up = up.withColumn(
+                "out_bytes", (F.length("enc_dids")
+                              + F.length("enc_tfs")).cast("long"))
+        cols = ["doc_id", "chunk_id", "n_doc", "enc_dids", "enc_tfs",
+                "out_bytes"]
+    allrows = stored.select(*cols).unionByName(up.select(*cols))
+    w = W.partitionBy("doc_id", "chunk_id").orderBy(F.col(cnt).desc())
+    merged = (allrows.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
+    if not is_set:
+        return merged
+    ts = (W.partitionBy("doc_id").orderBy("chunk_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return merged.withColumn(
+        "tok_start",
+        F.coalesce(F.sum("n_tok").over(ts), F.lit(0)).cast("long"))
     """Serve ``term_a AND term_b`` from the ENCODED chunked index: prune to
     the two terms' chunks (pushable predicate when the index is read from
     storage), EF-decode only those, and equi-join the posting streams on

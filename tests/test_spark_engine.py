@@ -970,3 +970,19 @@ def test_index_positional_phrase(spark):
         ("x", "y", 3, fp)
     none = phrase_match_terms(enc, "y", "w").collect()[0]
     assert (none.n_docs, none.fingerprint) == (0, 0)
+
+
+def test_index_union_terms(spark):
+    """OR serving from the set wire: distinct union of the probed terms'
+    postings, same gate-scalar row shape as the AND form."""
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   union_terms)
+    enc = build_index_chunked(_idx_docs(spark)).localCheckpoint()
+    row = union_terms(enc, "a", "c").collect()[0]
+    # a -> {0,127,129,300,4096}; c -> {0,128,300}; union has 6 docs
+    ids = [0, 127, 128, 129, 300, 4096]
+    p, fp = 10**9 + 7, 0
+    for t in ids:
+        fp = (fp * 31 + t) % p
+    assert (row.term_a, row.term_b, row.n_docs) == ("a", "c", 6)
+    assert row.fingerprint == fp

@@ -1193,3 +1193,54 @@ def test_index_stage_generation_reuse(spark):
     queries["index_intersect"](spark, "/root/testdata/sf0.01")
     g3 = Q._STAGE_VIEWS[(id(spark), "index_intersect")].views
     assert [v for v, _ in g3] != [v for v, _ in g1]   # miss -> fresh build
+
+
+def test_merge_index_updates_both_wires(spark):
+    """The continuous-maintenance lifecycle: the stream consumes the BASE
+    corpus then the NEW documents (state covers the stored content, the
+    merge contract); the stored table is the batch build over base.
+    Drain -> merge must equal a fresh batch build over the union corpus,
+    for BOTH wires: untouched chunks pass through, touched chunks take
+    the latest generation, tok_start is re-derived."""
+    import numpy as np
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   build_index_tf_chunked,
+                                                   merge_index_updates)
+    from streamvbyte_spark.streaming.index_update import (
+        index_update_stream, index_update_stream_tf)
+    tmp = tempfile.mkdtemp(prefix="svb_idxmerge_")
+    words = ["scan", "sort", "join"]
+    rng = np.random.default_rng(17)
+    base = [(j, " ".join(rng.choice(words, rng.integers(1, 5)).tolist()), "s")
+            for j in range(0, 200, 2)]
+    newer = [(j, " ".join(rng.choice(words, rng.integers(1, 5)).tolist()), "s")
+             for j in range(200, 300, 2)]
+    schema = "doc_id long, text string, source string"
+    try:
+        spark.createDataFrame(base, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(newer, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        for name, build, stream_fn in (
+                ("set", build_index_chunked, index_update_stream),
+                ("tf", build_index_tf_chunked, index_update_stream_tf)):
+            stored = build(spark.createDataFrame(base, schema))
+            src = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(tmp + "/in/*"))
+            qn = f"idx_merge_{name}"
+            q = (stream_fn(src).writeStream.format("memory").queryName(qn)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            # latest generation per key only (the upsert a real sink does)
+            cnt = "n_tok" if name == "set" else "n_doc"
+            ups = spark.sql(
+                f"select * from (select *, row_number() over (partition by "
+                f"term, chunk_id order by {cnt} desc) as rn from {qn}) "
+                "where rn = 1").drop("rn")
+            merged = merge_index_updates(stored, ups)
+            want_df = build(spark.createDataFrame(base + newer, schema))
+            got = sorted(map(tuple, merged.select(*want_df.columns).collect()))
+            want = sorted(map(tuple, want_df.collect()))
+            assert got == want, name
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
