@@ -447,6 +447,10 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
     return merged.withColumn(
         "tok_start",
         F.coalesce(F.sum("n_tok").over(ts), F.lit(0)).cast("long"))
+
+
+def intersect_terms(enc_index: DataFrame, term_a: str,
+                    term_b: str) -> DataFrame:
     """Serve ``term_a AND term_b`` from the ENCODED chunked index: prune to
     the two terms' chunks (pushable predicate when the index is read from
     storage), EF-decode only those, and equi-join the posting streams on
