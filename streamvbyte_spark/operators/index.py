@@ -75,6 +75,22 @@ def term_doc_pairs(docs: DataFrame) -> DataFrame:
             "non-negative int32 (uint32 posting space)') is null")))
 
 
+def term_doc_pos_pairs(docs: DataFrame) -> DataFrame:
+    """(pos, term, did) rows: term_doc_pairs with the token POSITION kept
+    (raw-split offsets — empties occupy slots, so positions survive the
+    empty filter unchanged and adjacency means adjacency in the original
+    text).  Same tokenizer and loud id guard; shared by the positional
+    batch build and the TF streaming merge (whose within-batch redelivery
+    dedup is keyed on (did, pos))."""
+    return (docs.select(
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        F.col("doc_id").cast("int").alias("did"))
+        .where(F.col("term") != "")
+        .where(F.expr(
+            "assert_true(did >= 0, 'inverted-index doc ids must be "
+            "non-negative int32 (uint32 posting space)') is null")))
+
+
 def term_postings(docs: DataFrame) -> DataFrame:
     """The logical index as a token table: (doc_id=term, tokens=sorted
     distinct doc ids, n_tok=df, source) — plugs straight into
@@ -127,7 +143,8 @@ def runlength_dids(flat, offsets):
     """Run-length the per-row SORTED duplicated did streams into
     (dids, tfs, doff): distinct dids per row, each did's occurrence count,
     and int64 row offsets into the distinct streams.  Shared by the TF and
-    positional batch builds and the TF streaming merge's batch side."""
+    positional batch builds (the TF STREAMING merge counts per-key instead,
+    via its (did, pos) pair dedup — one chunk per group, no offsets)."""
     import numpy as np
     V = flat.size
     rid = np.repeat(np.arange(offsets.size - 1, dtype=np.int64),
@@ -213,14 +230,8 @@ def build_index_pos_chunked(docs: DataFrame,
     did column into (distinct dids, tfs) while the pos column IS the
     position stream.  The tf stream doubles as the per-doc split of the
     positions at decode time."""
-    pairs = (docs.select(
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
-        F.col("doc_id").cast("int").alias("did"))
-        .where(F.col("term") != "")
-        .where(F.expr(
-            "assert_true(did >= 0, 'inverted-index doc ids must be "
-            "non-negative int32 (uint32 posting space)') is null"))
-        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
+    pairs = term_doc_pos_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
     chunks = (pairs.groupBy("term", "chunk_id")
               .agg(F.sort_array(F.collect_list(F.struct("did", "pos")))
                    .alias("occ"))
@@ -380,9 +391,10 @@ def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
 def union_terms(enc_index: DataFrame, term_a: str,
                 term_b: str) -> DataFrame:
     """Serve ``term_a OR term_b`` from the encoded set index: decode the
-    probed terms' chunks, distinct-union the posting streams.  Same
-    gate-scalar row shape as intersect_terms (n_docs + fingerprint over
-    ascending ids); scale consumers take the distinct rows."""
+    probed terms' chunks, distinct-union the posting streams.  Gate-scalar
+    row like intersect_terms but the count column is ``n_docs`` (union
+    size; intersect names its ``n_common``); scale consumers take the
+    distinct rows.  Not yet registry-gated — r9 roadmap (CLAUDE.md)."""
     from ..queries import spark_fingerprint
     dec = decode_chunked_delta(
         enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")
@@ -418,7 +430,6 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
 
     Scale shape: one hash shuffle on the chunk key over CHUNK rows (not
     postings); no decode — generations replace whole chunks byte-level."""
-    from pyspark.sql import Window as W
     up = updates.withColumnRenamed("term", "doc_id") \
         if "term" in updates.columns else updates
     is_set = "n_tok" in up.columns
@@ -437,16 +448,21 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
         cols = ["doc_id", "chunk_id", "n_doc", "enc_dids", "enc_tfs",
                 "out_bytes"]
     allrows = stored.select(*cols).unionByName(up.select(*cols))
-    w = W.partitionBy("doc_id", "chunk_id").orderBy(F.col(cnt).desc())
+    w = Window.partitionBy("doc_id", "chunk_id").orderBy(F.col(cnt).desc())
     merged = (allrows.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn"))
     if not is_set:
         return merged
-    ts = (W.partitionBy("doc_id").orderBy("chunk_id")
+    ts = (Window.partitionBy("doc_id").orderBy("chunk_id")
           .rowsBetween(Window.unboundedPreceding, -1))
+    # CHUNKED_ENC_SCHEMA column ORDER, not just names: a positional
+    # consumer (union with a batch-built table, append to an existing
+    # parquet layout) must bind tok_start where the stored tables put it
     return merged.withColumn(
         "tok_start",
-        F.coalesce(F.sum("n_tok").over(ts), F.lit(0)).cast("long"))
+        F.coalesce(F.sum("n_tok").over(ts), F.lit(0)).cast("long")) \
+        .select("doc_id", "chunk_id", "tok_start", "n_tok", "prev",
+                "encoded", "out_bytes")
 
 
 def intersect_terms(enc_index: DataFrame, term_a: str,

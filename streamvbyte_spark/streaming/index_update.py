@@ -160,22 +160,18 @@ def _pairs(docs: DataFrame, span: int) -> DataFrame:
 
 
 def _pairs_pos(docs: DataFrame, span: int) -> DataFrame:
-    """The TF form's explode with the token POSITION carried (raw-split
-    offsets survive the empty filter unchanged).  The position is what
-    makes the TF merge idempotent WITHIN a micro-batch: a document
-    delivered twice in one trigger contributes exact-duplicate (did, pos)
-    pairs, so deduping pairs recovers the true counts — counting raw
-    occurrences would double them (review r8).  The set form's stream
-    stays position-free (its merge is a set union; no reason to widen its
-    stateful shuffle by 4 B/occurrence)."""
-    return (docs.select(
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
-        F.col("doc_id").cast("int").alias("did"))
-        .where(F.col("term") != "")
-        .where(F.expr(
-            "assert_true(did >= 0, 'inverted-index doc ids must be "
-            "non-negative int32 (uint32 posting space)') is null"))
-        .withColumn("chunk_id", F.expr(f"did div {span}").cast("int")))
+    """The TF form's explode: the batch family's positional pairs
+    (operators/index.term_doc_pos_pairs — shared tokenizer, id guard, and
+    raw-split positions).  The position is what makes the TF merge
+    idempotent WITHIN a micro-batch: a document delivered twice in one
+    trigger contributes exact-duplicate (did, pos) pairs, so deduping
+    pairs recovers the true counts — counting raw occurrences would double
+    them (review r8).  The set form's stream stays position-free (its
+    merge is a set union; no reason to widen its stateful shuffle by
+    4 B/occurrence)."""
+    from ..operators.index import term_doc_pos_pairs
+    return term_doc_pos_pairs(docs).withColumn(
+        "chunk_id", F.expr(f"did div {span}").cast("int"))
 
 
 def index_update_stream(docs: DataFrame,
