@@ -1363,11 +1363,22 @@ def q_domain_mix_sample(d: Dialect) -> str:
         f"cast((instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
         f"* {16 ** (3 - i)} as bigint)" for i in range(4))
     big = (lambda x: f"cast({x} as bigint)")
-    keep = "t.hv * s.tok_s < s.target * 65536"
+    # the keep rule ``hv * tok_s < target * 65536`` decomposed so every
+    # intermediate stays < max(tok_s, 2^32): with tok_s = th*65536 + tl,
+    #   hv*tok_s < target*65536  <=>  hv*th + (hv*tl) div 65536 < target
+    # (divide both sides by 65536; the 0 <= remainder < 65536 term cannot
+    # flip a strict integer inequality).  The direct products overflow
+    # bigint once one source exceeds ~1.4e14 tokens (hv < 65536), which
+    # under ANSI mode aborts the query at exactly the corpus sizes this
+    # sampler targets (r8 advice item 4); here hv*th < tok_s and
+    # hv*tl < 2^32, exact at any int64-countable corpus.  Both engines
+    # truncate integer division toward zero on these non-negatives.
+    keep = (f"t.hv * s.th + {d.idiv('(t.hv * s.tl)', '65536')} < s.target")
     return (
         f"with t as (select cast(doc_id as string) as doc_id, source, "
         f"{n_tok} as n_tok, {hv} as hv from documents), "
-        f"s as (select source, tok_s, min(tok_s) over () as target from "
+        f"s as (select source, tok_s, {d.idiv('tok_s', '65536')} as th, "
+        f"tok_s % 65536 as tl, min(tok_s) over () as target from "
         f"(select source, {big('sum(n_tok)')} as tok_s "
         "from t group by source)) "
         "select t.source, count(*) as n_docs, "

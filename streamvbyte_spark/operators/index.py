@@ -408,14 +408,64 @@ def union_terms(enc_index: DataFrame, term_a: str,
                     F.expr(spark_fingerprint("ids")).alias("fingerprint")))
 
 
+# the three index wires merge_index_updates understands.  Per wire: the
+# strictly-content-monotone count column that orders generations (newest =
+# largest; immutable docs + unique ids mean a chunk's content is the did
+# SET, so any content change inserts a fresh did and every count below
+# strictly grows — ties are byte-identical rows and pick either), the
+# required payload columns, and the merged output column ORDER.
+_INDEX_WIRES = {
+    # set wire (CHUNKED_ENC_SCHEMA): tok_start/prev/out_bytes re-derived
+    "set": ("n_tok", {"n_tok", "encoded"},
+            ["doc_id", "chunk_id", "n_tok", "prev", "encoded",
+             "out_bytes"]),
+    "tf": ("n_doc", {"n_doc", "enc_dids", "enc_tfs"},
+           ["doc_id", "chunk_id", "n_doc", "enc_dids", "enc_tfs",
+            "out_bytes"]),
+    "pos": ("n_pos", {"n_doc", "n_pos", "enc_dids", "enc_tfs", "enc_pos"},
+            ["doc_id", "chunk_id", "n_doc", "n_pos", "enc_dids",
+             "enc_tfs", "enc_pos", "out_bytes"]),
+}
+
+
+def _index_wire(df: DataFrame, what: str) -> str:
+    """Classify an index chunk table as one of _INDEX_WIRES and VALIDATE
+    it: schema-marker columns must name exactly one wire and that wire's
+    full payload must be present.  Column presence alone used to pick the
+    branch, so a positional table (n_doc + n_pos/enc_pos) silently flowed
+    through the TF merge and the output DROPPED enc_pos — losing the
+    positional stream without error (r8 advice item 1)."""
+    cols = set(df.columns)
+    marks = {"set": bool(cols & {"n_tok", "encoded"}),
+             "pos": bool(cols & {"n_pos", "enc_pos"}),
+             "tf": bool(cols & {"enc_dids", "enc_tfs"})}
+    if marks["pos"]:          # pos carries the tf payload too
+        marks["tf"] = False
+    kinds = [k for k, m in marks.items() if m]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"merge_index_updates: {what} columns {sorted(cols)} do not "
+            f"identify exactly one index wire (matched {kinds or 'none'}); "
+            "expected one of set(n_tok, encoded) / tf(n_doc, enc_dids, "
+            "enc_tfs) / pos(n_doc, n_pos, enc_dids, enc_tfs, enc_pos)")
+    kind = kinds[0]
+    missing = _INDEX_WIRES[kind][1] - cols
+    if missing:
+        raise ValueError(
+            f"merge_index_updates: {what} looks like the {kind} wire but "
+            f"is missing {sorted(missing)}")
+    return kind
+
+
 def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
     """Fold a drained stream of index-update generations into the stored
-    chunk table: per (term, chunk_id) the generation with the LARGEST doc
-    count wins — chunk content only ever GROWS under the streaming merges,
-    so the max-count row is the latest — and stored chunks no update
-    touched pass through.  Returns the stored table's full schema for
-    either wire (set: CHUNKED_ENC_SCHEMA, tok_start re-derived by the same
-    chunk-aggregate window the batch build uses; tf: TF_ENC_SCHEMA).
+    chunk table: per (term, chunk_id) the generation with the LARGEST
+    content count wins — chunk content only ever GROWS under the streaming
+    merges, so the max-count row is the latest — and stored chunks no
+    update touched pass through.  Handles all three wires (validated, same
+    wire on both sides): set (CHUNKED_ENC_SCHEMA out, tok_start re-derived
+    by the same chunk-aggregate window the batch build uses), tf
+    (TF_ENC_SCHEMA) and positional (POS_ENC_SCHEMA).
 
     CONTRACT — the continuous-maintenance lifecycle only: a generation
     REPLACES the stored chunk byte-level, so the updates must come from a
@@ -432,26 +482,31 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
     postings); no decode — generations replace whole chunks byte-level."""
     up = updates.withColumnRenamed("term", "doc_id") \
         if "term" in updates.columns else updates
-    is_set = "n_tok" in up.columns
-    if is_set:
-        cnt = "n_tok"
+    st = stored.withColumnRenamed("term", "doc_id") \
+        if "term" in stored.columns else stored
+    kind = _index_wire(up, "updates")
+    kind_st = _index_wire(st, "stored")
+    if kind_st != kind:
+        raise ValueError(
+            f"merge_index_updates: stored is the {kind_st} wire but "
+            f"updates is the {kind} wire — generations replace chunks "
+            "byte-level, so both sides must carry the same wire")
+    cnt, _need, cols = _INDEX_WIRES[kind]
+    if kind == "set":
         up = (up.withColumn("prev", F.lit(0).cast("long"))
               .withColumn("out_bytes", F.length("encoded").cast("long")))
-        cols = ["doc_id", "chunk_id", "n_tok", "prev", "encoded",
-                "out_bytes"]
-    else:
-        cnt = "n_doc"
-        if "out_bytes" not in up.columns:
-            up = up.withColumn(
-                "out_bytes", (F.length("enc_dids")
-                              + F.length("enc_tfs")).cast("long"))
-        cols = ["doc_id", "chunk_id", "n_doc", "enc_dids", "enc_tfs",
-                "out_bytes"]
-    allrows = stored.select(*cols).unionByName(up.select(*cols))
+    elif "out_bytes" not in up.columns:
+        payload = [F.length(c) for c in cols
+                   if c.startswith("enc") and c != "encoded"]
+        total = payload[0]
+        for p in payload[1:]:
+            total = total + p
+        up = up.withColumn("out_bytes", total.cast("long"))
+    allrows = st.select(*cols).unionByName(up.select(*cols))
     w = Window.partitionBy("doc_id", "chunk_id").orderBy(F.col(cnt).desc())
     merged = (allrows.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn"))
-    if not is_set:
+    if kind != "set":
         return merged
     ts = (Window.partitionBy("doc_id").orderBy("chunk_id")
           .rowsBetween(Window.unboundedPreceding, -1))

@@ -33,6 +33,7 @@ the Arrow-batched image stages use.  All pixel math is whole-batch NumPy.
 from __future__ import annotations
 
 import struct
+from collections import OrderedDict
 
 import numpy as np
 
@@ -467,31 +468,34 @@ def _reconstruct(frame, scan, qt, coefs, lay, pxs=None):
 # 16-bit-peek LUT per distinct Huffman table: sym[peek] / ln[peek] give the
 # decoded symbol and its code length in ONE gather (canonical codes are
 # prefix-free, so every 16-bit window maps to at most one code).  Keyed by
-# the table's canonical (code, length) assignment; bounded by the distinct
-# tables a process sees (typically the four Annex K defaults).
-_PEEK_LUTS: dict[tuple, int] = {}
-_PEEK_SYM: list[np.ndarray] = []
-_PEEK_LEN: list[np.ndarray] = []
+# the table's canonical (code, length) assignment.  LRU-bounded: a corpus
+# of JPEGs with per-image optimized tables would otherwise grow executor
+# memory ~128 KB/table for process lifetime (r8 advice item 3); typical
+# corpora see the four Annex K defaults and never evict.
+_PEEK_LUT_CAP = 64
+
+_PEEK_LUTS: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray]]" = \
+    OrderedDict()
 
 
-def _peek_lut_id(table: _HuffTable) -> int:
+def _peek_lut(table: _HuffTable) -> tuple[np.ndarray, np.ndarray]:
     # (huffval, maxcode) pins the canonical assignment without walking
     # codes() on every call (tables are rebuilt per payload)
     key = (tuple(table.huffval), tuple(table.maxcode))
-    lid = _PEEK_LUTS.get(key)
-    if lid is not None:
-        return lid
+    hit = _PEEK_LUTS.get(key)
+    if hit is not None:
+        _PEEK_LUTS.move_to_end(key)
+        return hit
     sym = np.zeros(1 << 16, np.uint8)
     ln = np.zeros(1 << 16, np.uint8)   # ln == 0 -> invalid prefix
     for symbol, (code, length) in table.codes().items():
         start = code << (16 - length)
         ln[start:start + (1 << (16 - length))] = length
         sym[start:start + (1 << (16 - length))] = symbol
-    lid = len(_PEEK_SYM)
-    _PEEK_LUTS[key] = lid
-    _PEEK_SYM.append(sym)
-    _PEEK_LEN.append(ln)
-    return lid
+    _PEEK_LUTS[key] = (sym, ln)
+    if len(_PEEK_LUTS) > _PEEK_LUT_CAP:
+        _PEEK_LUTS.popitem(last=False)
+    return sym, ln
 
 
 # zero padding after each lane's de-stuffed segment: the single-image
@@ -521,6 +525,23 @@ def _entropy_decode_batch(jobs: list[tuple]) -> list[list[np.ndarray]]:
     img_unit_base = np.zeros(n_img, np.int64)
     img_slot_base = []
     slot_k_all, slot_dc_all, slot_ac_all = [], [], []
+    # per-BATCH table registry: stack only the tables this batch's slots
+    # reference, not the whole process-lifetime cache (r8 advice item 3 —
+    # the old global-id scheme re-stacked every cached table per call).
+    # Keyed by the cached array's identity: every referenced array is held
+    # alive in batch_tabs, so ids cannot collide within the batch.
+    batch_tabs: list[tuple[np.ndarray, np.ndarray]] = []
+    batch_ids: dict[int, int] = {}
+
+    def _lid(table):
+        sym, ln = _peek_lut(table)
+        i = batch_ids.get(id(sym))
+        if i is None:
+            i = len(batch_tabs)
+            batch_ids[id(sym)] = i
+            batch_tabs.append((sym, ln))
+        return i
+
     base_bytes = 0
     total_units = 0
     for i, (data, pos, scan, huff, ri, lay) in enumerate(jobs):
@@ -530,8 +551,8 @@ def _entropy_decode_batch(jobs: list[tuple]) -> list[list[np.ndarray]]:
         img_slot_base.append(len(slot_k_all))
         for (k, td, ta) in lay["order"]:
             slot_k_all.append(k)
-            slot_dc_all.append(_peek_lut_id(huff[(0, td)]))
-            slot_ac_all.append(_peek_lut_id(huff[(1, ta)]))
+            slot_dc_all.append(_lid(huff[(0, td)]))
+            slot_ac_all.append(_lid(huff[(1, ta)]))
         segs = list(_entropy_segments(data, pos))
         full = ri * per_mcu
         if full:
@@ -566,8 +587,10 @@ def _entropy_decode_batch(jobs: list[tuple]) -> list[list[np.ndarray]]:
     slot_k = np.array(slot_k_all, np.int64)
     slot_dc = np.array(slot_dc_all, np.int64)
     slot_ac = np.array(slot_ac_all, np.int64)
-    sym_all = np.stack(_PEEK_SYM) if _PEEK_SYM else np.zeros((1, 1 << 16), np.uint8)
-    len_all = np.stack(_PEEK_LEN) if _PEEK_LEN else np.zeros((1, 1 << 16), np.uint8)
+    sym_all = (np.stack([t[0] for t in batch_tabs]) if batch_tabs
+               else np.zeros((1, 1 << 16), np.uint8))
+    len_all = (np.stack([t[1] for t in batch_tabs]) if batch_tabs
+               else np.zeros((1, 1 << 16), np.uint8))
 
     pos_bit = byte_base * 8
     preds = np.zeros((L, 4), np.int64)
@@ -692,7 +715,19 @@ def decode_jpeg_batch(payloads: list, parsed: list | None = None) \
         parsed = [_parse_jpeg(pl) for pl in payloads]
     jobs = [(data, pos, scan, huff, ri, _scan_layout(frame, scan))
             for (data, frame, scan, qt, huff, ri, pos) in parsed]
-    all_coefs = _entropy_decode_batch(jobs)
+    try:
+        all_coefs = _entropy_decode_batch(jobs)
+    except ValueError:
+        # corrupt entropy stream somewhere in the batch: the lockstep
+        # machine raises where the single-image _BitReader tolerates a
+        # truncated/overrunning stream (zero bytes past the end), so one
+        # dirty payload must not fail the whole Arrow batch (r8 advice
+        # item 2).  Re-decode per payload through the single path — the
+        # byte-identity contract holds trivially, and a payload the
+        # single path ALSO rejects still raises (the fallback makes the
+        # batch never stricter, never laxer).
+        return [_decode_scan(data, pos, frame, scan, qt, huff, ri)
+                for (data, frame, scan, qt, huff, ri, pos) in parsed]
     # ONE dequantized IDCT over every block of every image/component —
     # per-image einsum calls cost more in dispatch than in math for
     # typical corpus-sized images

@@ -7,8 +7,18 @@ exchange, pushdown-friendly parquet scans) but harmless on local[N].
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# the codec kernels byte-view uint32 buffers (codec/core.py v.view(np.uint8),
+# codec/batched.py scatter/gather) and the stored wires are little-endian —
+# SURVEY.md §1.3's portability note made loud (r8 verdict item 7).  Every
+# platform this engine targets is LE; a BE host must not silently produce
+# byte-swapped streams.
+assert sys.byteorder == "little", (
+    "streamvbyte_spark requires a little-endian host: the codec kernels and "
+    "the stored stream wires byte-view native uint32 buffers")
 
 # glibc malloc tuning for the Python workers: without it every large NumPy
 # allocation is mmap'd and returned to the OS on free, so each Arrow batch

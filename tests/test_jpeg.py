@@ -199,3 +199,67 @@ def test_jpeg_batch_matches_single():
     offsets = np.cumsum([0] + [len(m) for m in mixed])
     for m, got in zip(mixed, _decode_image_batch(flat, offsets)):
         np.testing.assert_array_equal(got, decode_image(m))
+
+
+def test_jpeg_batch_corrupt_payload_falls_back_per_image():
+    """One corrupt entropy stream in a batch must not fail the whole Arrow
+    batch (r8 advice item 2): the lockstep machine raises on a lane that
+    overruns its segment, where the single-image _BitReader zero-fills a
+    truncated stream — decode_jpeg_batch must fall back per payload and
+    stay byte-identical to decode_jpeg on EVERY payload, garbage row
+    included."""
+    rng = np.random.default_rng(33)
+    good_a = encode_gray_blocks_jpeg(np.array([10, 200, 45, 99]), 2)
+    good_b = encode_gray_blocks_jpeg(rng.integers(0, 256, 8), 2)
+    # long random-AC payload, entropy chopped to ~30%: plenty of units
+    # remain, so the zero pad cannot complete the lane (overrun -> raise)
+    blocks = np.zeros((8, 8, 64), np.int64)
+    for i in range(8):
+        for j in range(8):
+            idx = rng.choice(64, 10, replace=False)
+            blocks[i, j, idx] = rng.integers(-255, 256, 10)
+    jp = encode_baseline_jpeg(
+        [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}],
+        h=64, w=64, quant={0: np.ones(64, np.int64)})
+    sos = jp.find(b"\xff\xda")
+    ent0 = sos + 4 + int.from_bytes(jp[sos + 2:sos + 4], "big") - 2
+    cut = ent0 + (len(jp) - 2 - ent0) * 3 // 10
+    while jp[cut - 1] == 0xFF or jp[cut] == 0xFF:
+        cut -= 1                       # never split a stuffing pair
+    corrupt = jp[:cut] + b"\xff\xd9"
+    from streamvbyte_spark.operators.jpeg import (_entropy_decode_batch,
+                                                  _parse_jpeg, _scan_layout,
+                                                  decode_jpeg_batch)
+    payloads = [good_a, corrupt, good_b]
+    parsed = [_parse_jpeg(p) for p in payloads]
+    jobs = [(data, pos, scan, huff, ri, _scan_layout(frame, scan))
+            for (data, frame, scan, qt, huff, ri, pos) in parsed]
+    # the corruption must actually trip the batch machine, or this test
+    # would pass without ever exercising the fallback
+    with pytest.raises(ValueError):
+        _entropy_decode_batch(jobs)
+    got = decode_jpeg_batch(payloads)
+    assert len(got) == 3
+    for p, g in zip(payloads, got):
+        np.testing.assert_array_equal(g, decode_jpeg(p))
+
+
+def test_peek_lut_cache_is_bounded():
+    """The 2^16 peek-LUT cache is LRU-bounded (r8 advice item 3): a corpus
+    of JPEGs with many distinct optimized Huffman tables must not grow
+    executor memory for process lifetime, and re-use must still hit."""
+    from streamvbyte_spark.operators.jpeg import (_PEEK_LUT_CAP, _PEEK_LUTS,
+                                                  _HuffTable, _peek_lut)
+    tables = []
+    for k in range(_PEEK_LUT_CAP + 8):
+        # distinct 2-symbol tables: one 2-bit and one 3-bit code, symbol
+        # values varying with k so every canonical assignment is unique
+        bits = [0, 1, 1] + [0] * 13
+        tables.append(_HuffTable(bits, bytes([k % 251, (k * 7 + 1) % 251])))
+    syms = [_peek_lut(t)[0] for t in tables]
+    assert len(_PEEK_LUTS) <= _PEEK_LUT_CAP
+    # most-recent table hits (same array object back)
+    assert _peek_lut(tables[-1])[0] is syms[-1]
+    # evicted tables rebuild with identical CONTENT
+    rebuilt = _peek_lut(tables[0])[0]
+    np.testing.assert_array_equal(rebuilt, syms[0])

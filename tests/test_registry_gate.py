@@ -10,15 +10,19 @@ from __future__ import annotations
 import __spark_entry__ as entry
 from streamvbyte_spark import queries as q
 
-# the r5-verdict list: never driver-gated before round 6.  nation_revenue
-# left the pin in r8 (green r6 AND r7, untouched since; its slot admits the
-# new index_topk_and, and the prior-green-row guard below still governs its
-# rotation) — re-pin it if its code is ever touched again.
+# descended from the r5-verdict list (never driver-gated before round 6).
+# r9: nation_revenue re-pinned (its one-round r8 exception expired — r8
+# verdict item 3).  Four long-stable entries leave the pin for ONE round
+# under the documented capacity exception (queries.GATE_ROTATE_OUT r9
+# note): sequence_pack, decontaminate, event_sessions, ann_recall_ivf —
+# all r8-green and code-untouched, with their machinery still pinned via
+# pack_sequences/pack_sequences_encoded (two-level pack prefix sum),
+# curation_pipeline (embeds decontaminate's staged shingle join), and the
+# always-on local check_oracles gate.  Re-pin them in r10; re-pin ANY
+# entry immediately if its code is touched.
 MUST_GATE = {
     "pack_sequences", "pack_sequences_encoded", "curation_pipeline",
-    "sequence_pack", "decontaminate", "dedup_components",
-    "curate_neardup_metrics", "event_sessions",
-    "ann_recall_ivf",
+    "dedup_components", "curate_neardup_metrics", "nation_revenue",
 }
 
 

@@ -1244,3 +1244,68 @@ def test_merge_index_updates_both_wires(spark):
             assert got == want, name
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_index_updates_positional_wire(spark):
+    """The positional wire merges through its OWN branch (r8 advice item
+    1 — it used to duck-type into the TF branch and silently DROP
+    enc_pos): stored = positional build over the even half, updates = the
+    full build's chunks restricted to groups a new (odd) doc touches
+    (exactly the generations a stream covering the stored corpus emits);
+    merged must byte-equal the full batch build AND serve identical
+    occurrence rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from streamvbyte_spark.operators.index import (INDEX_CHUNK_SPAN,
+                                                   build_index_pos_chunked,
+                                                   decode_index_pos,
+                                                   merge_index_updates,
+                                                   term_doc_pos_pairs)
+    words = ["scan", "sort", "join", "scan"]
+    rng = np.random.default_rng(29)
+    rows = [(j, " ".join(rng.choice(words, rng.integers(1, 6)).tolist()), "s")
+            for j in range(0, 300)]
+    schema = "doc_id long, text string, source string"
+    full_docs = spark.createDataFrame(rows, schema)
+    old = full_docs.where("doc_id % 2 = 0")
+    new = full_docs.where("doc_id % 2 = 1")
+    touched = (term_doc_pos_pairs(new)
+               .select(F.col("term").alias("doc_id"),
+                       F.expr(f"did div {INDEX_CHUNK_SPAN}")
+                       .cast("int").alias("chunk_id"))
+               .distinct())
+    updates = build_index_pos_chunked(full_docs).join(
+        touched, ["doc_id", "chunk_id"], "left_semi")
+    merged = merge_index_updates(build_index_pos_chunked(old), updates)
+    want_df = build_index_pos_chunked(full_docs)
+    assert merged.columns == want_df.columns      # POS schema, enc_pos kept
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    occ = sorted(map(tuple, decode_index_pos(merged).collect()))
+    occ_want = sorted(map(tuple, decode_index_pos(want_df).collect()))
+    assert occ == occ_want
+
+
+def test_merge_index_updates_validates_wires(spark):
+    """Schema validation (r8 advice item 1): mismatched wires and
+    incomplete payloads raise instead of silently truncating a stream."""
+    import pytest
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   build_index_pos_chunked,
+                                                   build_index_tf_chunked,
+                                                   merge_index_updates)
+    docs = spark.createDataFrame(
+        [(0, "a b", "s"), (1, "b c a", "s")],
+        "doc_id long, text string, source string")
+    set_w = build_index_chunked(docs)
+    tf_w = build_index_tf_chunked(docs)
+    pos_w = build_index_pos_chunked(docs)
+    with pytest.raises(ValueError, match="wire"):
+        merge_index_updates(tf_w, pos_w)     # the r8 silent-truncation path
+    with pytest.raises(ValueError, match="wire"):
+        merge_index_updates(set_w, tf_w)
+    with pytest.raises(ValueError, match="missing"):
+        merge_index_updates(pos_w, pos_w.drop("enc_pos"))
+    # a self-merge is the identity on every wire
+    assert merge_index_updates(pos_w, pos_w).count() == pos_w.count()

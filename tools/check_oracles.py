@@ -50,9 +50,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -86,6 +88,10 @@ def main():
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             failures += 1
     spark.stop()
+    # self-certifying summary (r8 verdict item 6): a truncated log used to
+    # look identical to a passing one — artifacts must end with this line
+    print(f"SUMMARY: {n_run - failures}/{n_run} OK"
+          + (f", {failures} FAILED" if failures else ""))
     sys.exit(1 if failures else 0)
 
 
