@@ -54,6 +54,33 @@ def _converged_passes(run, min_reps: int = 3, max_reps: int = 8,
     return times
 
 
+def _mem_stats(spark) -> dict:
+    """Session-memory snapshot emitted per headliner so a BENCH artifact
+    anomaly is attributable from the artifact alone (r8 verdict item 4:
+    the driver-session BENCH_r08 read 14-100% slow on untouched queries;
+    nothing in the artifact showed WHY).  jvm_cached_mb = storage memory
+    of persisted/checkpointed RDD blocks; driver_rss_mb = this Python
+    process (local mode: Spark JVM is a child, Python workers are
+    separate — the JVM block number is the one that tracked the r7
+    escalation)."""
+    cached = -1.0
+    try:
+        cached = sum(i.memSize() for i in
+                     spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 1e6
+    except Exception:
+        pass
+    rss = -1.0
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    rss = int(line.split()[1]) * 1024 / 1e6
+                    break
+    except OSError:
+        pass
+    return {"jvm_cached_mb": round(cached, 1), "driver_rss_mb": round(rss, 1)}
+
+
 def throughput_job(spark, n_docs: int, partitions: int):
     """Encode (auto) + decode the synthetic token table; returns
     converged-best metrics plus the raw per-pass times (the driver artifact
@@ -160,8 +187,13 @@ def main():
                 # build (groupBy (term, did div span) + EF per chunk),
                 # boolean-AND serving from the encoded wire, and the
                 # TF-weighted integer top-k
-                "index_build_chunked", "index_intersect", "index_topk_and"]
+                "index_build_chunked", "index_intersect", "index_topk_and",
+                # r9: phrase serving from the positional wire (decode only
+                # the probed terms' chunks -> occurrence rows -> adjacency
+                # join) — the canonical positional-index workload
+                "index_phrase_match"]
     passes: dict[str, list[float]] = {}
+    mem: dict[str, dict] = {}
     for name in headline:
         # per-query warm-up pass + best of 3 measured: JIT and this
         # sandbox's page-fault noise swing single measurements 2-3x
@@ -188,6 +220,22 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.perf_counter() - t0, 3))
         timings[name] = min(passes[name])
+        # release THIS query's live stage generation after its LAST
+        # measured pass (r8 verdict item 4): generation REUSE keeps the
+        # three passes above flat (the r7 fix), but each staged headliner
+        # otherwise leaves its checkpoint blocks resident for the REST of
+        # the run — 22 headliners deep, later queries measure accumulated
+        # storage pressure, not their plans.  dropTempView alone would
+        # not free the blocks (CLAUDE.md); release_stage unpersists the
+        # checkpointed RDDs synchronously.  Safe here: this headliner's
+        # DataFrames are all executed and dropped, and the next query
+        # owns a disjoint stage key.
+        df = None
+        Q.release_stage(spark, name)
+        # snapshot AFTER release: jvm_cached_mb is then a LEAK detector —
+        # a climbing series across headliners means some query's blocks
+        # survived their release
+        mem[name] = _mem_stats(spark)
 
     timings["throughput_encode"] = round(tp["encode_sec"], 3)
     timings["throughput_decode"] = round(tp["decode_sec"], 3)
@@ -201,6 +249,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "query_passes": passes,
+        "query_mem": mem,
         "sf": SF_DIR,
         "tokens": tp["tokens"],
         "encode_tok_per_sec": round(tp["encode_tok_per_sec"]),

@@ -30,7 +30,11 @@ Correctness properties (all pinned by the replay test):
 Wire parity: chunk bytes are ef_encode_rows output (the PUBLIC cross-module
 EF contract shared with operators/chunking) — a batch reader decodes
 streamed chunks with the same ef_decode_rows call, and the replay test
-asserts the drained stream's chunks byte-equal the batch build's.
+asserts the drained stream's chunks byte-equal the batch build's.  All
+three index wires stream: set (EF dids), TF (EF dids + svb tfs), and
+positional (r9: + svb doc-major positions — the phrase-serving wire),
+each draining byte-equal to its batch build and folding into a stored
+table via operators/index.merge_index_updates' matching branch.
 
 Reference hook: sorted-postings delta/EF is the codec family's canonical
 application (/root/reference/README.md:54-59,253); this operator is the
@@ -150,6 +154,79 @@ def _merge_chunk_tf(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
                         "enc_dids": [enc_d], "enc_tfs": [enc_t]})
 
 
+POS_OUT_SCHEMA = ("term string, chunk_id int, n_doc int, n_pos int, "
+                  "enc_dids binary, enc_tfs binary, enc_pos binary")
+POS_STATE_SCHEMA = ("n_doc int, n_pos int, enc_dids binary, "
+                    "enc_tfs binary, enc_pos binary")
+_POS_OUT_COLS = ["term", "chunk_id", "n_doc", "n_pos", "enc_dids",
+                 "enc_tfs", "enc_pos"]
+
+
+def _merge_chunk_pos(key: Tuple[str, int], pdf_iter: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Positional twin of _merge_chunk_tf: state carries all three wires
+    of the positional chunk (EF dids + svb tfs + svb doc-major positions,
+    operators/index.build_index_pos_chunked parity).  Same redelivery
+    contract — docs are immutable and a doc's occurrences are complete
+    within its delivery batch, so a did already in the chunk is a
+    redelivery (its stored positions stay) and only FRESH dids insert,
+    doc-major via one packed (did << 32 | pos) sort."""
+    from ..codec import batched
+    term, chunk_id = key
+    raw = [(pdf["did"].to_numpy(np.int64), pdf["pos"].to_numpy(np.int64))
+           for pdf in pdf_iter if len(pdf)]
+    if not raw:
+        if state.exists:
+            state.update(state.get)
+        yield pd.DataFrame(columns=_POS_OUT_COLS)
+        return
+    dids_raw = np.concatenate([r[0] for r in raw])
+    pos_raw = np.concatenate([r[1] for r in raw])
+    # within-batch (did, pos) pair dedup, already sorted doc-major
+    occ = np.unique((dids_raw << np.int64(32)) | pos_raw)
+    new_dids = occ >> np.int64(32)
+    nd = np.unique(new_dids)
+    if state.exists:
+        n_old, np_old, ed, et, ep = state.get
+        one = np.array([n_old], dtype=np.int64)
+        old_dids = batched.ef_decode_rows(
+            np.frombuffer(ed, dtype=np.uint8),
+            np.array([0, len(ed)], dtype=np.int64), one)[0].astype(np.int64)
+        svb1 = np.array([batched.CODEC_ID["svb"]], np.int32)
+        old_tfs = batched.decode_rows(
+            np.frombuffer(et, dtype=np.uint8),
+            np.array([0, len(et)], dtype=np.int64), one, svb1)[0]
+        old_pos = batched.decode_rows(
+            np.frombuffer(ep, dtype=np.uint8),
+            np.array([0, len(ep)], dtype=np.int64),
+            np.array([np_old], dtype=np.int64), svb1)[0].astype(np.int64)
+        fresh = ~np.isin(nd, old_dids)
+        if not fresh.any():
+            state.update((n_old, np_old, ed, et, ep))
+            yield pd.DataFrame(columns=_POS_OUT_COLS)
+            return
+        old_occ = ((np.repeat(old_dids, old_tfs.astype(np.int64))
+                    << np.int64(32)) | old_pos)
+        keep = np.isin(new_dids, nd[fresh])
+        # disjoint did sets: concatenate + sort restores doc-major order
+        occ = np.sort(np.concatenate([old_occ, occ[keep]]))
+    md, tf = np.unique(occ >> np.int64(32), return_counts=True)
+    poss = (occ & np.int64(0xFFFFFFFF)).astype(np.uint32)
+    doff = np.array([0, md.size], dtype=np.int64)
+    poff = np.array([0, poss.size], dtype=np.int64)
+    enc_d = batched.ef_encode_rows(md.astype(np.uint32), doff)[0].tobytes()
+    enc_t = batched.encode_rows(tf.astype(np.uint32), doff,
+                                "svb")[0].tobytes()
+    enc_p = batched.encode_rows(poss, poff, "svb")[0].tobytes()
+    state.update((int(md.size), int(poss.size), enc_d, enc_t, enc_p))
+    yield pd.DataFrame({"term": [term],
+                        "chunk_id": np.array([chunk_id], dtype=np.int32),
+                        "n_doc": np.array([md.size], dtype=np.int32),
+                        "n_pos": np.array([poss.size], dtype=np.int32),
+                        "enc_dids": [enc_d], "enc_tfs": [enc_t],
+                        "enc_pos": [enc_p]})
+
+
 def _pairs(docs: DataFrame, span: int) -> DataFrame:
     """The batch build's explode (operators/index.term_doc_pairs: tokenizer
     parity, the same loud non-negative-int32 id guard); duplicates kept —
@@ -197,4 +274,18 @@ def index_update_stream_tf(docs: DataFrame,
     return (_pairs_pos(docs, span).groupBy("term", "chunk_id")
             .applyInPandasWithState(_merge_chunk_tf, TF_OUT_SCHEMA,
                                     TF_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def index_update_stream_pos(docs: DataFrame,
+                            span: int = INDEX_CHUNK_SPAN) -> DataFrame:
+    """Positional twin: maintains the full phrase-serving wire (EF dids +
+    svb tfs + svb doc-major positions) incrementally — the streaming
+    source of the generations merge_index_updates' pos branch folds into
+    a stored positional table.  Same redelivery/immutability contract as
+    the TF form; drained generations byte-equal the batch
+    build_index_pos_chunked over the union corpus (replay-tested)."""
+    return (_pairs_pos(docs, span).groupBy("term", "chunk_id")
+            .applyInPandasWithState(_merge_chunk_pos, POS_OUT_SCHEMA,
+                                    POS_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))

@@ -1309,3 +1309,61 @@ def test_merge_index_updates_validates_wires(spark):
         merge_index_updates(pos_w, pos_w.drop("enc_pos"))
     # a self-merge is the identity on every wire
     assert merge_index_updates(pos_w, pos_w).count() == pos_w.count()
+
+
+def test_streaming_index_update_pos_batch_exact(spark):
+    """The positional stream must drain to chunk rows with ALL THREE wires
+    byte-identical to build_index_pos_chunked (same within-batch and
+    cross-batch redelivery hazards as the TF twin — a doubled doc must not
+    duplicate positions), and the drained generations must FOLD into a
+    stored positional table through merge_index_updates' pos branch to
+    exactly the full batch build, closing the streaming lifecycle for the
+    phrase-serving wire."""
+    import numpy as np
+    from streamvbyte_spark.operators.index import (build_index_pos_chunked,
+                                                   merge_index_updates)
+    from streamvbyte_spark.streaming.index_update import (
+        index_update_stream_pos)
+
+    tmp = tempfile.mkdtemp(prefix="svb_idxposst_")
+    words = ["scan", "sort", "join", "agg", "key"]
+    rng = np.random.default_rng(7)
+    docs = [(j, " ".join(rng.choice(words, rng.integers(1, 8)).tolist()), "s")
+            for j in range(0, 300, 2)]
+    try:
+        schema = "doc_id long, text string, source string"
+        spark.createDataFrame(docs[60:] + docs[100:], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b0")
+        spark.createDataFrame(docs[:70], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b1")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(tmp + "/in/*"))
+        q = (index_update_stream_pos(stream).writeStream
+             .format("memory").queryName("idx_pos_upd").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {}
+        for r in spark.sql("select * from idx_pos_upd").collect():
+            k = (r.term, r.chunk_id)
+            if k not in got or r.n_pos > got[k][1]:
+                got[k] = (r.n_doc, r.n_pos, bytes(r.enc_dids),
+                          bytes(r.enc_tfs), bytes(r.enc_pos))
+        full = build_index_pos_chunked(spark.createDataFrame(docs, schema))
+        want = {(r.doc_id, r.chunk_id): (r.n_doc, r.n_pos, bytes(r.enc_dids),
+                                         bytes(r.enc_tfs), bytes(r.enc_pos))
+                for r in full.collect()}
+        assert got == want
+        # lifecycle: stored = batch build over the docs the FIRST batch
+        # covered; drained latest generations merge to the full build
+        ups = spark.sql(
+            "select * from (select *, row_number() over (partition by "
+            "term, chunk_id order by n_pos desc) as rn from idx_pos_upd) "
+            "where rn = 1").drop("rn")
+        stored = build_index_pos_chunked(
+            spark.createDataFrame(docs[60:], schema))
+        merged = sorted(map(tuple, merge_index_updates(stored, ups)
+                            .drop("out_bytes").collect()))
+        assert merged == sorted(map(tuple,
+                                    full.drop("out_bytes").collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -29,6 +29,7 @@ HEADLINE = [
     "jpeg_decode_stats", "adpcm_decode_stats",
     "quality_repetition", "domain_mix_sample",
     "index_build_chunked", "index_intersect", "index_topk_and",
+    "index_phrase_match", "index_union", "index_merge_updates",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
@@ -196,6 +197,21 @@ NOTES = {
         "soundfile): block-vectorized IMA ADPCM — state arrays across "
         "blocks, the loop is over samples-in-block; map-only, zero "
         "shuffles.",
+    "index_phrase_match": "Phrase serving from the POSITIONAL wire (r9): "
+        "probe-term filter prunes the MATERIALIZED encoded index to "
+        "~df/span chunk rows per term, ONE MapInArrow decodes all three "
+        "streams (EF dids, svb tfs, svb positions) straight to occurrence "
+        "rows, adjacency is a (did, pos+1) equi-join — no full-index "
+        "decode, no per-group Python.",
+    "index_union": "OR serving from the encoded set wire (r9): same "
+        "probe-prune + EF chunk decode as index_intersect, "
+        "distinct-union instead of equi-join.",
+    "index_merge_updates": "Store maintenance (r9): ONE hash shuffle on "
+        "(term, chunk_id) over CHUNK rows (never postings) ranks "
+        "generations by content count — byte-level replacement, no "
+        "decode in the merge; the gated query then proves the merged "
+        "table reassembles to the full batch build (the streamed-drain "
+        "equivalence).",
 }
 
 
