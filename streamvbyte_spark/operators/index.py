@@ -315,10 +315,21 @@ def phrase_match_terms(enc_index: DataFrame, term_a: str,
     the positional wire: decode only the probed terms' chunks to occurrence
     rows and join on (did, pos_a + 1 = pos_b).  Returns one row
     (term_a, term_b, n_docs, fingerprint over ascending matching ids) —
-    the gate-scalar form; scale consumers take the matched rows."""
+    the gate-scalar form; scale consumers take the matched rows.
+
+    Chunk co-occupancy pruning (r9): an adjacent pair lives in ONE doc,
+    hence one chunk_id on both wires — semi-join each term's encoded
+    chunks on the other's chunk ids BEFORE decoding, so ``stopword
+    phrase rare`` decodes ~df_rare/span chunks of the stopword's
+    positional streams instead of all D/span of them (the chunk-id key
+    sets are tiny and broadcast)."""
     from ..queries import spark_fingerprint
+    a_enc = enc_index.where(F.col("doc_id") == term_a)
+    b_enc = enc_index.where(F.col("doc_id") == term_b)
     occ = decode_index_pos(
-        enc_index.where(F.col("doc_id").isin([term_a, term_b])))
+        a_enc.join(b_enc.select("chunk_id"), "chunk_id", "left_semi")
+        .unionByName(
+            b_enc.join(a_enc.select("chunk_id"), "chunk_id", "left_semi")))
     a = occ.where(F.col("term") == term_a).select(
         "did", (F.col("pos") + 1).alias("next_pos"))
     b = occ.where(F.col("term") == term_b).select(
@@ -522,21 +533,67 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
 
 def intersect_terms(enc_index: DataFrame, term_a: str,
                     term_b: str) -> DataFrame:
-    """Serve ``term_a AND term_b`` from the ENCODED chunked index: prune to
-    the two terms' chunks (pushable predicate when the index is read from
-    storage), EF-decode only those, and equi-join the posting streams on
-    doc id.  Returns one row: (term_a, term_b, n_common, fingerprint) with
-    the polynomial fold over the ASCENDING common ids — the driver-gate
-    scalar form.  A scale consumer takes the joined ``common`` rows
+    """Serve ``term_a AND term_b`` from the ENCODED chunked index,
+    CO-GROUPED by chunk (r9): both wires chunk by ``did div span``, so a
+    common doc id can only live where BOTH terms occupy the same
+    chunk_id — equi-join the two terms' ENCODED chunk rows on chunk_id
+    first, then one kernel decodes each co-occupied pair and intersects
+    the two sorted lists in-lane.
+
+    Why this shape at 10^10 docs: the previous form decoded EVERY chunk
+    of both terms and equi-joined the exploded posting streams — for
+    ``stopword AND rare`` that is D/span chunk decodes plus a
+    posting-level shuffle of df_a + df_b rows.  Here the chunk join ships
+    df/span ENCODED chunk rows (~0.7 B/posting EF vs 4 B/posting
+    exploded), the join prunes BOTH sides to the co-occupied ids
+    (<= min(df_a, df_b)/span pairs — the rare term bounds the decode
+    work, the df-ordered-probe refinement for free, symmetrically), and
+    no posting row ever shuffles: the intersection happens inside the
+    lane that decoded it.  The probe predicate still reaches the stored
+    index scan pushed (plan-tested).
+
+    Returns one row: (term_a, term_b, n_common, fingerprint) with the
+    polynomial fold over the ASCENDING common ids — the driver-gate
+    scalar form.  A scale consumer takes the per-chunk ``common`` rows
     directly (distributed, no single-cell id list); the fold-to-one-row
     tail exists so the gate can hash the intersection."""
     from ..queries import spark_fingerprint
-    dec = decode_chunked_delta(
-        enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")
-    posts = dec.select("doc_id", F.explode("chunk").alias("did"))
-    common = (posts.where(F.col("doc_id") == term_a).select("did")
-              .join(posts.where(F.col("doc_id") == term_b).select("did"),
-                    "did"))
+    a = enc_index.where(F.col("doc_id") == term_a).select(
+        "chunk_id", F.col("n_tok").alias("n_a"),
+        F.col("encoded").alias("enc_a"))
+    b = enc_index.where(F.col("doc_id") == term_b).select(
+        "chunk_id", F.col("n_tok").alias("n_b"),
+        F.col("encoded").alias("enc_b"))
+    pairs = a.join(b, "chunk_id")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary
+        for batch in batches:
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("n_a", "enc_a", "n_b", "enc_b")}
+            n_a = np.asarray(batch.column(idx["n_a"]), dtype=np.int64)
+            n_b = np.asarray(batch.column(idx["n_b"]), dtype=np.int64)
+            ea, eoa = _flat_binary(batch.column(idx["enc_a"]))
+            eb, eob = _flat_binary(batch.column(idx["enc_b"]))
+            da, aoff = batched.ef_decode_rows(ea, eoa, n_a)
+            db, boff = batched.ef_decode_rows(eb, eob, n_b)
+            # ONE vectorized intersect across all lanes: tag each did with
+            # its lane (dids are uint32, lanes disjoint -> (lane << 32 | did)
+            # keys are unique per side, so assume_unique holds)
+            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
+            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
+            ka = (la << np.int64(32)) | da.astype(np.int64)
+            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            common = np.intersect1d(ka, kb, assume_unique=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array((common & np.int64(0xFFFFFFFF)).astype(np.int32),
+                          pa.int32())],
+                names=["did"])
+
+    common = pairs.mapInArrow(run, "did int")
     # single-row global agg: the HOF fold runs once over the (deduped by
     # construction) common-id list — not a per-row hot path
     return (common.groupBy()

@@ -327,6 +327,12 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     # event_sessions, ann_recall_ivf — all r8-green, code untouched,
     # machinery covered by still-pinned siblings) leave the pin for ONE
     # round under the documented capacity exception; re-pin them in r10.
+    # index_intersect does NOT rotate out after all: its serving path was
+    # REWRITTEN this round (co-grouped chunk-id join intersect) and
+    # touched code must carry a current-round driver row — its slot comes
+    # from curate_neardup_metrics, a fifth one-round pin exception
+    # (r8-green, code untouched, components machinery still pinned via
+    # dedup_components).
     "svb_roundtrip", "svb0124_roundtrip", "delta_roundtrip_postings",
     "fsst_roundtrip", "zigzag_roundtrip_embeddings",
     "zzdelta_roundtrip_embeddings", "auto_full_roundtrip",
@@ -334,7 +340,8 @@ GATE_ROTATE_OUT: tuple[str, ...] = (
     "csv_roundtrip", "vocab_remap_metrics", "vocab_remap_join_metrics",
     "chunked_fused_roundtrip", "chunked_truncate_decode",
     "index_postings_roundtrip", "index_postings_size",
-    "index_build_chunked", "index_intersect", "index_topk_and",
+    "index_build_chunked", "index_topk_and",
+    "curate_neardup_metrics",
     "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_verified",
     "dedup_simhash", "dedup_ngram_jaccard", "ann_topk", "ann_cosine_topk",
     "ann_lsh", "ann_ivf", "ann_recall", "ann_recall_ivf",

@@ -12,17 +12,20 @@ from streamvbyte_spark import queries as q
 
 # descended from the r5-verdict list (never driver-gated before round 6).
 # r9: nation_revenue re-pinned (its one-round r8 exception expired — r8
-# verdict item 3).  Four long-stable entries leave the pin for ONE round
+# verdict item 3).  Five long-stable entries leave the pin for ONE round
 # under the documented capacity exception (queries.GATE_ROTATE_OUT r9
-# note): sequence_pack, decontaminate, event_sessions, ann_recall_ivf —
-# all r8-green and code-untouched, with their machinery still pinned via
-# pack_sequences/pack_sequences_encoded (two-level pack prefix sum),
-# curation_pipeline (embeds decontaminate's staged shingle join), and the
-# always-on local check_oracles gate.  Re-pin them in r10; re-pin ANY
-# entry immediately if its code is touched.
+# note): sequence_pack, decontaminate, event_sessions, ann_recall_ivf,
+# and curate_neardup_metrics (whose slot admits the REWRITTEN
+# index_intersect back in-window) — all r8-green and code-untouched,
+# with their machinery still pinned via pack_sequences/
+# pack_sequences_encoded (two-level pack prefix sum), curation_pipeline
+# (embeds decontaminate's staged shingle join), dedup_components (the
+# components propagation), and the always-on local check_oracles gate.
+# Re-pin them in r10; re-pin ANY entry immediately if its code is
+# touched.
 MUST_GATE = {
     "pack_sequences", "pack_sequences_encoded", "curation_pipeline",
-    "dedup_components", "curate_neardup_metrics", "nation_revenue",
+    "dedup_components", "nation_revenue",
 }
 
 

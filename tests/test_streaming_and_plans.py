@@ -1367,3 +1367,20 @@ def test_streaming_index_update_pos_batch_exact(spark):
                                     full.drop("out_bytes").collect()))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_index_intersect_cogrouped_plan(spark):
+    """The r9 AND-serving shape: the two probed terms' ENCODED chunk rows
+    equi-join on chunk_id BEFORE any decode (common dids can only live in
+    co-occupied chunks — chunking is by did div span, term-independent),
+    and the intersection runs in-lane inside the one decode kernel.  Pins:
+    exactly one Python stage, NO posting-level explode anywhere (the old
+    shape decoded every chunk of both terms and shuffled exploded did
+    rows), and a join present in the plan."""
+    import streamvbyte_spark.queries as Q
+    from streamvbyte_spark.plans.explain import plan_string
+    df = Q.build_queries()["index_intersect"](spark, SF)
+    plan = plan_string(df, "simple")
+    assert plan.count("MapInArrow") == 1, plan   # the decode+intersect kernel
+    assert "Generate" not in plan, plan    # no explode of posting arrays
+    assert "Join" in plan, plan            # the chunk_id equi-join
