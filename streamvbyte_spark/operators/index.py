@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .chunking import decode_chunked_delta, encode_chunked_delta
+from .chunking import encode_chunked_delta
 
 # chunk span in doc-id space: bounds every chunk row to <= span postings.
 # Gate scale (500-5000 docs) uses a small span so multi-chunk terms exist;
@@ -401,16 +401,57 @@ def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
 
 def union_terms(enc_index: DataFrame, term_a: str,
                 term_b: str) -> DataFrame:
-    """Serve ``term_a OR term_b`` from the encoded set index: decode the
-    probed terms' chunks, distinct-union the posting streams.  Gate-scalar
-    row like intersect_terms but the count column is ``n_docs`` (union
-    size; intersect names its ``n_common``); scale consumers take the
-    distinct rows.  Not yet registry-gated — r9 roadmap (CLAUDE.md)."""
+    """Serve ``term_a OR term_b`` from the encoded set index, CO-GROUPED
+    by chunk (r9, the OR twin of intersect_terms' shape): FULL OUTER join
+    the two terms' ENCODED chunk rows on chunk_id and union the two
+    sorted lists in-lane inside the one decode kernel.  Chunk did-ranges
+    are disjoint (did div span), so the in-lane dedup IS the global
+    dedup — the exploded-did ``distinct`` shuffle of the naive form
+    (df_a + df_b posting rows) disappears; the join ships df/span encoded
+    chunk rows.  Gate-scalar row like intersect_terms but the count
+    column is ``n_docs`` (union size); scale consumers take the per-chunk
+    did rows."""
     from ..queries import spark_fingerprint
-    dec = decode_chunked_delta(
-        enc_index.where(F.col("doc_id").isin([term_a, term_b])), codec="ef")
-    union = (dec.select(F.explode("chunk").alias("did"))
-             .distinct())
+    empty = F.lit(b"")
+    a = enc_index.where(F.col("doc_id") == term_a).select(
+        "chunk_id", F.col("n_tok").alias("n_a"),
+        F.col("encoded").alias("enc_a"))
+    b = enc_index.where(F.col("doc_id") == term_b).select(
+        "chunk_id", F.col("n_tok").alias("n_b"),
+        F.col("encoded").alias("enc_b"))
+    pairs = (a.join(b, "chunk_id", "full_outer")
+             .select(F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                     F.coalesce("enc_a", empty).alias("enc_a"),
+                     F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                     F.coalesce("enc_b", empty).alias("enc_b")))
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary
+        for batch in batches:
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("n_a", "enc_a", "n_b", "enc_b")}
+            n_a = np.asarray(batch.column(idx["n_a"]), dtype=np.int64)
+            n_b = np.asarray(batch.column(idx["n_b"]), dtype=np.int64)
+            ea, eoa = _flat_binary(batch.column(idx["enc_a"]))
+            eb, eob = _flat_binary(batch.column(idx["enc_b"]))
+            da, _ = batched.ef_decode_rows(ea, eoa, n_a)
+            db, _ = batched.ef_decode_rows(eb, eob, n_b)
+            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
+            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
+            ka = (la << np.int64(32)) | da.astype(np.int64)
+            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            # in-lane union; lanes own disjoint did ranges, so this is
+            # globally deduped output already
+            u = np.union1d(ka, kb)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array((u & np.int64(0xFFFFFFFF)).astype(np.int32),
+                          pa.int32())],
+                names=["did"])
+
+    union = pairs.mapInArrow(run, "did int")
     return (union.groupBy()
             .agg(F.sort_array(F.collect_list("did")).alias("ids"))
             .select(F.lit(term_a).alias("term_a"),
@@ -538,7 +579,9 @@ def intersect_terms(enc_index: DataFrame, term_a: str,
     common doc id can only live where BOTH terms occupy the same
     chunk_id — equi-join the two terms' ENCODED chunk rows on chunk_id
     first, then one kernel decodes each co-occupied pair and intersects
-    the two sorted lists in-lane.
+    the two sorted lists in-lane ("compress and intersect sorted lists
+    of integers", /root/reference/README.md:253 — the named application
+    of this codec family, distributed).
 
     Why this shape at 10^10 docs: the previous form decoded EVERY chunk
     of both terms and equi-joined the exploded posting streams — for

@@ -1249,8 +1249,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["index_phrase_match"] = index_phrase_match
 
     def index_union(spark, sf_dir):
-        # OR serving from the encoded set wire (r8-built, gated r9): the
-        # probe pair's chunks decode, posting streams distinct-union
+        # OR serving from the encoded set wire (r8-built, gated r9),
+        # co-grouped by chunk id like intersect: FULL OUTER join the two
+        # terms' encoded chunk rows, union the sorted lists in-lane —
+        # disjoint chunk did-ranges make the in-lane dedup global, so the
+        # exploded-did distinct shuffle of the naive form disappears
         from .operators.index import build_index_chunked, union_terms
         enc, a, b = _staged_index_probe(spark, sf_dir, "index_union",
                                         build_index_chunked, "n_tok")

@@ -1379,8 +1379,12 @@ def test_index_intersect_cogrouped_plan(spark):
     rows), and a join present in the plan."""
     import streamvbyte_spark.queries as Q
     from streamvbyte_spark.plans.explain import plan_string
-    df = Q.build_queries()["index_intersect"](spark, SF)
-    plan = plan_string(df, "simple")
-    assert plan.count("MapInArrow") == 1, plan   # the decode+intersect kernel
-    assert "Generate" not in plan, plan    # no explode of posting arrays
-    assert "Join" in plan, plan            # the chunk_id equi-join
+    qs = Q.build_queries()
+    for name in ("index_intersect", "index_union"):
+        df = qs[name](spark, SF)
+        plan = plan_string(df, "simple")
+        # the one decode(+set-op) kernel
+        assert plan.count("MapInArrow") == 1, (name, plan)
+        # no explode of posting arrays anywhere
+        assert "Generate" not in plan, (name, plan)
+        assert "Join" in plan, (name, plan)   # the chunk_id join

@@ -203,9 +203,11 @@ NOTES = {
         "streams (EF dids, svb tfs, svb positions) straight to occurrence "
         "rows, adjacency is a (did, pos+1) equi-join — no full-index "
         "decode, no per-group Python.",
-    "index_union": "OR serving from the encoded set wire (r9): same "
-        "probe-prune + EF chunk decode as index_intersect, "
-        "distinct-union instead of equi-join.",
+    "index_union": "OR serving from the encoded set wire (r9, co-grouped "
+        "like intersect): FULL OUTER join of the two terms' encoded chunk "
+        "rows on chunk_id, in-lane union inside the one decode kernel — "
+        "chunk did-ranges are disjoint, so the in-lane dedup IS the "
+        "global dedup and the exploded-did distinct shuffle disappears.",
     "index_merge_updates": "Store maintenance (r9): ONE hash shuffle on "
         "(term, chunk_id) over CHUNK rows (never postings) ranks "
         "generations by content count — byte-level replacement, no "
