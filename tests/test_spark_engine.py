@@ -973,16 +973,33 @@ def test_index_positional_phrase(spark):
 
 
 def test_index_union_terms(spark):
-    """OR serving from the set wire: distinct union of the probed terms'
-    postings, same gate-scalar row shape as the AND form."""
+    """OR serving from the set wire (co-grouped r9: full-outer chunk_id
+    join + in-lane union), same gate-scalar row shape as the AND form —
+    including the null-side edges the full-outer join introduces (a term
+    absent from a chunk or from the whole index coalesces to an n=0 /
+    empty-bytes lane)."""
     from streamvbyte_spark.operators.index import (build_index_chunked,
                                                    union_terms)
     enc = build_index_chunked(_idx_docs(spark)).localCheckpoint()
+
+    def fold(ids):
+        p, fp = 10**9 + 7, 0
+        for t in ids:
+            fp = (fp * 31 + t) % p
+        return fp
+
     row = union_terms(enc, "a", "c").collect()[0]
     # a -> {0,127,129,300,4096}; c -> {0,128,300}; union has 6 docs
-    ids = [0, 127, 128, 129, 300, 4096]
-    p, fp = 10**9 + 7, 0
-    for t in ids:
-        fp = (fp * 31 + t) % p
     assert (row.term_a, row.term_b, row.n_docs) == ("a", "c", 6)
-    assert row.fingerprint == fp
+    assert row.fingerprint == fold([0, 127, 128, 129, 300, 4096])
+    # one side absent from the index entirely: every join row is null
+    # on that side; the union must be exactly the present term
+    ghost = union_terms(enc, "a", "nosuchterm").collect()[0]
+    assert (ghost.n_docs, ghost.fingerprint) == \
+        (5, fold([0, 127, 129, 300, 4096]))
+    # degenerate same-term OR: in-lane union of identical lists
+    same = union_terms(enc, "c", "c").collect()[0]
+    assert (same.n_docs, same.fingerprint) == (3, fold([0, 128, 300]))
+    # both sides absent: empty union, zero fingerprint
+    none = union_terms(enc, "ghost1", "ghost2").collect()[0]
+    assert (none.n_docs, none.fingerprint) == (0, 0)
