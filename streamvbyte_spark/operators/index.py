@@ -399,6 +399,85 @@ def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
             .limit(k))
 
 
+def topk_and_terms_cogrouped(enc_index: DataFrame, term_a: str,
+                             term_b: str, k: int = 10) -> DataFrame:
+    """Co-grouped twin of :func:`topk_and_terms` over the TF wire (built
+    r9, NOT yet wired into the gated ``index_topk_and`` query — its gate
+    slot returns in r10; pytest pins result parity until the swap).
+
+    Same shape as :func:`intersect_terms`: the two terms' ENCODED chunk
+    rows equi-join on chunk_id (AND semantics — co-occupied chunks only,
+    <= min(df_a, df_b)/span pairs), ONE kernel decodes each pair (EF dids
+    + svb tfs), intersects in-lane, and scores in-lane (score = tf_a +
+    tf_b, exact integers).  The kernel pre-limits each Arrow batch to its
+    local top-k under the global order (score desc, did asc) — valid
+    because every global top-k row is in its batch's local top-k — so at
+    most k rows per batch reach the final TakeOrderedAndProject, where
+    the old form shipped the full intersection.  Replaces the
+    decode-everything + exploded-posting-join serving plan
+    ("compress and intersect sorted lists of integers",
+    /root/reference/README.md:253)."""
+    a = enc_index.where(F.col("doc_id") == term_a).select(
+        "chunk_id", F.col("n_doc").alias("n_a"),
+        F.col("enc_dids").alias("enc_da"), F.col("enc_tfs").alias("enc_ta"))
+    b = enc_index.where(F.col("doc_id") == term_b).select(
+        "chunk_id", F.col("n_doc").alias("n_b"),
+        F.col("enc_dids").alias("enc_db"), F.col("enc_tfs").alias("enc_tb"))
+    pairs = a.join(b, "chunk_id")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary
+        svb = batched.CODEC_ID["svb"]
+        for batch in batches:
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("n_a", "enc_da", "enc_ta",
+                             "n_b", "enc_db", "enc_tb")}
+            n_a = np.asarray(batch.column(idx["n_a"]), dtype=np.int64)
+            n_b = np.asarray(batch.column(idx["n_b"]), dtype=np.int64)
+            eda, eoda = _flat_binary(batch.column(idx["enc_da"]))
+            edb, eodb = _flat_binary(batch.column(idx["enc_db"]))
+            eta, eota = _flat_binary(batch.column(idx["enc_ta"]))
+            etb, eotb = _flat_binary(batch.column(idx["enc_tb"]))
+            da, _ = batched.ef_decode_rows(eda, eoda, n_a)
+            db, _ = batched.ef_decode_rows(edb, eodb, n_b)
+            ta, _ = batched.decode_rows(
+                eta, eota, n_a, np.full(n_a.size, svb, np.int32))
+            tb, _ = batched.decode_rows(
+                etb, eotb, n_b, np.full(n_b.size, svb, np.int32))
+            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
+            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
+            ka = (la << np.int64(32)) | da.astype(np.int64)
+            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
+                                            return_indices=True)
+            did = (common & np.int64(0xFFFFFFFF)).astype(np.int32)
+            tf_a = ta[ia].astype(np.int64)
+            tf_b = tb[ib].astype(np.int64)
+            score = tf_a + tf_b
+            if score.size and score.max() > np.int64(2**31 - 1):
+                # parity with the int32 Spark-side sum (ANSI throws there)
+                raise OverflowError("tf_a + tf_b exceeds int32")
+            if score.size > k:
+                # local top-k under the global order (score desc, did asc)
+                sel = np.lexsort((did, -score))[:k]
+                did, tf_a, tf_b, score = (did[sel], tf_a[sel],
+                                          tf_b[sel], score[sel])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(did, pa.int32()),
+                 pa.array(tf_a.astype(np.int32), pa.int32()),
+                 pa.array(tf_b.astype(np.int32), pa.int32()),
+                 pa.array(score.astype(np.int32), pa.int32())],
+                names=["did", "tf_a", "tf_b", "score"])
+
+    scored = pairs.mapInArrow(
+        run, "did int, tf_a int, tf_b int, score int")
+    return (scored.orderBy(F.col("score").desc(), F.col("did").asc())
+            .limit(k))
+
+
 def union_terms(enc_index: DataFrame, term_a: str,
                 term_b: str) -> DataFrame:
     """Serve ``term_a OR term_b`` from the encoded set index, CO-GROUPED

@@ -908,6 +908,53 @@ def test_index_tf_chunked_and_topk(spark):
     assert [r.did for r in topk_and_terms(enc, "a", "c", k=1).collect()] == [0]
 
 
+def test_index_topk_cogrouped_parity(spark):
+    """r10-ready co-grouped top-k (chunk_id equi-join + in-lane score +
+    per-batch local top-k) must return EXACTLY what the gated
+    decode-everything form returns — rows, order, and ties — on the
+    fixture corpus and on a denser multi-chunk corpus with tf > 1 and
+    score ties; and its plan must be the co-grouped shape (one kernel,
+    no posting explode, a chunk_id join)."""
+    import random
+    from streamvbyte_spark.operators.index import (build_index_tf_chunked,
+                                                   topk_and_terms,
+                                                   topk_and_terms_cogrouped)
+    from streamvbyte_spark.plans.explain import plan_string
+
+    enc = build_index_tf_chunked(_idx_docs(spark)).localCheckpoint()
+    for a, b, k in [("a", "c", 10), ("a", "c", 1), ("b", "zzz", 5),
+                    ("c", "c", 10)]:
+        want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
+                topk_and_terms(enc, a, b, k=k).collect()]
+        got = [(r.did, r.tf_a, r.tf_b, r.score) for r in
+               topk_and_terms_cogrouped(enc, a, b, k=k).collect()]
+        assert got == want, (a, b, k)
+
+    # denser corpus: 300 docs over 3+ chunks (span 128), tf in [1, 4],
+    # many equal scores so the did-asc tie-break is actually exercised
+    rng = random.Random(7)
+    rows = []
+    for did in range(0, 3000, 10):
+        words = []
+        for w in ("x", "y", "z"):
+            words += [w] * rng.randint(0, 4)
+        rows.append((did, " ".join(words), "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                 "source string")
+    enc2 = build_index_tf_chunked(docs).localCheckpoint()
+    for k in (1, 10, 10_000):
+        want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
+                topk_and_terms(enc2, "x", "y", k=k).collect()]
+        got = [(r.did, r.tf_a, r.tf_b, r.score) for r in
+               topk_and_terms_cogrouped(enc2, "x", "y", k=k).collect()]
+        assert got == want, k
+    plan = plan_string(topk_and_terms_cogrouped(enc2, "x", "y"), "simple")
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Join" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_index_store_and_serve_pushes_probe_predicate(spark):
     """The real serving path: the TF index STORED as parquet, top-k served
     from storage.  The probe filter must reach the parquet scan as a
