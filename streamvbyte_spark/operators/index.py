@@ -312,29 +312,88 @@ def decode_index_pos(enc_index: DataFrame) -> DataFrame:
 def phrase_match_terms(enc_index: DataFrame, term_a: str,
                        term_b: str) -> DataFrame:
     """Serve the PHRASE query ``"term_a term_b"`` (adjacent, in order) from
-    the positional wire: decode only the probed terms' chunks to occurrence
-    rows and join on (did, pos_a + 1 = pos_b).  Returns one row
+    the positional wire, CO-GROUPED by chunk (r9, completing the serving
+    family): an adjacent pair lives in ONE doc, hence one chunk_id on both
+    wires — equi-join the two terms' ENCODED chunk rows on chunk_id and
+    run the whole phrase match inside the one decode kernel: intersect the
+    did lists in-lane, keep only common docs' occurrences, and probe
+    ``pos_a + 1`` against ``pos_b`` per doc.  No occurrence row ever
+    shuffles (the earlier form decoded co-occupied chunks to (did, pos)
+    rows and shuffled them into an adjacency equi-join — span x tf rows
+    per stopword chunk); the join ships ~df/span encoded chunk rows and
+    the kernel emits only MATCHED dids.  Returns one row
     (term_a, term_b, n_docs, fingerprint over ascending matching ids) —
-    the gate-scalar form; scale consumers take the matched rows.
-
-    Chunk co-occupancy pruning (r9): an adjacent pair lives in ONE doc,
-    hence one chunk_id on both wires — semi-join each term's encoded
-    chunks on the other's chunk ids BEFORE decoding, so ``stopword
-    phrase rare`` decodes ~df_rare/span chunks of the stopword's
-    positional streams instead of all D/span of them (the chunk-id key
-    sets are tiny and broadcast)."""
+    the gate-scalar form; scale consumers take the matched rows."""
     from ..queries import spark_fingerprint
-    a_enc = enc_index.where(F.col("doc_id") == term_a)
-    b_enc = enc_index.where(F.col("doc_id") == term_b)
-    occ = decode_index_pos(
-        a_enc.join(b_enc.select("chunk_id"), "chunk_id", "left_semi")
-        .unionByName(
-            b_enc.join(a_enc.select("chunk_id"), "chunk_id", "left_semi")))
-    a = occ.where(F.col("term") == term_a).select(
-        "did", (F.col("pos") + 1).alias("next_pos"))
-    b = occ.where(F.col("term") == term_b).select(
-        "did", F.col("pos").alias("next_pos"))
-    hits = a.join(b, ["did", "next_pos"]).select("did").distinct()
+    a = enc_index.where(F.col("doc_id") == term_a).select(
+        "chunk_id", F.col("n_doc").alias("nd_a"),
+        F.col("n_pos").alias("np_a"), F.col("enc_dids").alias("ed_a"),
+        F.col("enc_tfs").alias("et_a"), F.col("enc_pos").alias("ep_a"))
+    b = enc_index.where(F.col("doc_id") == term_b).select(
+        "chunk_id", F.col("n_doc").alias("nd_b"),
+        F.col("n_pos").alias("np_b"), F.col("enc_dids").alias("ed_b"),
+        F.col("enc_tfs").alias("et_b"), F.col("enc_pos").alias("ep_b"))
+    pairs = a.join(b, "chunk_id")
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from ..codec import batched
+        from .encode import _flat_binary
+
+        def side(batch, idx, nd_c, np_c, ed_c, et_c, ep_c):
+            nd = np.asarray(batch.column(idx[nd_c]), dtype=np.int64)
+            npos = np.asarray(batch.column(idx[np_c]), dtype=np.int64)
+            ed, eod = _flat_binary(batch.column(idx[ed_c]))
+            et, eot = _flat_binary(batch.column(idx[et_c]))
+            ep, eop = _flat_binary(batch.column(idx[ep_c]))
+            svb = np.full(nd.size, batched.CODEC_ID["svb"], np.int32)
+            dids, _ = batched.ef_decode_rows(ed, eod, nd)
+            tfs, _ = batched.decode_rows(et, eot, nd, svb)
+            pos, _ = batched.decode_rows(
+                ep, eop, npos, np.full(npos.size, batched.CODEC_ID["svb"],
+                                       np.int32))
+            lane = np.repeat(np.arange(nd.size, dtype=np.int64), nd)
+            kd = (lane << np.int64(32)) | dids.astype(np.int64)
+            # doc key per OCCURRENCE (tf repeats), aligned with pos
+            kocc = np.repeat(kd, tfs.astype(np.int64))
+            return kd, kocc, pos.astype(np.int64)
+
+        def keep(kocc, pos, common):
+            # occurrences of docs in `common` (sorted unique), as
+            # (dense-rank-into-common, pos)
+            i = np.searchsorted(common, kocc)
+            i_c = np.minimum(i, common.size - 1) if common.size else i
+            m = (i < common.size) & (common.size > 0)
+            if common.size:
+                m &= common[i_c] == kocc
+            return i_c[m], pos[m]
+
+        names = ("nd_a", "np_a", "ed_a", "et_a", "ep_a",
+                 "nd_b", "np_b", "ed_b", "et_b", "ep_b")
+        for batch in batches:
+            idx = {n: batch.schema.get_field_index(n) for n in names}
+            kd_a, kocc_a, pos_a = side(batch, idx, *names[:5])
+            kd_b, kocc_b, pos_b = side(batch, idx, *names[5:])
+            common = np.intersect1d(kd_a, kd_b, assume_unique=True)
+            r_a, p_a = keep(kocc_a, pos_a, common)
+            r_b, p_b = keep(kocc_b, pos_b, common)
+            # adjacency in-lane: stride past the max position so each
+            # doc rank owns a disjoint key block; pos+1 stays in-block
+            stride = np.int64(max(p_a.max(initial=0),
+                                  p_b.max(initial=0)) + 2)
+            assert common.size < 2**62 // max(int(stride), 1), \
+                "phrase key space overflow"
+            hit = np.intersect1d(r_a * stride + p_a + 1,
+                                 r_b * stride + p_b, assume_unique=True)
+            ranks = np.unique(hit // stride)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array((common[ranks] &
+                           np.int64(0xFFFFFFFF)).astype(np.int32),
+                          pa.int32())],
+                names=["did"])
+
+    hits = pairs.mapInArrow(run, "did int")
     return (hits.groupBy()
             .agg(F.sort_array(F.collect_list("did")).alias("ids"))
             .select(F.lit(term_a).alias("term_a"),

@@ -1236,10 +1236,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same deterministic probe rule (two lexicographically
         # smallest terms, df >= 5, df = sum of the wire's per-chunk doc
         # counts), served as the ADJACENT IN-ORDER phrase
-        # "term_a term_b" — decode only the probed terms' chunks to
-        # (term, did, pos) occurrence rows and join on
-        # (did, pos_a + 1 = pos_b).  Positions are raw-split offsets
-        # (empties occupy slots) on both engines.
+        # "term_a term_b" — co-grouped (late r9): the two terms' encoded
+        # chunk rows equi-join on chunk_id and ONE kernel intersects the
+        # did lists in-lane and probes pos_a + 1 against pos_b per
+        # common doc; no occurrence row ever shuffles.  Positions are
+        # raw-split offsets (empties occupy slots) on both engines.
         from .operators.index import (build_index_pos_chunked,
                                       phrase_match_terms)
         enc, a, b = _staged_index_probe(spark, sf_dir, "index_phrase_match",

@@ -1370,17 +1370,18 @@ def test_streaming_index_update_pos_batch_exact(spark):
 
 
 def test_index_intersect_cogrouped_plan(spark):
-    """The r9 AND-serving shape: the two probed terms' ENCODED chunk rows
-    equi-join on chunk_id BEFORE any decode (common dids can only live in
-    co-occupied chunks — chunking is by did div span, term-independent),
-    and the intersection runs in-lane inside the one decode kernel.  Pins:
-    exactly one Python stage, NO posting-level explode anywhere (the old
-    shape decoded every chunk of both terms and shuffled exploded did
+    """The r9 co-grouped serving shape (AND / OR / PHRASE): the two probed
+    terms' ENCODED chunk rows join on chunk_id BEFORE any decode (common
+    dids can only live in co-occupied chunks — chunking is by did div
+    span, term-independent), and the set op / adjacency match runs in-lane
+    inside the one decode kernel.  Pins: exactly one Python stage, NO
+    posting- or occurrence-level explode anywhere (the old shapes decoded
+    every chunk of both terms and shuffled exploded did / (did, pos)
     rows), and a join present in the plan."""
     import streamvbyte_spark.queries as Q
     from streamvbyte_spark.plans.explain import plan_string
     qs = Q.build_queries()
-    for name in ("index_intersect", "index_union"):
+    for name in ("index_intersect", "index_union", "index_phrase_match"):
         df = qs[name](spark, SF)
         plan = plan_string(df, "simple")
         # the one decode(+set-op) kernel

@@ -204,14 +204,13 @@ NOTES = {
         "decode and ONE kernel intersects each co-occupied pair in-lane "
         "— stopword AND rare decodes ~df_rare/span pairs, zero posting "
         "rows on the wire (SCALE.md measured run).",
-    "index_phrase_match": "Phrase serving from the POSITIONAL wire (r9): "
-        "probe-term filter prunes the MATERIALIZED encoded index to "
-        "~df/span chunk rows per term, chunk co-occupancy semi-joins "
-        "prune both sides to co-occupied chunks ahead of the decode, "
-        "ONE MapInArrow decodes all three streams (EF dids, svb tfs, "
-        "svb positions) straight to occurrence rows, adjacency is a "
-        "(did, pos+1) equi-join — no full-index decode, no per-group "
-        "Python.",
+    "index_phrase_match": "Phrase serving from the POSITIONAL wire (r9, "
+        "co-grouped like intersect): the two terms' encoded chunk rows "
+        "equi-join on chunk_id, ONE kernel decodes all three streams "
+        "(EF dids, svb tfs, svb positions), intersects the did lists "
+        "in-lane and probes pos_a+1 against pos_b per common doc — no "
+        "occurrence row ever shuffles; the kernel emits only matched "
+        "dids.",
     "index_union": "OR serving from the encoded set wire (r9, co-grouped "
         "like intersect): FULL OUTER join of the two terms' encoded chunk "
         "rows on chunk_id, in-lane union inside the one decode kernel — "
