@@ -347,14 +347,13 @@ def phrase_match_terms(enc_index: DataFrame, term_a: str,
             ed, eod = _flat_binary(batch.column(idx[ed_c]))
             et, eot = _flat_binary(batch.column(idx[et_c]))
             ep, eop = _flat_binary(batch.column(idx[ep_c]))
+            # per-lane codec ids: n_pos and n_doc are both one-per-lane
+            # columns of this batch, so the one svb array serves both
             svb = np.full(nd.size, batched.CODEC_ID["svb"], np.int32)
             dids, _ = batched.ef_decode_rows(ed, eod, nd)
             tfs, _ = batched.decode_rows(et, eot, nd, svb)
-            pos, _ = batched.decode_rows(
-                ep, eop, npos, np.full(npos.size, batched.CODEC_ID["svb"],
-                                       np.int32))
-            lane = np.repeat(np.arange(nd.size, dtype=np.int64), nd)
-            kd = (lane << np.int64(32)) | dids.astype(np.int64)
+            pos, _ = batched.decode_rows(ep, eop, npos, svb)
+            kd = lane_doc_keys(nd, dids)
             # doc key per OCCURRENCE (tf repeats), aligned with pos
             kocc = np.repeat(kd, tfs.astype(np.int64))
             return kd, kocc, pos.astype(np.int64)
@@ -382,8 +381,10 @@ def phrase_match_terms(enc_index: DataFrame, term_a: str,
             # doc rank owns a disjoint key block; pos+1 stays in-block
             stride = np.int64(max(p_a.max(initial=0),
                                   p_b.max(initial=0)) + 2)
-            assert common.size < 2**62 // max(int(stride), 1), \
-                "phrase key space overflow"
+            if common.size >= 2**62 // int(stride):
+                # loud like topk's int32 guard — not assert, which
+                # PYTHONOPTIMIZE would strip, silently wrapping the keys
+                raise OverflowError("phrase key space overflow")
             hit = np.intersect1d(r_a * stride + p_a + 1,
                                  r_b * stride + p_b, assume_unique=True)
             ranks = np.unique(hit // stride)
@@ -437,6 +438,18 @@ def decode_index_tf(enc_index: DataFrame) -> DataFrame:
     return lists.select(
         "term", F.expr("inline(arrays_zip(dids, tfs))")) \
         .withColumnRenamed("dids", "did").withColumnRenamed("tfs", "tf")
+
+
+def lane_doc_keys(counts, dids):
+    """``(lane << 32) | did`` keys for a decoded chunk-lane batch — the
+    shared invariant every co-grouped serving kernel rests on: dids are
+    distinct and ascending within a lane and lanes own disjoint key
+    blocks, so the keys are unique per side and ``assume_unique``
+    set ops over them are exact.  counts = per-lane did counts (int64),
+    dids = the flat decoded did stream (uint32)."""
+    import numpy as np
+    lane = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    return (lane << np.int64(32)) | dids.astype(np.int64)
 
 
 def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
@@ -506,10 +519,8 @@ def topk_and_terms_cogrouped(enc_index: DataFrame, term_a: str,
                 eta, eota, n_a, np.full(n_a.size, svb, np.int32))
             tb, _ = batched.decode_rows(
                 etb, eotb, n_b, np.full(n_b.size, svb, np.int32))
-            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
-            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
-            ka = (la << np.int64(32)) | da.astype(np.int64)
-            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            ka = lane_doc_keys(n_a, da)
+            kb = lane_doc_keys(n_b, db)
             common, ia, ib = np.intersect1d(ka, kb, assume_unique=True,
                                             return_indices=True)
             did = (common & np.int64(0xFFFFFFFF)).astype(np.int32)
@@ -577,10 +588,8 @@ def union_terms(enc_index: DataFrame, term_a: str,
             eb, eob = _flat_binary(batch.column(idx["enc_b"]))
             da, _ = batched.ef_decode_rows(ea, eoa, n_a)
             db, _ = batched.ef_decode_rows(eb, eob, n_b)
-            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
-            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
-            ka = (la << np.int64(32)) | da.astype(np.int64)
-            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            ka = lane_doc_keys(n_a, da)
+            kb = lane_doc_keys(n_b, db)
             # in-lane union; lanes own disjoint did ranges, so this is
             # globally deduped output already
             u = np.union1d(ka, kb)
@@ -764,10 +773,8 @@ def intersect_terms(enc_index: DataFrame, term_a: str,
             # ONE vectorized intersect across all lanes: tag each did with
             # its lane (dids are uint32, lanes disjoint -> (lane << 32 | did)
             # keys are unique per side, so assume_unique holds)
-            la = np.repeat(np.arange(n_a.size, dtype=np.int64), n_a)
-            lb = np.repeat(np.arange(n_b.size, dtype=np.int64), n_b)
-            ka = (la << np.int64(32)) | da.astype(np.int64)
-            kb = (lb << np.int64(32)) | db.astype(np.int64)
+            ka = lane_doc_keys(n_a, da)
+            kb = lane_doc_keys(n_b, db)
             common = np.intersect1d(ka, kb, assume_unique=True)
             yield pa.RecordBatch.from_arrays(
                 [pa.array((common & np.int64(0xFFFFFFFF)).astype(np.int32),
