@@ -310,45 +310,48 @@ def _token_source(spark: SparkSession, sf_dir: str, source: str) -> DataFrame:
 # loudly if the rotation leaves more than 50 in-window entries (a silently
 # ungated tail is exactly the blind spot this exists to close).
 GATE_ROTATE_OUT: tuple[str, ...] = (
-    # r9 rotation: the 41 r7-green entries rotated out in r8 all RETURN to
-    # the window (they have no r8 row; r8∪r9 must cover all queries) —
-    # including nation_revenue, whose one-round MUST_GATE exception
-    # expires now (re-pinned, r8 verdict item 3) and jpeg_decode_stats,
-    # which must re-enter anyway and gates this round's jpeg.py touches
-    # (LUT LRU bound + batch corrupt-payload fallback, advice items 2-3).
-    # These 44 r8-green entries leave for one round; the three NEW r9
-    # queries (index_phrase_match, index_union, index_merge_updates —
-    # the r8-built serving/maintenance operators, verdict items 1-2/5)
-    # enter in-window, as new queries must, and domain_mix_sample STAYS
-    # in-window because its keep rule was rewritten this round (overflow
-    # decomposition, advice item 4).  Capacity: 41 returning + 3 new +
-    # domain_mix_sample + 5 pinned composites = 50 exactly, so four
-    # long-stable MUST_GATE entries (sequence_pack, decontaminate,
-    # event_sessions, ann_recall_ivf — all r8-green, code untouched,
-    # machinery covered by still-pinned siblings) leave the pin for ONE
-    # round under the documented capacity exception; re-pin them in r10.
-    # index_intersect does NOT rotate out after all: its serving path was
-    # REWRITTEN this round (co-grouped chunk-id join intersect) and
-    # touched code must carry a current-round driver row — its slot comes
-    # from curate_neardup_metrics, a fifth one-round pin exception
-    # (r8-green, code untouched, components machinery still pinned via
-    # dedup_components).
-    "svb_roundtrip", "svb0124_roundtrip", "delta_roundtrip_postings",
-    "fsst_roundtrip", "zigzag_roundtrip_embeddings",
-    "zzdelta_roundtrip_embeddings", "auto_full_roundtrip",
-    "image_decode_stats", "png_decode_stats", "audio_decode_stats",
-    "csv_roundtrip", "vocab_remap_metrics", "vocab_remap_join_metrics",
-    "chunked_fused_roundtrip", "chunked_truncate_decode",
-    "index_postings_roundtrip", "index_postings_size",
-    "index_build_chunked", "index_topk_and",
-    "curate_neardup_metrics",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_verified",
-    "dedup_simhash", "dedup_ngram_jaccard", "ann_topk", "ann_cosine_topk",
-    "ann_lsh", "ann_ivf", "ann_recall", "ann_recall_ivf",
-    "embedding_neardup", "token_count", "quality_score", "lang_id",
-    "fingerprint", "token_quantiles", "top_terms", "dedup_simhash_pairs",
-    "event_sessions", "sequence_pack", "decontaminate",
-    "quality_repetition", "dedup_components_verified",
+    # r10 rotation: the 44 r8-green entries rotated out in r9 all RETURN
+    # to the window (they have no r9 row; r9∪r10 must cover all queries) —
+    # including index_topk_and, whose gated body SWAPS to the parity-
+    # pinned co-grouped serving plan this round (r9 verdict item 1) and
+    # therefore must carry a current-round driver row, and the five
+    # MUST_GATE entries whose one-round r9 capacity exception expires now
+    # (sequence_pack, decontaminate, event_sessions, ann_recall_ivf,
+    # curate_neardup_metrics — re-pinned, r9 verdict item 2).  These 46
+    # r9-green entries leave for one round; the two NEW r10 queries
+    # (index_and_multi — k-way AND serving, r9 verdict item 4 — and
+    # index_merge_updates_pos — the positional-wire drain equivalence, r9
+    # verdict item 6) enter in-window, as new queries must.  Capacity:
+    # 44 returning + 2 new + 4 pinned composites (nation_revenue,
+    # pack_sequences, pack_sequences_encoded, curation_pipeline) = 50
+    # exactly, so ONE long-stable MUST_GATE entry (dedup_components —
+    # r9-green, operators/components.py untouched, the components
+    # propagation machinery carries a CURRENT-round row via the returning
+    # dedup_components_verified) leaves the pin for ONE round under the
+    # documented capacity exception; re-pin it in r11.
+    # index_intersect / index_union / index_phrase_match rotate out
+    # r9-green while their module is touched ONLY by the mechanical
+    # fold-split (the distributed per-chunk rows become the public
+    # return, the gate-scalar fold moves into thin wrappers whose output
+    # is byte-identical — pytest-pinned); the shared co-grouped serving
+    # machinery (chunk_id equi-join, lane_doc_keys, in-lane set ops,
+    # gate-scalar fold) carries TWO current-round driver rows via
+    # index_topk_and and index_and_multi.
+    "ef_roundtrip_postings", "auto_roundtrip", "auto_sorted_roundtrip",
+    "svb_size", "svb0124_size", "delta_size_postings", "ef_size_postings",
+    "bitpack_size", "for_size", "dict_size", "rle_size", "auto_size",
+    "auto_sorted_size_postings", "auto_sorted_size", "validate_stream",
+    "validate_stream_0124", "validate_stream_truncated",
+    "max_compressed_bound", "auto_full_size", "truncate_decode",
+    "zone_map_prune", "metrics_by_source", "svb_size_sql",
+    "metrics_by_codec", "events_hourly", "top_users_by_value",
+    "metrics_rollup", "users_intersect", "multimodal_features",
+    "multimodal_frames", "jpeg_decode_stats", "adpcm_decode_stats",
+    "jsonl_roundtrip", "orc_roundtrip", "chunked_roundtrip_postings",
+    "chunked_ef_roundtrip", "index_intersect", "index_phrase_match",
+    "index_union", "index_merge_updates", "curate_metrics",
+    "domain_mix_sample", "dedup_components", "curated_pack_sequences",
+    "curated_pack_encoded", "pack_store_roundtrip",
 )
 GATE_WINDOW = 50
 

@@ -11,21 +11,25 @@ import __spark_entry__ as entry
 from streamvbyte_spark import queries as q
 
 # descended from the r5-verdict list (never driver-gated before round 6).
-# r9: nation_revenue re-pinned (its one-round r8 exception expired — r8
-# verdict item 3).  Five long-stable entries leave the pin for ONE round
-# under the documented capacity exception (queries.GATE_ROTATE_OUT r9
-# note): sequence_pack, decontaminate, event_sessions, ann_recall_ivf,
-# and curate_neardup_metrics (whose slot admits the REWRITTEN
-# index_intersect back in-window) — all r8-green and code-untouched,
-# with their machinery still pinned via pack_sequences/
-# pack_sequences_encoded (two-level pack prefix sum), curation_pipeline
-# (embeds decontaminate's staged shingle join), dedup_components (the
-# components propagation), and the always-on local check_oracles gate.
-# Re-pin them in r10; re-pin ANY entry immediately if its code is
+# r10: the five entries whose one-round r9 capacity exception expired are
+# RE-PINNED (r9 verdict item 2): sequence_pack, decontaminate,
+# event_sessions, ann_recall_ivf, curate_neardup_metrics — all return to
+# the window this round anyway (rotated out in r9, so r9∪r10 coverage
+# requires them in-window).  ONE long-stable entry leaves the pin for ONE
+# round under the documented capacity exception (queries.GATE_ROTATE_OUT
+# r10 note): dedup_components — r9-green, operators/components.py
+# untouched, and the components-propagation machinery carries a
+# CURRENT-round driver row via the returning dedup_components_verified
+# (same operator, adversarial oracle).  Its slot admits the second NEW
+# r10 query (index_and_multi + index_merge_updates_pos must both enter
+# in-window, and 44 returning + 2 new + 4 pins = 50 exactly).  Re-pin
+# dedup_components in r11; re-pin ANY entry immediately if its code is
 # touched.
 MUST_GATE = {
     "pack_sequences", "pack_sequences_encoded", "curation_pipeline",
-    "dedup_components", "nation_revenue",
+    "nation_revenue",
+    "sequence_pack", "decontaminate", "event_sessions", "ann_recall_ivf",
+    "curate_neardup_metrics",
 }
 
 
