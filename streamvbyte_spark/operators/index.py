@@ -309,8 +309,8 @@ def decode_index_pos(enc_index: DataFrame) -> DataFrame:
     return enc_index.mapInArrow(run, "term string, did int, pos int")
 
 
-def phrase_match_terms(enc_index: DataFrame, term_a: str,
-                       term_b: str) -> DataFrame:
+def phrase_match_rows(enc_index: DataFrame, term_a: str,
+                      term_b: str) -> DataFrame:
     """Serve the PHRASE query ``"term_a term_b"`` (adjacent, in order) from
     the positional wire, CO-GROUPED by chunk (r9, completing the serving
     family): an adjacent pair lives in ONE doc, hence one chunk_id on both
@@ -321,10 +321,13 @@ def phrase_match_terms(enc_index: DataFrame, term_a: str,
     shuffles (the earlier form decoded co-occupied chunks to (did, pos)
     rows and shuffled them into an adjacency equi-join — span x tf rows
     per stopword chunk); the join ships ~df/span encoded chunk rows and
-    the kernel emits only MATCHED dids.  Returns one row
-    (term_a, term_b, n_docs, fingerprint over ascending matching ids) —
-    the gate-scalar form; scale consumers take the matched rows."""
-    from ..queries import spark_fingerprint
+    the kernel emits only MATCHED dids.
+
+    Returns the DISTRIBUTED matched-doc rows (``did int``, deduped by
+    construction — a did lives in one chunk pair) — the scale consumer's
+    form (r10; previously the single-row fold was the return and scale
+    consumers had to reach into the kernel output).  The driver-gate
+    scalar is :func:`phrase_match_terms`."""
     a = enc_index.where(F.col("doc_id") == term_a).select(
         "chunk_id", F.col("n_doc").alias("nd_a"),
         F.col("n_pos").alias("np_a"), F.col("enc_dids").alias("ed_a"),
@@ -394,13 +397,17 @@ def phrase_match_terms(enc_index: DataFrame, term_a: str,
                           pa.int32())],
                 names=["did"])
 
-    hits = pairs.mapInArrow(run, "did int")
-    return (hits.groupBy()
-            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
-            .select(F.lit(term_a).alias("term_a"),
-                    F.lit(term_b).alias("term_b"),
-                    F.size("ids").alias("n_docs"),
-                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+    return pairs.mapInArrow(run, "did int")
+
+
+def phrase_match_terms(enc_index: DataFrame, term_a: str,
+                       term_b: str) -> DataFrame:
+    """Gate-scalar phrase serving: one row (term_a, term_b, n_docs,
+    fingerprint over ascending matched ids) folded from
+    :func:`phrase_match_rows` — see :func:`_gate_scalar` for why the fold
+    exists and why scale consumers must take the rows form."""
+    return _gate_scalar(phrase_match_rows(enc_index, term_a, term_b),
+                        [term_a, term_b], "n_docs")
 
 
 def decode_index_tf(enc_index: DataFrame) -> DataFrame:
@@ -452,43 +459,45 @@ def lane_doc_keys(counts, dids):
     return (lane << np.int64(32)) | dids.astype(np.int64)
 
 
+def _gate_scalar(rows: DataFrame, terms: list[str],
+                 count_name: str) -> DataFrame:
+    """Fold a distributed ``did int`` result (deduped by construction —
+    disjoint chunk did-ranges) into the ONE-ROW driver-gate scalar:
+    (term_a[, term_b, ...], <count_name>, fingerprint over ascending ids).
+
+    This fold exists ONLY because the driver's pandas canonicalizer
+    rejects array-typed result columns; it concentrates the full
+    result-id list on one task (SCALE.md's 10x OR run is fold-dominated),
+    so it is the GATE wrapper, not the operator — scale consumers take
+    the rows-returning serving functions directly (r9 verdict item 3 /
+    r10 item 5: the distributed rows are now the public return)."""
+    from ..queries import spark_fingerprint
+    names = [f"term_{chr(97 + i)}" for i in range(len(terms))]
+    return (rows.groupBy()
+            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
+            .select(*[F.lit(t).alias(n) for n, t in zip(names, terms)],
+                    F.size("ids").alias(count_name),
+                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+
+
 def topk_and_terms(enc_index: DataFrame, term_a: str, term_b: str,
                    k: int = 10) -> DataFrame:
     """Integer-relevance top-k for ``term_a AND term_b`` served from the
-    TF index wire: decode only the probed terms' chunks, join the posting
-    streams on doc id, score = tf_a + tf_b (exact integers both engines),
-    deterministic order (score desc, did asc), limit k."""
-    posts = decode_index_tf(
-        enc_index.where(F.col("doc_id").isin([term_a, term_b])))
-    a = posts.where(F.col("term") == term_a).select(
-        "did", F.col("tf").alias("tf_a"))
-    b = posts.where(F.col("term") == term_b).select(
-        "did", F.col("tf").alias("tf_b"))
-    return (a.join(b, "did")
-            .select("did", "tf_a", "tf_b",
-                    (F.col("tf_a") + F.col("tf_b")).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("did").asc())
-            .limit(k))
+    TF index wire, CO-GROUPED by chunk (built r9 as the parity-pinned
+    twin, wired as THE implementation r10 — the old decode-everything +
+    exploded-posting-join body is retired; the inline reference in
+    tests/test_spark_engine.py pins parity adversarially).
 
-
-def topk_and_terms_cogrouped(enc_index: DataFrame, term_a: str,
-                             term_b: str, k: int = 10) -> DataFrame:
-    """Co-grouped twin of :func:`topk_and_terms` over the TF wire (built
-    r9, NOT yet wired into the gated ``index_topk_and`` query — its gate
-    slot returns in r10; pytest pins result parity until the swap).
-
-    Same shape as :func:`intersect_terms`: the two terms' ENCODED chunk
-    rows equi-join on chunk_id (AND semantics — co-occupied chunks only,
-    <= min(df_a, df_b)/span pairs), ONE kernel decodes each pair (EF dids
-    + svb tfs), intersects in-lane, and scores in-lane (score = tf_a +
-    tf_b, exact integers).  The kernel pre-limits each Arrow batch to its
-    local top-k under the global order (score desc, did asc) — valid
-    because every global top-k row is in its batch's local top-k — so at
-    most k rows per batch reach the final TakeOrderedAndProject, where
-    the old form shipped the full intersection.  Replaces the
-    decode-everything + exploded-posting-join serving plan
-    ("compress and intersect sorted lists of integers",
-    /root/reference/README.md:253)."""
+    Same shape as :func:`intersect_terms_rows`: the two terms' ENCODED
+    chunk rows equi-join on chunk_id (AND semantics — co-occupied chunks
+    only, <= min(df_a, df_b)/span pairs), ONE kernel decodes each pair
+    (EF dids + svb tfs), intersects in-lane, and scores in-lane (score =
+    tf_a + tf_b, exact integers).  The kernel pre-limits each Arrow batch
+    to its local top-k under the global order (score desc, did asc) —
+    valid because every global top-k row is in its batch's local top-k —
+    so at most k rows per batch reach the final TakeOrderedAndProject,
+    where the old form shipped the full intersection ("compress and
+    intersect sorted lists of integers", /root/reference/README.md:253)."""
     a = enc_index.where(F.col("doc_id") == term_a).select(
         "chunk_id", F.col("n_doc").alias("n_a"),
         F.col("enc_dids").alias("enc_da"), F.col("enc_tfs").alias("enc_ta"))
@@ -548,8 +557,8 @@ def topk_and_terms_cogrouped(enc_index: DataFrame, term_a: str,
             .limit(k))
 
 
-def union_terms(enc_index: DataFrame, term_a: str,
-                term_b: str) -> DataFrame:
+def union_terms_rows(enc_index: DataFrame, term_a: str,
+                     term_b: str) -> DataFrame:
     """Serve ``term_a OR term_b`` from the encoded set index, CO-GROUPED
     by chunk (r9, the OR twin of intersect_terms' shape): FULL OUTER join
     the two terms' ENCODED chunk rows on chunk_id and union the two
@@ -557,10 +566,9 @@ def union_terms(enc_index: DataFrame, term_a: str,
     are disjoint (did div span), so the in-lane dedup IS the global
     dedup — the exploded-did ``distinct`` shuffle of the naive form
     (df_a + df_b posting rows) disappears; the join ships df/span encoded
-    chunk rows.  Gate-scalar row like intersect_terms but the count
-    column is ``n_docs`` (union size); scale consumers take the per-chunk
-    did rows."""
-    from ..queries import spark_fingerprint
+    chunk rows.  Returns the DISTRIBUTED union rows (``did int``, deduped
+    by construction) — the scale consumer's form (r10); the driver-gate
+    scalar is :func:`union_terms`."""
     empty = F.lit(b"")
     a = enc_index.where(F.col("doc_id") == term_a).select(
         "chunk_id", F.col("n_tok").alias("n_a"),
@@ -598,13 +606,16 @@ def union_terms(enc_index: DataFrame, term_a: str,
                           pa.int32())],
                 names=["did"])
 
-    union = pairs.mapInArrow(run, "did int")
-    return (union.groupBy()
-            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
-            .select(F.lit(term_a).alias("term_a"),
-                    F.lit(term_b).alias("term_b"),
-                    F.size("ids").alias("n_docs"),
-                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+    return pairs.mapInArrow(run, "did int")
+
+
+def union_terms(enc_index: DataFrame, term_a: str,
+                term_b: str) -> DataFrame:
+    """Gate-scalar OR serving: one row (term_a, term_b, n_docs,
+    fingerprint over ascending union ids) folded from
+    :func:`union_terms_rows` — see :func:`_gate_scalar`."""
+    return _gate_scalar(union_terms_rows(enc_index, term_a, term_b),
+                        [term_a, term_b], "n_docs")
 
 
 # the three index wires merge_index_updates understands.  Per wire: the
@@ -719,42 +730,43 @@ def merge_index_updates(stored: DataFrame, updates: DataFrame) -> DataFrame:
                 "encoded", "out_bytes")
 
 
-def intersect_terms(enc_index: DataFrame, term_a: str,
-                    term_b: str) -> DataFrame:
-    """Serve ``term_a AND term_b`` from the ENCODED chunked index,
-    CO-GROUPED by chunk (r9): both wires chunk by ``did div span``, so a
-    common doc id can only live where BOTH terms occupy the same
-    chunk_id — equi-join the two terms' ENCODED chunk rows on chunk_id
-    first, then one kernel decodes each co-occupied pair and intersects
-    the two sorted lists in-lane ("compress and intersect sorted lists
-    of integers", /root/reference/README.md:253 — the named application
-    of this codec family, distributed).
+def intersect_terms_rows(enc_index: DataFrame,
+                         terms: list[str]) -> DataFrame:
+    """Serve the K-WAY boolean AND ``terms[0] AND terms[1] AND ...`` from
+    the ENCODED chunked index, CO-GROUPED by chunk (2-term r9, k-way
+    r10): every wire chunks by ``did div span``, term-independently, so a
+    common doc id can only live where ALL k terms occupy the same
+    chunk_id — inner-equi-join the k terms' ENCODED chunk rows on
+    chunk_id first, then one kernel decodes each co-occupied k-tuple and
+    folds the sorted-list intersection in-lane over the shared
+    ``lane_doc_keys`` invariant ("compress and intersect sorted lists of
+    integers", /root/reference/README.md:253 — the named application of
+    this codec family, distributed; real boolean queries have > 2 terms).
 
-    Why this shape at 10^10 docs: the previous form decoded EVERY chunk
-    of both terms and equi-joined the exploded posting streams — for
-    ``stopword AND rare`` that is D/span chunk decodes plus a
-    posting-level shuffle of df_a + df_b rows.  Here the chunk join ships
-    df/span ENCODED chunk rows (~0.7 B/posting EF vs 4 B/posting
-    exploded), the join prunes BOTH sides to the co-occupied ids
-    (<= min(df_a, df_b)/span pairs — the rare term bounds the decode
-    work, the df-ordered-probe refinement for free, symmetrically), and
-    no posting row ever shuffles: the intersection happens inside the
-    lane that decoded it.  The probe predicate still reaches the stored
-    index scan pushed (plan-tested).
+    Why this shape at 10^10 docs: a posting-level form decodes EVERY
+    chunk of every term and shuffles sum(df_i) exploded rows into a
+    k-way did join.  Here the chunk join ships df/span ENCODED chunk
+    rows (~0.7 B/posting EF vs 4 B/posting exploded), each inner join
+    prunes ALL sides toward the co-occupied ids (<= min(df_i)/span
+    k-tuples — the RAREST term bounds the decode work, the df-ordered-
+    probe refinement for free, symmetrically), and no posting row ever
+    shuffles: the fold happens inside the lane that decoded it, bailing
+    out of remaining decodes once a batch's running intersection is
+    empty.  The k probe predicates still reach the stored index scan
+    pushed (plan-tested).
 
-    Returns one row: (term_a, term_b, n_common, fingerprint) with the
-    polynomial fold over the ASCENDING common ids — the driver-gate
-    scalar form.  A scale consumer takes the per-chunk ``common`` rows
-    directly (distributed, no single-cell id list); the fold-to-one-row
-    tail exists so the gate can hash the intersection."""
-    from ..queries import spark_fingerprint
-    a = enc_index.where(F.col("doc_id") == term_a).select(
-        "chunk_id", F.col("n_tok").alias("n_a"),
-        F.col("encoded").alias("enc_a"))
-    b = enc_index.where(F.col("doc_id") == term_b).select(
-        "chunk_id", F.col("n_tok").alias("n_b"),
-        F.col("encoded").alias("enc_b"))
-    pairs = a.join(b, "chunk_id")
+    Returns the DISTRIBUTED common-doc rows (``did int``, deduped by
+    construction — disjoint chunk did-ranges).  Driver-gate scalars:
+    :func:`intersect_terms` (k=2) / :func:`intersect_terms_multi`."""
+    if not terms:
+        raise ValueError("intersect_terms_rows needs at least one term")
+    k = len(terms)
+    joined = None
+    for i, t in enumerate(terms):
+        side = enc_index.where(F.col("doc_id") == t).select(
+            "chunk_id", F.col("n_tok").alias(f"n_{i}"),
+            F.col("encoded").alias(f"enc_{i}"))
+        joined = side if joined is None else joined.join(side, "chunk_id")
 
     def run(batches):
         import numpy as np
@@ -762,31 +774,43 @@ def intersect_terms(enc_index: DataFrame, term_a: str,
         from ..codec import batched
         from .encode import _flat_binary
         for batch in batches:
-            idx = {n: batch.schema.get_field_index(n)
-                   for n in ("n_a", "enc_a", "n_b", "enc_b")}
-            n_a = np.asarray(batch.column(idx["n_a"]), dtype=np.int64)
-            n_b = np.asarray(batch.column(idx["n_b"]), dtype=np.int64)
-            ea, eoa = _flat_binary(batch.column(idx["enc_a"]))
-            eb, eob = _flat_binary(batch.column(idx["enc_b"]))
-            da, aoff = batched.ef_decode_rows(ea, eoa, n_a)
-            db, boff = batched.ef_decode_rows(eb, eob, n_b)
-            # ONE vectorized intersect across all lanes: tag each did with
-            # its lane (dids are uint32, lanes disjoint -> (lane << 32 | did)
-            # keys are unique per side, so assume_unique holds)
-            ka = lane_doc_keys(n_a, da)
-            kb = lane_doc_keys(n_b, db)
-            common = np.intersect1d(ka, kb, assume_unique=True)
+            common = None
+            for i in range(k):
+                n = np.asarray(batch.column(
+                    batch.schema.get_field_index(f"n_{i}")), dtype=np.int64)
+                e, eo = _flat_binary(batch.column(
+                    batch.schema.get_field_index(f"enc_{i}")))
+                d, _ = batched.ef_decode_rows(e, eo, n)
+                # ONE vectorized intersect across all lanes per side: tag
+                # each did with its lane (dids are uint32, lanes disjoint
+                # -> (lane << 32 | did) keys are unique per side, so
+                # assume_unique holds for the whole fold)
+                keys = lane_doc_keys(n, d)
+                common = keys if common is None else np.intersect1d(
+                    common, keys, assume_unique=True)
+                if not common.size:
+                    break  # batch-wide empty: skip the remaining decodes
             yield pa.RecordBatch.from_arrays(
                 [pa.array((common & np.int64(0xFFFFFFFF)).astype(np.int32),
                           pa.int32())],
                 names=["did"])
 
-    common = pairs.mapInArrow(run, "did int")
-    # single-row global agg: the HOF fold runs once over the (deduped by
-    # construction) common-id list — not a per-row hot path
-    return (common.groupBy()
-            .agg(F.sort_array(F.collect_list("did")).alias("ids"))
-            .select(F.lit(term_a).alias("term_a"),
-                    F.lit(term_b).alias("term_b"),
-                    F.size("ids").alias("n_common"),
-                    F.expr(spark_fingerprint("ids")).alias("fingerprint")))
+    return joined.mapInArrow(run, "did int")
+
+
+def intersect_terms(enc_index: DataFrame, term_a: str,
+                    term_b: str) -> DataFrame:
+    """Gate-scalar AND serving: one row (term_a, term_b, n_common,
+    fingerprint over ascending common ids) folded from the k=2
+    :func:`intersect_terms_rows` — see :func:`_gate_scalar`."""
+    return _gate_scalar(intersect_terms_rows(enc_index, [term_a, term_b]),
+                        [term_a, term_b], "n_common")
+
+
+def intersect_terms_multi(enc_index: DataFrame,
+                          terms: list[str]) -> DataFrame:
+    """Gate-scalar k-way AND serving: one row (term_a, term_b, term_c,
+    ..., n_common, fingerprint) folded from
+    :func:`intersect_terms_rows`."""
+    return _gate_scalar(intersect_terms_rows(enc_index, terms),
+                        terms, "n_common")

@@ -1180,11 +1180,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_build_chunked"] = index_build_chunked
 
-    def _staged_index_probe(spark, sf_dir, key, builder, df_col):
+    def _staged_index_probe(spark, sf_dir, key, builder, df_col, k=2):
         """Materialize the encoded index ONCE per (session, sf_dir) — the
-        probe agg and both serving sides read the checkpointed stage, not
-        three rebuilds (SPARK_STAGES policy) — and derive the deterministic
-        probe pair: the two lexicographically smallest terms with
+        probe agg and all serving sides read the checkpointed stage, not
+        k+1 rebuilds (SPARK_STAGES policy) — and derive the deterministic
+        probe terms: the k lexicographically smallest terms with
         df >= INDEX_MIN_DF (df = sum of the wire's per-chunk doc count)."""
         import uuid as _uuid
         from .operators.index import INDEX_CHUNK_SPAN, INDEX_MIN_DF
@@ -1201,23 +1201,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc = spark.table(hit[0])
         probe = (enc.groupBy("doc_id").agg(F.sum(df_col).alias("df"))
                  .where(F.col("df") >= INDEX_MIN_DF)
-                 .orderBy("doc_id").limit(2).collect())
-        if len(probe) < 2:
+                 .orderBy("doc_id").limit(k).collect())
+        if len(probe) < k:
             raise ValueError(
-                f"{key} needs two probe terms with df >= {INDEX_MIN_DF}; "
+                f"{key} needs {k} probe terms with df >= {INDEX_MIN_DF}; "
                 f"corpus has {len(probe)}")
-        return enc, probe[0]["doc_id"], probe[1]["doc_id"]
+        return enc, [r["doc_id"] for r in probe]
 
     def index_intersect(spark, sf_dir):
         # serving: decode ONLY the probed terms' chunks from the encoded
         # index (pushable predicate on the stored chunk table) and
         # equi-join the posting streams
         from .operators.index import build_index_chunked, intersect_terms
-        enc, a, b = _staged_index_probe(spark, sf_dir, "index_intersect",
-                                        build_index_chunked, "n_tok")
+        enc, (a, b) = _staged_index_probe(spark, sf_dir, "index_intersect",
+                                          build_index_chunked, "n_tok")
         return intersect_terms(enc, a, b)
 
     q["index_intersect"] = index_intersect
+
+    def index_and_multi(spark, sf_dir):
+        # K-WAY boolean AND serving (r10; real queries have > 2 terms and
+        # k-way sorted-list intersection is the reference's named workload,
+        # README.md:253): the three lexicographically smallest terms with
+        # df >= 5, served by the k-way chunk_id inner equi-join + in-lane
+        # lane_doc_keys intersect fold — the RAREST term bounds the decode
+        # work and no posting row ever shuffles (operators/index.py
+        # intersect_terms_rows).
+        from .operators.index import (build_index_chunked,
+                                      intersect_terms_multi)
+        enc, terms = _staged_index_probe(spark, sf_dir, "index_and_multi",
+                                         build_index_chunked, "n_tok", k=3)
+        return intersect_terms_multi(enc, terms)
+
+    q["index_and_multi"] = index_and_multi
 
     def index_topk_and(spark, sf_dir):
         # integer-relevance serving from the TF-weighted index wire: the
@@ -1227,9 +1243,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collected in ONE posting-level shuffle (the encode kernel
         # run-lengths the sorted duplicated dids into (did, tf) — a
         # separate counting aggregate would shuffle the postings twice).
+        # r10: topk_and_terms IS the co-grouped plan now (chunk_id
+        # equi-join + in-lane score + per-batch local top-k; the r9
+        # decode-everything body is retired) — this gate row runs it.
         from .operators.index import build_index_tf_chunked, topk_and_terms
-        enc, a, b = _staged_index_probe(spark, sf_dir, "index_topk_and",
-                                        build_index_tf_chunked, "n_doc")
+        enc, (a, b) = _staged_index_probe(spark, sf_dir, "index_topk_and",
+                                          build_index_tf_chunked, "n_doc")
         return topk_and_terms(enc, a, b)
 
     q["index_topk_and"] = index_topk_and
@@ -1246,8 +1265,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # raw-split offsets (empties occupy slots) on both engines.
         from .operators.index import (build_index_pos_chunked,
                                       phrase_match_terms)
-        enc, a, b = _staged_index_probe(spark, sf_dir, "index_phrase_match",
-                                        build_index_pos_chunked, "n_doc")
+        enc, (a, b) = _staged_index_probe(spark, sf_dir,
+                                          "index_phrase_match",
+                                          build_index_pos_chunked, "n_doc")
         return phrase_match_terms(enc, a, b)
 
     q["index_phrase_match"] = index_phrase_match
@@ -1259,8 +1279,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # disjoint chunk did-ranges make the in-lane dedup global, so the
         # exploded-did distinct shuffle of the naive form disappears
         from .operators.index import build_index_chunked, union_terms
-        enc, a, b = _staged_index_probe(spark, sf_dir, "index_union",
-                                        build_index_chunked, "n_tok")
+        enc, (a, b) = _staged_index_probe(spark, sf_dir, "index_union",
+                                          build_index_chunked, "n_tok")
         return union_terms(enc, a, b)
 
     q["index_union"] = index_union
@@ -1296,6 +1316,46 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return re.select("doc_id", "n_tok", "fingerprint")
 
     q["index_merge_updates"] = index_merge_updates
+
+    def index_merge_updates_pos(spark, sf_dir):
+        # the POSITIONAL-wire drain equivalence (r10; index_merge_updates
+        # proves the set wire): same even/odd-corpus construction, but
+        # stored/updates are build_index_pos_chunked tables and the merge
+        # exercises the pos branch (max n_pos wins — an update chunk that
+        # a new doc touched holds strictly more occurrences).  The merged
+        # index decodes to flat (term, did, pos) occurrence rows, folded
+        # per term into the gate scalar (sorted (did, pos) struct order =
+        # doc-major, ascending-within-doc — exactly the wire layout);
+        # oracle = the positional build identity straight off documents.
+        # Scale consumers take decode_index_pos's occurrence rows (or the
+        # chunks themselves) — the per-term fold is gate-only, like the
+        # serving scalars.
+        from .operators.index import (INDEX_CHUNK_SPAN,
+                                      build_index_pos_chunked,
+                                      decode_index_pos,
+                                      merge_index_updates, term_doc_pairs)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = docs.where(F.expr("cast(doc_id as int) % 2 = 0"))
+        new = docs.where(F.expr("cast(doc_id as int) % 2 = 1"))
+        touched = (term_doc_pairs(new)
+                   .select(F.col("term").alias("doc_id"),
+                           F.expr(f"did div {INDEX_CHUNK_SPAN}")
+                           .cast("int").alias("chunk_id"))
+                   .distinct())
+        updates = build_index_pos_chunked(docs).join(
+            touched, ["doc_id", "chunk_id"], "left_semi")
+        merged = merge_index_updates(build_index_pos_chunked(old), updates)
+        occ = decode_index_pos(merged)
+        return (occ.groupBy("term")
+                .agg(F.sort_array(F.collect_list(F.struct("did", "pos")))
+                     .alias("occ"))
+                .select(F.col("term").alias("doc_id"),
+                        F.size("occ").alias("n_occ"),
+                        F.expr(spark_fingerprint("occ.did")).alias("fp_did"),
+                        F.expr(spark_fingerprint("occ.pos"))
+                        .alias("fp_pos")))
+
+    q["index_merge_updates_pos"] = index_merge_updates_pos
 
     # -- composed curation pipeline (pipeline.curate_documents + auto encode)
     def curate_metrics(spark, sf_dir):
@@ -1791,6 +1851,29 @@ def build_oracles() -> dict[str, str]:
         "(select max(term) from q) as term_b, "
         "cast(len(ids) as int) as n_common, "
         f"{duckdb_fingerprint('ids')} as fingerprint from ids")
+    # k-way AND (k=3): the intersect oracle with a third subquery — the
+    # three lexicographically smallest terms with df >= 5, chained set
+    # INTERSECT, folded over ascending common ids
+    o["index_and_multi"] = (
+        f"with tp as ({tp}), "
+        "q as (select doc_id as term, "
+        "      row_number() over (order by doc_id) as rn "
+        "      from tp where n_tok >= 5 order by doc_id limit 3), "
+        "c as (select unnest(tokens) as did from tp "
+        "      where doc_id = (select term from q where rn = 1) "
+        "      intersect "
+        "      select unnest(tokens) as did from tp "
+        "      where doc_id = (select term from q where rn = 2) "
+        "      intersect "
+        "      select unnest(tokens) as did from tp "
+        "      where doc_id = (select term from q where rn = 3)), "
+        "ids as (select coalesce(list(did order by did), "
+        "        cast([] as int[])) as ids from c) "
+        "select (select term from q where rn = 1) as term_a, "
+        "(select term from q where rn = 2) as term_b, "
+        "(select term from q where rn = 3) as term_c, "
+        "cast(len(ids) as int) as n_common, "
+        f"{duckdb_fingerprint('ids')} as fingerprint from ids")
     # TF-weighted AND top-k: per-(term, doc) counts joined on doc id,
     # integer score, deterministic (score desc, did asc) cut — the set of
     # k rows is total-ordered, so the driver's sorted compare is exact
@@ -1854,6 +1937,25 @@ def build_oracles() -> dict[str, str]:
     # SQL-side equality of the streaming-maintenance lifecycle (the stream
     # itself cannot run under the batch gate; this is its oracle-grade twin)
     o["index_merge_updates"] = o["index_build_chunked"]
+    # positional-wire drain equivalence: stored+updates merged on the POS
+    # wire must decode to exactly the full corpus's (term, did, pos)
+    # occurrences — per term, doc-major (did asc, pos asc) order, both
+    # streams fingerprinted.  Positions are raw-split offsets (same occ
+    # construction as the phrase oracle: pos assigned BEFORE the empty
+    # filter, matching posexplode-then-filter on the Spark side).
+    o["index_merge_updates_pos"] = (
+        "with occ as (select u.term as term, did, u.pos as pos from "
+        "(select did, unnest(list_transform(range(1, len(w) + 1), "
+        "i -> {'pos': i - 1, 'term': w[i]})) as u from "
+        "(select cast(doc_id as int) as did, "
+        "string_split(text, ' ') as w from documents) s) x "
+        "where u.term != ''), "
+        "g as (select term, list(did order by did, pos) as dids, "
+        "      list(pos order by did, pos) as poss, "
+        "      count(*) as n_occ from occ group by term) "
+        "select term as doc_id, cast(n_occ as int) as n_occ, "
+        f"{duckdb_fingerprint('dids')} as fp_did, "
+        f"{duckdb_fingerprint('poss')} as fp_pos from g")
     # chunked truncation: first min(20, n_tok) tokens of each posting list
     # (chunk_size 8 -> the limit falls mid-chunk-2, exercising the delta
     # prefix path; chunks 3+ never survive the tok_start filter)

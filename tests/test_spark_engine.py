@@ -908,26 +908,40 @@ def test_index_tf_chunked_and_topk(spark):
     assert [r.did for r in topk_and_terms(enc, "a", "c", k=1).collect()] == [0]
 
 
+def _topk_reference(enc, a, b, k):
+    """Driver-side reference for the co-grouped top-k (the retired r9
+    decode-everything plan, re-derived from the decoded posting rows):
+    exact per-(term, doc) tfs, score = tf_a + tf_b, (score desc, did asc)
+    order, cut at k."""
+    from streamvbyte_spark.operators.index import decode_index_tf
+    posts = [(r.term, r.did, r.tf) for r in decode_index_tf(enc).collect()]
+    ta = {did: tf for t, did, tf in posts if t == a}
+    tb = {did: tf for t, did, tf in posts if t == b}
+    rows = [(did, ta[did], tb[did], ta[did] + tb[did])
+            for did in set(ta) & set(tb)]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:k]
+
+
 def test_index_topk_cogrouped_parity(spark):
-    """r10-ready co-grouped top-k (chunk_id equi-join + in-lane score +
-    per-batch local top-k) must return EXACTLY what the gated
-    decode-everything form returns — rows, order, and ties — on the
-    fixture corpus and on a denser multi-chunk corpus with tf > 1 and
-    score ties; and its plan must be the co-grouped shape (one kernel,
-    no posting explode, a chunk_id join)."""
+    """The co-grouped top-k (chunk_id equi-join + in-lane score +
+    per-batch local top-k; THE topk_and_terms implementation since r10 —
+    the decode-everything body is retired) must return EXACTLY what a
+    driver-side reference computes from the decoded posting rows — rows,
+    order, and ties — on the fixture corpus and on a denser multi-chunk
+    corpus with tf > 1 and score ties; and its plan must be the
+    co-grouped shape (one kernel, no posting explode, a chunk_id join)."""
     import random
     from streamvbyte_spark.operators.index import (build_index_tf_chunked,
-                                                   topk_and_terms,
-                                                   topk_and_terms_cogrouped)
+                                                   topk_and_terms)
     from streamvbyte_spark.plans.explain import plan_string
 
     enc = build_index_tf_chunked(_idx_docs(spark)).localCheckpoint()
     for a, b, k in [("a", "c", 10), ("a", "c", 1), ("b", "zzz", 5),
                     ("c", "c", 10)]:
-        want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
-                topk_and_terms(enc, a, b, k=k).collect()]
+        want = _topk_reference(enc, a, b, k)
         got = [(r.did, r.tf_a, r.tf_b, r.score) for r in
-               topk_and_terms_cogrouped(enc, a, b, k=k).collect()]
+               topk_and_terms(enc, a, b, k=k).collect()]
         assert got == want, (a, b, k)
 
     # denser corpus: 300 docs over 3+ chunks (span 128), tf in [1, 4],
@@ -943,16 +957,66 @@ def test_index_topk_cogrouped_parity(spark):
                                  "source string")
     enc2 = build_index_tf_chunked(docs).localCheckpoint()
     for k in (1, 10, 10_000):
-        want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
-                topk_and_terms(enc2, "x", "y", k=k).collect()]
+        want = _topk_reference(enc2, "x", "y", k)
         got = [(r.did, r.tf_a, r.tf_b, r.score) for r in
-               topk_and_terms_cogrouped(enc2, "x", "y", k=k).collect()]
+               topk_and_terms(enc2, "x", "y", k=k).collect()]
         assert got == want, k
-    plan = plan_string(topk_and_terms_cogrouped(enc2, "x", "y"), "simple")
+    plan = plan_string(topk_and_terms(enc2, "x", "y"), "simple")
     assert plan.count("MapInArrow") == 1, plan
     assert "Generate" not in plan, plan
     assert "Join" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_index_intersect_multi_kway(spark):
+    """K-way AND serving (r10): the k-way chunk_id join + in-lane
+    intersect fold must reproduce the exact set intersection for k = 1,
+    2, 3 — including k = 2 parity with the gate-scalar intersect_terms,
+    a term absent from the index (empty result row), and a k = 3 probe
+    whose pairwise intersections are non-empty but whose 3-way
+    intersection is smaller; the distributed rows form must carry the
+    same ids it folds."""
+    from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                   intersect_terms,
+                                                   intersect_terms_multi,
+                                                   intersect_terms_rows)
+    # a -> {0,127,129,300,4096}; c -> {0,128,300}; d -> {300,4096}
+    rows = [
+        (0, "a c", "s"), (127, "a", "s"), (128, "c", "s"),
+        (129, "a", "s"), (300, "a c d", "s"), (4096, "a d", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                 "source string")
+    enc = build_index_chunked(docs).localCheckpoint()
+
+    def fold(ids):
+        p, fp = 10**9 + 7, 0
+        for t in ids:
+            fp = (fp * 31 + t) % p
+        return fp
+
+    # k=3: a&c = {0,300}, a&d = {300,4096}, c&d = {300}; 3-way = {300}
+    row = intersect_terms_multi(enc, ["a", "c", "d"]).collect()[0]
+    assert (row.term_a, row.term_b, row.term_c) == ("a", "c", "d")
+    assert (row.n_common, row.fingerprint) == (1, fold([300]))
+    got_rows = sorted(r.did for r in
+                      intersect_terms_rows(enc, ["a", "c", "d"]).collect())
+    assert got_rows == [300]
+    # k=2 parity with the gate-scalar wrapper
+    two = intersect_terms_multi(enc, ["a", "c"]).collect()[0]
+    ref = intersect_terms(enc, "a", "c").collect()[0]
+    assert (two.term_a, two.term_b, two.n_common, two.fingerprint) == \
+        (ref.term_a, ref.term_b, ref.n_common, ref.fingerprint)
+    # k=1 degenerates to the term's own postings
+    one = intersect_terms_multi(enc, ["c"]).collect()[0]
+    assert (one.term_a, one.n_common, one.fingerprint) == \
+        ("c", 3, fold([0, 128, 300]))
+    # an absent term empties any k-way AND
+    none = intersect_terms_multi(enc, ["a", "c", "zzz"]).collect()[0]
+    assert (none.n_common, none.fingerprint) == (0, 0)
+    import pytest
+    with pytest.raises(ValueError):
+        intersect_terms_rows(enc, [])
 
 
 def test_index_store_and_serve_pushes_probe_predicate(spark):
@@ -973,8 +1037,12 @@ def test_index_store_and_serve_pushes_probe_predicate(spark):
         stored = spark.read.parquet(f"{tmp}/index")
         served = topk_and_terms(stored, "a", "c", k=10)
         plan = plan_string(served, "simple")
-        scan = re.search(r"FileScan parquet.*", plan).group(0)
-        assert "PushedFilters" in scan and "In(doc_id" in scan, scan
+        # co-grouped serving scans the stored index once per probed term,
+        # each with its term's equality predicate pushed to parquet
+        scans = re.findall(r"FileScan parquet.*", plan)
+        assert scans, plan
+        for scan in scans:
+            assert "PushedFilters" in scan and "EqualTo(doc_id" in scan, scan
         want = [(r.did, r.tf_a, r.tf_b, r.score) for r in
                 topk_and_terms(build_index_tf_chunked(docs).localCheckpoint(),
                                "a", "c", k=10).collect()]

@@ -1370,22 +1370,29 @@ def test_streaming_index_update_pos_batch_exact(spark):
 
 
 def test_index_intersect_cogrouped_plan(spark):
-    """The r9 co-grouped serving shape (AND / OR / PHRASE): the two probed
-    terms' ENCODED chunk rows join on chunk_id BEFORE any decode (common
-    dids can only live in co-occupied chunks — chunking is by did div
-    span, term-independent), and the set op / adjacency match runs in-lane
-    inside the one decode kernel.  Pins: exactly one Python stage, NO
-    posting- or occurrence-level explode anywhere (the old shapes decoded
-    every chunk of both terms and shuffled exploded did / (did, pos)
-    rows), and a join present in the plan."""
+    """The co-grouped serving shape (AND / OR / PHRASE / TF top-k /
+    k-way AND — the full family since r10): the probed terms' ENCODED
+    chunk rows join on chunk_id BEFORE any decode (common dids can only
+    live in co-occupied chunks — chunking is by did div span,
+    term-independent), and the set op / adjacency match / scoring runs
+    in-lane inside the one decode kernel.  Pins: exactly one Python
+    stage, NO posting- or occurrence-level explode anywhere (the old
+    shapes decoded every chunk of both terms and shuffled exploded did /
+    (did, pos) rows — index_topk_and ran that plan until its r10 swap),
+    and a join present in the plan."""
     import streamvbyte_spark.queries as Q
     from streamvbyte_spark.plans.explain import plan_string
     qs = Q.build_queries()
-    for name in ("index_intersect", "index_union", "index_phrase_match"):
+    for name in ("index_intersect", "index_union", "index_phrase_match",
+                 "index_topk_and", "index_and_multi"):
         df = qs[name](spark, SF)
         plan = plan_string(df, "simple")
-        # the one decode(+set-op) kernel
+        # the one decode(+set-op/score) kernel
         assert plan.count("MapInArrow") == 1, (name, plan)
         # no explode of posting arrays anywhere
         assert "Generate" not in plan, (name, plan)
-        assert "Join" in plan, (name, plan)   # the chunk_id join
+        assert "Join" in plan, (name, plan)   # the chunk_id join(s)
+    # the TF top-k additionally ends in the k-row sort-limit (the kernel
+    # pre-limits each batch to its local top-k before it)
+    plan = plan_string(qs["index_topk_and"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
