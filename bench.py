@@ -191,7 +191,11 @@ def main():
                 # r9: phrase serving from the positional wire (decode only
                 # the probed terms' chunks -> occurrence rows -> adjacency
                 # join) — the canonical positional-index workload
-                "index_phrase_match"]
+                "index_phrase_match",
+                # r10: k-way boolean AND (3-term chunk_id join + in-lane
+                # intersect fold) — real queries have > 2 terms; benched
+                # beside the 2-term form for the per-term marginal cost
+                "index_and_multi"]
     passes: dict[str, list[float]] = {}
     mem: dict[str, dict] = {}
     for name in headline:
@@ -248,8 +252,6 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "query_passes": passes,
-        "query_mem": mem,
         "sf": SF_DIR,
         "tokens": tp["tokens"],
         "encode_tok_per_sec": round(tp["encode_tok_per_sec"]),
@@ -258,8 +260,28 @@ def main():
         "bytes_per_token_svb": round(tp["bytes_per_token_svb"], 4),
         "compression_ratio": round(tp["ratio"], 4),
     }
+    # per-pass times + per-headliner memory snapshots are the artifact's
+    # self-adjudication data (session spread / generation-leak detection),
+    # but they grew the single stdout JSON line to ~3.3 KB in r9 and the
+    # driver tails only the LAST 2000 chars — BENCH_r09 recorded
+    # parsed: null, losing the headline (r9 verdict item 3).  They now go
+    # to stderr AND BENCH/DETAIL_last.json; stdout stays one COMPACT line.
+    detail = {"query_passes": passes, "query_mem": mem}
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "DETAIL_last.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:
+        # never let the headline line outgrow the driver's 2000-char tail
+        # again: shed the per-query dict (it survives in the detail file)
+        result["queries"] = "see BENCH/DETAIL_last.json"
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

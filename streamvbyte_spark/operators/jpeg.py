@@ -478,10 +478,14 @@ _PEEK_LUTS: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray]]" = \
     OrderedDict()
 
 
-def _peek_lut(table: _HuffTable) -> tuple[np.ndarray, np.ndarray]:
+def _table_key(table: _HuffTable) -> tuple:
     # (huffval, maxcode) pins the canonical assignment without walking
     # codes() on every call (tables are rebuilt per payload)
-    key = (tuple(table.huffval), tuple(table.maxcode))
+    return (tuple(table.huffval), tuple(table.maxcode))
+
+
+def _peek_lut(table: _HuffTable) -> tuple[np.ndarray, np.ndarray]:
+    key = _table_key(table)
     hit = _PEEK_LUTS.get(key)
     if hit is not None:
         _PEEK_LUTS.move_to_end(key)
@@ -528,18 +532,21 @@ def _entropy_decode_batch(jobs: list[tuple]) -> list[list[np.ndarray]]:
     # per-BATCH table registry: stack only the tables this batch's slots
     # reference, not the whole process-lifetime cache (r8 advice item 3 —
     # the old global-id scheme re-stacked every cached table per call).
-    # Keyed by the cached array's identity: every referenced array is held
-    # alive in batch_tabs, so ids cannot collide within the batch.
+    # Keyed by the CANONICAL table key, not id(sym): a batch referencing
+    # more than _PEEK_LUT_CAP distinct tables makes the LRU evict and
+    # rebuild mid-batch, and the rebuilt array's fresh id() would stack a
+    # duplicate 128 KB LUT copy per re-reference (r9 advice item 3); the
+    # canonical key dedups regardless of cache churn.
     batch_tabs: list[tuple[np.ndarray, np.ndarray]] = []
-    batch_ids: dict[int, int] = {}
+    batch_ids: dict[tuple, int] = {}
 
     def _lid(table):
-        sym, ln = _peek_lut(table)
-        i = batch_ids.get(id(sym))
+        key = _table_key(table)
+        i = batch_ids.get(key)
         if i is None:
             i = len(batch_tabs)
-            batch_ids[id(sym)] = i
-            batch_tabs.append((sym, ln))
+            batch_ids[key] = i
+            batch_tabs.append(_peek_lut(table))
         return i
 
     base_bytes = 0
@@ -717,15 +724,18 @@ def decode_jpeg_batch(payloads: list, parsed: list | None = None) \
             for (data, frame, scan, qt, huff, ri, pos) in parsed]
     try:
         all_coefs = _entropy_decode_batch(jobs)
-    except ValueError:
+    except (ValueError, IndexError):
         # corrupt entropy stream somewhere in the batch: the lockstep
         # machine raises where the single-image _BitReader tolerates a
         # truncated/overrunning stream (zero bytes past the end), so one
         # dirty payload must not fail the whole Arrow batch (r8 advice
-        # item 2).  Re-decode per payload through the single path — the
-        # byte-identity contract holds trivially, and a payload the
-        # single path ALSO rejects still raises (the fallback makes the
-        # batch never stricter, never laxer).
+        # item 2).  A malformed stream can surface as ValueError (the
+        # explicit guards) OR IndexError (an out-of-range gather/scatter
+        # the guards did not anticipate — r9 advice item 2); both route
+        # to the per-payload fallback.  Re-decode per payload through the
+        # single path — the byte-identity contract holds trivially, and a
+        # payload the single path ALSO rejects still raises (the fallback
+        # makes the batch never stricter, never laxer).
         return [_decode_scan(data, pos, frame, scan, qt, huff, ri)
                 for (data, frame, scan, qt, huff, ri, pos) in parsed]
     # ONE dequantized IDCT over every block of every image/component —

@@ -16,9 +16,13 @@ from pyspark.sql import SparkSession
 # SURVEY.md §1.3's portability note made loud (r8 verdict item 7).  Every
 # platform this engine targets is LE; a BE host must not silently produce
 # byte-swapped streams.
-assert sys.byteorder == "little", (
-    "streamvbyte_spark requires a little-endian host: the codec kernels and "
-    "the stored stream wires byte-view native uint32 buffers")
+# explicit raise, not assert: Spark Python workers may run under
+# PYTHONOPTIMIZE, which strips asserts (the same hazard CLAUDE.md pins for
+# kernel guards) — the check must survive optimized interpreters
+if sys.byteorder != "little":
+    raise RuntimeError(
+        "streamvbyte_spark requires a little-endian host: the codec kernels "
+        "and the stored stream wires byte-view native uint32 buffers")
 
 # glibc malloc tuning for the Python workers: without it every large NumPy
 # allocation is mmap'd and returned to the OS on free, so each Arrow batch
