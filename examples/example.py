@@ -100,4 +100,16 @@ try:
     assert [(r.did, r.score) for r in hits] == [(0, 3), (2, 2)]
 finally:
     shutil.rmtree(idx_dir, ignore_errors=True)
+
+# k-way boolean AND on the set wire (r10): the distributed rows are the
+# public return; fold/collect only at the consumer's edge
+from streamvbyte_spark.operators.index import (build_index_chunked,
+                                               intersect_terms_rows)
+
+set_idx = build_index_chunked(docs).localCheckpoint()
+kway = sorted(r.did for r in
+              intersect_terms_rows(set_idx,
+                                   ["fast", "join", "scan"]).collect())
+print("index: 'fast AND join AND scan' ->", kway)
+assert kway == [2]
 spark.stop()

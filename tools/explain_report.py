@@ -30,6 +30,7 @@ HEADLINE = [
     "quality_repetition", "domain_mix_sample",
     "index_build_chunked", "index_intersect", "index_topk_and",
     "index_phrase_match", "index_union", "index_merge_updates",
+    "index_and_multi", "index_merge_updates_pos",
 ]
 
 # queries whose plans must never contain an all-pairs join (the 100 TB
