@@ -108,11 +108,28 @@ def main():
     emit("and_3term_stopword_two_rare", b, ts,
          {"co_occupied_triples": occupied(["the", "zebra", "quagga"])})
 
+    # identity cross-checks (the timed claims are only meaningful if the
+    # forms agree): fold row == fold of the distributed rows, co-grouped
+    # top-k == the reconstructed old plan's rows
+    from streamvbyte_spark.operators.index import intersect_terms_rows
+    and_row = intersect_terms(enc, "the", "zebra").collect()[0]
+    and_rows = sorted(r.did for r in
+                      intersect_terms_rows(enc, ["the", "zebra"]).collect())
+    assert and_row.n_common == len(and_rows), (and_row, len(and_rows))
+    multi_row = intersect_terms_multi(
+        enc, ["the", "zebra", "quagga"]).collect()[0]
+    multi_rows = sorted(
+        r.did for r in
+        intersect_terms_rows(enc, ["the", "zebra", "quagga"]).collect())
+    assert multi_row.n_common == len(multi_rows)
+    assert set(multi_rows) == set(and_rows) & {
+        r.did for r in intersect_terms_rows(enc, ["quagga"]).collect()}
+
     b, ts = best_of(lambda: topk_and_terms(
         enc_tf, "the", "zebra", k=10).collect())
     emit("topk_cogrouped", b, ts)
 
-    def topk_old_plan():
+    def topk_old_plan(collect=True):
         # the retired decode-everything plan, reconstructed: decode BOTH
         # terms' full chunk sets, join posting rows on did
         posts = decode_index_tf(
@@ -121,14 +138,22 @@ def main():
             "did", F.col("tf").alias("tf_a"))
         c = posts.where(F.col("term") == "zebra").select(
             "did", F.col("tf").alias("tf_b"))
-        (a.join(c, "did")
-         .select("did", "tf_a", "tf_b",
-                 (F.col("tf_a") + F.col("tf_b")).alias("score"))
-         .orderBy(F.col("score").desc(), F.col("did").asc())
-         .limit(10).collect())
+        df = (a.join(c, "did")
+              .select("did", "tf_a", "tf_b",
+                      (F.col("tf_a") + F.col("tf_b")).alias("score"))
+              .orderBy(F.col("score").desc(), F.col("did").asc())
+              .limit(10))
+        return df.collect() if collect else df
+
+    assert [tuple(r) for r in
+            topk_and_terms(enc_tf, "the", "zebra", k=10).collect()] == \
+        [tuple(r) for r in topk_old_plan()]
 
     b, ts = best_of(topk_old_plan)
     emit("topk_decode_everything_reference", b, ts)
+
+    or_row = union_terms(enc, "the", "zebra").collect()[0]
+    assert or_row.n_docs == union_terms_rows(enc, "the", "zebra").count()
 
     b, ts = best_of(lambda: union_terms(enc, "the", "zebra").collect())
     emit("or_gate_scalar_fold", b, ts)
