@@ -7,9 +7,8 @@ harness's framing (/root/reference/tests/perf.c:38-91: uints/sec over a
 (FIXTURES.md families) is encoded with the auto-selector and decoded back,
 reporting encode+decode tokens/sec and compressed bytes/token.
 
-Set SPARK_GRAFT_BENCH_SCALING=1 to also run the same job at local[8] vs
-local[32] and report scaling efficiency (tools/bench_scaling.py does this
-standalone and writes BENCH/BASELINE.md).
+Scaling-efficiency evidence (N vs 4N cores) lives in the standalone
+tools/bench_scaling.py, which writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
