@@ -1048,6 +1048,22 @@ def test_index_store_and_serve_pushes_probe_predicate(spark):
                                "a", "c", k=10).collect()]
         got = [(r.did, r.tf_a, r.tf_b, r.score) for r in served.collect()]
         assert got == want == [(0, 2, 1, 3), (300, 1, 1, 2)]
+        # k-way AND from the stored SET wire: all k probe predicates must
+        # reach their scans pushed too (r10), and the result must match
+        # the in-memory build
+        from streamvbyte_spark.operators.index import (build_index_chunked,
+                                                       intersect_terms_rows)
+        build_index_chunked(docs).write.mode("overwrite") \
+            .parquet(f"{tmp}/set")
+        stored_set = spark.read.parquet(f"{tmp}/set")
+        kway = intersect_terms_rows(stored_set, ["a", "b", "c"])
+        kplan = plan_string(kway, "simple")
+        kscans = re.findall(r"FileScan parquet.*", kplan)
+        assert len(kscans) >= 1, kplan
+        for scan in kscans:
+            assert "PushedFilters" in scan and "EqualTo(doc_id" in scan, scan
+        # a -> {0,127,129,300,4096}; b -> {0,127,128}; c -> {0,128,300}
+        assert sorted(r.did for r in kway.collect()) == [0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
