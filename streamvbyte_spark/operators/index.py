@@ -459,6 +459,25 @@ def lane_doc_keys(counts, dids):
     return (lane << np.int64(32)) | dids.astype(np.int64)
 
 
+def _did_wire_cols(enc_index: DataFrame) -> tuple[str, str]:
+    """(count column, EF-did-stream column) of whichever index wire this
+    chunk table carries: set (n_tok, encoded) or TF/positional (n_doc,
+    enc_dids — dids are EF on every wire, and n_doc is the distinct-doc
+    count).  Lets the did-only serving ops (boolean AND/OR) read a stored
+    TF or positional index directly instead of demanding a second
+    set-wire build.  A ``term`` column is accepted for ``doc_id`` by the
+    callers' filters, so only the payload columns are probed here."""
+    cols = set(enc_index.columns)
+    if {"n_tok", "encoded"} <= cols:
+        return "n_tok", "encoded"
+    if {"n_doc", "enc_dids"} <= cols:
+        return "n_doc", "enc_dids"
+    raise ValueError(
+        f"not an index chunk table (columns {sorted(cols)}): expected "
+        "the set wire (n_tok, encoded) or the tf/pos wire (n_doc, "
+        "enc_dids)")
+
+
 def _gate_scalar(rows: DataFrame, terms: list[str],
                  count_name: str) -> DataFrame:
     """Fold a distributed ``did int`` result (deduped by construction —
@@ -568,14 +587,16 @@ def union_terms_rows(enc_index: DataFrame, term_a: str,
     (df_a + df_b posting rows) disappears; the join ships df/span encoded
     chunk rows.  Returns the DISTRIBUTED union rows (``did int``, deduped
     by construction) — the scale consumer's form (r10); the driver-gate
-    scalar is :func:`union_terms`."""
+    scalar is :func:`union_terms`.  Serves from any wire carrying an EF
+    did stream (see :func:`_did_wire_cols`)."""
+    n_col, e_col = _did_wire_cols(enc_index)
     empty = F.lit(b"")
     a = enc_index.where(F.col("doc_id") == term_a).select(
-        "chunk_id", F.col("n_tok").alias("n_a"),
-        F.col("encoded").alias("enc_a"))
+        "chunk_id", F.col(n_col).alias("n_a"),
+        F.col(e_col).alias("enc_a"))
     b = enc_index.where(F.col("doc_id") == term_b).select(
-        "chunk_id", F.col("n_tok").alias("n_b"),
-        F.col("encoded").alias("enc_b"))
+        "chunk_id", F.col(n_col).alias("n_b"),
+        F.col(e_col).alias("enc_b"))
     pairs = (a.join(b, "chunk_id", "full_outer")
              .select(F.coalesce("n_a", F.lit(0)).alias("n_a"),
                      F.coalesce("enc_a", empty).alias("enc_a"),
@@ -755,17 +776,24 @@ def intersect_terms_rows(enc_index: DataFrame,
     empty.  The k probe predicates still reach the stored index scan
     pushed (plan-tested).
 
+    Serves from ANY stored index wire (r10): the set wire's per-chunk
+    payload IS the EF did stream, and the TF/positional wires carry the
+    same EF did stream as ``enc_dids`` (with ``n_doc`` the distinct-doc
+    count) — so one stored TF index answers both top-k AND and boolean
+    AND without a second build (tools/submit_index_job.py --and).
+
     Returns the DISTRIBUTED common-doc rows (``did int``, deduped by
     construction — disjoint chunk did-ranges).  Driver-gate scalars:
     :func:`intersect_terms` (k=2) / :func:`intersect_terms_multi`."""
     if not terms:
         raise ValueError("intersect_terms_rows needs at least one term")
+    n_col, e_col = _did_wire_cols(enc_index)
     k = len(terms)
     joined = None
     for i, t in enumerate(terms):
         side = enc_index.where(F.col("doc_id") == t).select(
-            "chunk_id", F.col("n_tok").alias(f"n_{i}"),
-            F.col("encoded").alias(f"enc_{i}"))
+            "chunk_id", F.col(n_col).alias(f"n_{i}"),
+            F.col(e_col).alias(f"enc_{i}"))
         joined = side if joined is None else joined.join(side, "chunk_id")
 
     def run(batches):

@@ -86,7 +86,7 @@ def test_spark_submit_pyfiles_index_job():
                "--py-files", zip_path,
                os.path.join(REPO, "tools", "submit_index_job.py"),
                "--input", f"{tmp}/documents.parquet", "--output", out,
-               "--span", "128", "--probe", "aa,bb"]
+               "--span", "128", "--probe", "aa,bb", "--and", "aa,bb,cc"]
         env = {**os.environ, "PYTHONPATH": ""}
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
                            env=env, cwd=tmp)
@@ -98,5 +98,9 @@ def test_spark_submit_pyfiles_index_job():
         # probe aa AND bb: docs 0(2+1) 1(1+1) 3(1+2) 200(1+1)
         got = sorted((p["did"], p["score"]) for p in rep["probe"])
         assert got == [(0, 3), (1, 2), (3, 3), (200, 2)]
+        # k-way AND served from the SAME stored TF wire (its EF did
+        # stream answers set queries): aa&bb&cc -> doc 200 only
+        assert rep["and"] == {"terms": ["aa", "bb", "cc"], "n_docs": 1,
+                              "first_dids": [200], "min_did": 200}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

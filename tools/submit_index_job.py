@@ -6,7 +6,7 @@
         tools/submit_index_job.py \
         --input  <documents parquet path> \
         --output <index table path> \
-        [--span 131072] [--probe term_a,term_b]
+        [--span 131072] [--probe term_a,term_b] [--and t1,t2,t3,...]
 
 Builds the TF-weighted chunked index (operators/index.build_index_tf_chunked:
 one posting-level shuffle, every chunk bounded by the span — the skew-proof
@@ -16,6 +16,9 @@ in test_index_store_and_serve_pushes_probe_predicate — NOT directory
 partitioning: partitionBy(term) would mint one directory per vocabulary
 entry).  --probe runs a top-k AND against the
 STORED index and includes the rows in the report (the serving smoke check).
+--and runs a K-WAY boolean AND against the same stored TF wire (its EF
+did stream serves set queries directly — operators/index._did_wire_cols)
+and reports the match count plus the smallest matching ids.
 
 The JSON report (last stdout line): terms, chunks, postings, encoded bytes,
 bytes/posting, wall seconds.
@@ -34,6 +37,9 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--span", type=int, default=131072)
     ap.add_argument("--probe", default="")
+    ap.add_argument("--and", dest="and_terms", default="",
+                    help="comma-separated terms for a k-way boolean AND "
+                         "served from the stored index")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,6 +73,18 @@ def main():
         a, b = args.probe.split(",", 1)
         report["probe"] = [r.asDict() for r in
                            topk_and_terms(stored, a, b, k=10).collect()]
+    if args.and_terms:
+        from streamvbyte_spark.operators.index import intersect_terms_rows
+        terms = [t for t in args.and_terms.split(",") if t]
+        rows = intersect_terms_rows(stored, terms)
+        # count + a bounded id sample, never the full (possibly huge) list
+        agg = rows.agg(F.count("*").alias("n"),
+                       F.min("did").alias("min_did")).collect()[0]
+        report["and"] = {"terms": terms, "n_docs": agg.n,
+                         "first_dids": [r.did for r in
+                                        rows.orderBy("did").limit(5)
+                                        .collect()],
+                         "min_did": agg.min_did}
     print(json.dumps(report, default=str))
     spark.stop()
 
