@@ -98,6 +98,13 @@ try:
     print("index: 'fast AND scan' top-k from the stored EF+svb wire ->",
           [(r.did, r.score) for r in hits])
     assert [(r.did, r.score) for r in hits] == [(0, 3), (2, 2)]
+    # the SAME stored TF wire serves boolean queries too (its did stream
+    # is EF on every wire) — no second set-wire build
+    from streamvbyte_spark.operators.index import intersect_terms_rows
+    both = sorted(r.did for r in
+                  intersect_terms_rows(stored, ["join", "scan"]).collect())
+    print("index: 'join AND scan' from the same stored wire ->", both)
+    assert both == [2, 3]
 finally:
     shutil.rmtree(idx_dir, ignore_errors=True)
 
