@@ -2148,8 +2148,16 @@ def build_oracles() -> dict[str, str]:
         " select e.b, cc.lab from cc join edges e on e.a = cc.node), "
         "comp as (select node as doc_id, min(lab) as component_id "
         " from cc group by node), "
+        # the window must order by the VARCHAR id like the Spark side
+        # (which casts doc_id to string before its md5 window): a bare
+        # `order by doc_id` binds the BASE numeric column in DuckDB, not
+        # the select-list alias, and numeric-vs-string order diverges
+        # whenever an exact-dup group straddles a digit-length boundary
+        # (latent until the r10 sf0.1 cross-engine sweep: ONE md5 twin
+        # pair flipped a doc between dropped_exact and dropped_neardup)
         "d as (select cast(doc_id as varchar) as doc_id, source, text, "
-        " row_number() over (partition by md5(text) order by doc_id) as rn "
+        " row_number() over (partition by md5(text) "
+        "  order by cast(doc_id as varchar)) as rn "
         " from documents), "
         "j as (select d.doc_id, d.source, d.text, (d.rn = 1) as exact_keep, "
         " ((d.rn = 1) and comp.component_id is not null "
