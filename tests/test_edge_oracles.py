@@ -228,3 +228,64 @@ def _run(edge_env, names):
         except Exception as e:  # noqa: BLE001 - collect every query's verdict
             failures.append((name, "error", type(e).__name__, str(e)[:200]))
     assert not failures, failures
+
+
+def test_digit_length_straddling_dup_ids_match_oracles(spark_only_env):
+    """Exact-dup twins whose NUMERIC ids straddle a digit-length boundary
+    (99/100) and live in DIFFERENT sources: numeric order picks 99 as the
+    md5-window winner, string order picks "100" — the engine contract is
+    doc_id:string, so both engines must order the VARCHAR.  r10: the
+    sf0.1 sweep caught curate_neardup_metrics' oracle binding the BASE
+    numeric column in its dedup window (DuckDB windows do not see
+    select-list aliases), flipping one doc between dropped_exact and
+    dropped_neardup; the module's shared corpus could never catch it
+    because its doc ids are non-numeric strings.  Every md5-window query
+    runs here over the adversarial ids."""
+    spark, con, tmp = spark_only_env
+    for name in ("curate_neardup_metrics", "dedup_exact", "curate_metrics",
+                 "curation_pipeline", "curated_pack_sequences"):
+        _run_one_corpus(spark, con, tmp, name)
+
+
+@pytest.fixture(scope="module")
+def spark_only_env():
+    tmp = tempfile.mkdtemp(prefix="svb_edge_ids_")
+    docs = (
+        # twins straddling the 2->3 digit boundary, in different sources
+        [(99, "dup dup text here we go again and again", "srcA"),
+         (100, "dup dup text here we go again and again", "srcB")]
+        # a second straddling pair at 3->4 digits, same source
+        + [(999, "other duplicated body with enough words to pass gates "
+                 "one two three four five six", "srcA"),
+           (1000, "other duplicated body with enough words to pass gates "
+                  "one two three four five six", "srcA")]
+        # filler uniques so percentile/pack queries have volume
+        + [(i, f"unique body {i} " + "w " * 12 + "tail", "srcA")
+           for i in range(1, 40)]
+    )
+    # doc_id stays INT64 like the real testdata — the bug class this
+    # corpus pins only exists when the base column is numeric and one
+    # engine's window/order text silently binds it instead of the
+    # varchar alias
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": [d[1] for d in docs],
+        "source": [d[2] for d in docs],
+    }), f"{tmp}/documents.parquet")
+    spark = get_spark(app="edge-ids", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{tmp}/documents.parquet'")
+    yield spark, con, tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_one_corpus(spark, con, tmp, name):
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, tmp)
+    got = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = con.sql(os_[name])
+    want = _normalize(rel.fetchall(), rel.columns)
+    assert got == want, (name, got[:4], want[:4])
