@@ -39,20 +39,21 @@ CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
 
 def corpus(spark, n):
-    """Every doc holds `the`; zebra in 2 blocks of 100 (doc 1000.. and
-    n//2..), quagga in one 150-block overlapping zebra's first (500..)."""
+    """Every doc holds TWO df=1.0 stopwords (`the` at tf=2, `ubiq`);
+    zebra in 2 blocks of 100 (doc 1000.. and n//2..), quagga in one
+    150-block overlapping zebra's first (500..)."""
     from pyspark.sql import functions as F
     return (spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("the"),
+            F.lit("the ubiq"),
             F.when((F.col("id") >= 1000) & (F.col("id") < 1100),
                    F.lit(" zebra"))
             .when((F.col("id") >= n // 2) & (F.col("id") < n // 2 + 100),
                   F.lit(" zebra")).otherwise(F.lit("")),
             F.when((F.col("id") >= 500) & (F.col("id") < 650),
                    F.lit(" quagga")).otherwise(F.lit("")),
-            F.lit(" the")).alias("text"),   # stopword tf=2 everywhere
+            F.lit(" the")).alias("text"),   # `the` tf=2 everywhere
         F.lit("s").alias("source")))
 
 
@@ -107,6 +108,14 @@ def main():
         enc, ["the", "zebra", "quagga"]).collect())
     emit("and_3term_stopword_two_rare", b, ts,
          {"co_occupied_triples": occupied(["the", "zebra", "quagga"])})
+
+    # the named worst case: TWO df=1.0 stopwords AND one rare term — the
+    # rare term must still bound the decode work (its chunks are the only
+    # co-occupied triples; each stopword side decodes <= span dids there)
+    b, ts = best_of(lambda: intersect_terms_multi(
+        enc, ["the", "ubiq", "zebra"]).collect())
+    emit("and_two_stopwords_rare", b, ts,
+         {"co_occupied_triples": occupied(["the", "ubiq", "zebra"])})
 
     # identity cross-checks (the timed claims are only meaningful if the
     # forms agree): fold row == fold of the distributed rows, co-grouped
