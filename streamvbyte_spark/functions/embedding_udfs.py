@@ -106,3 +106,154 @@ def register_embedding_udfs(spark: SparkSession, n_bands: int,
     spark.udf.register("emb_lsh_bucket", make_bucket_udf(0, 4))
     spark.udf.register("emb_band_buckets",
                        make_band_buckets_udf(n_bands, planes_per_band))
+
+
+def neardup_local_topk(banded, k: int = 50,
+                       fanout: int | None = None):
+    """(band_id, bucket, vec_id, embedding) rows -> per-task top-`k`
+    candidate pairs (id_a, id_b, dot, na, nb) under the total order
+    (dot desc, id_a, id_b), pairs being same-(band_id, bucket) vectors with
+    id_a < id_b, dot their exact BIGINT quantized dot product and na/nb the
+    vectors' exact BIGINT squared norms (the same integers emb_norm_q
+    yields — so the caller needs no norm join at all).
+
+    This is the neardup candidate generator restructured per the shuffle-
+    fewer-bytes rule (optimization guide §2.3/§8): the r10 plan equi-joined
+    the band table with itself and then joined each of the ~n^2/256-per-band
+    candidate PAIRS back to the embedding table twice, shipping 2 x 64
+    floats per pair through the join exchanges and one Arrow crossing
+    (measured 7.8 s at sf1.0, ~3M pairs).  Here each embedding crosses the
+    wire ONCE per band (one numbered repartition on the small
+    (band_id, bucket) key), each co-bucketed group's dots come from one
+    BLAS/einsum gram matrix per group, and only per-task top-k survivor
+    rows (<= fanout * k) leave Python.
+
+    Correctness of the local pre-limit: for any pair p in the global
+    distinct top-k, every task containing p holds fewer than k distinct
+    pairs ranking above p (those pairs would also rank above p globally),
+    so p survives every local top-k — the union of local top-k sets is a
+    superset of the global top-k.  Duplicates of a pair (co-bucketed in
+    several bands) carry identical dots; the caller dedups globally before
+    its ranking limit, exactly as the r10 `group by` did.
+
+    Exactness of the BLAS path: products and partial sums of quantized
+    int64 components are exact in float64 whenever 64 * max|q|^2 < 2^53
+    (checked per group; the einsum int64 path covers the rest)."""
+    spark = banded.sparkSession
+    if fanout is None:
+        fanout = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (banded.select("band_id", "bucket", "vec_id", "embedding")
+            # numbered repartition: AQE's byte-based coalescing would
+            # collapse this CPU-heavy-but-byte-small exchange (CLAUDE.md).
+            # No JVM sort: the kernel lexsorts its whole partition itself
+            # (cheaper than a Sort node over rows this small, and it removes
+            # the cross-batch group-seam bookkeeping); partition size is
+            # bands * n / fanout rows — the same working set the JVM sort
+            # buffer would hold.
+            .repartition(fanout, "band_id", "bucket"))
+
+    def run(batches):
+        import pyarrow as pa
+        acc: list[tuple] = []   # (id_a, id_b, dot, na, nb) int64 rows
+        acc_n = 0
+        thresh = None   # k-th best dot seen so far (inclusive admit bound)
+
+        def compact():
+            nonlocal acc, acc_n, thresh
+            cols = [np.concatenate([a[i] for a in acc]) for i in range(5)]
+            ida, idb, dot, na, nb = cols
+            # dedup by pair (duplicates carry identical dots/norms), then
+            # local top-k under the total order (dot desc, id_a, id_b)
+            o = np.lexsort((idb, ida))
+            ida, idb = ida[o], idb[o]
+            keep = np.ones(ida.size, dtype=bool)
+            keep[1:] = (ida[1:] != ida[:-1]) | (idb[1:] != idb[:-1])
+            o = o[keep]
+            ida, idb, dot, na, nb = ida[keep], idb[keep], dot[o], na[o], nb[o]
+            o = np.lexsort((idb, ida, -dot))[:k]
+            acc = [(ida[o], idb[o], dot[o], na[o], nb[o])]
+            acc_n = int(o.size)
+            if acc_n == k:
+                # a pair must reach at least this dot to enter the local
+                # top-k; the admit filter below is INCLUSIVE (>=), so a
+                # tying pair that wins on (id_a, id_b) is never dropped
+                thresh = int(acc[0][2][-1])
+
+        def emit_group(ids: np.ndarray, Q: np.ndarray, nq: np.ndarray):
+            nonlocal acc_n
+            g = ids.size
+            if g < 2:
+                return
+            mx = int(np.abs(Q).max())
+            # float64 matmul (BLAS) when provably exact, else int64 einsum
+            use_blas = mx > 0 and EMB_DIM * mx * mx < 2 ** 53
+            Qm = Q.astype(np.float64) if use_blas else Q
+            cols = np.arange(g, dtype=np.int64)
+            B = 1024
+            for i0 in range(0, g - 1, B):
+                i1 = min(i0 + B, g)
+                P = Qm[i0:i1] @ Qm.T
+                if use_blas:
+                    P = P.astype(np.int64)
+                mask = cols[None, :] > np.arange(i0, i1)[:, None]
+                if thresh is not None:
+                    mask &= P >= thresh
+                r, c = np.nonzero(mask)
+                if not r.size:
+                    continue
+                acc.append((ids[i0 + r], ids[c], P[r, c],
+                            nq[i0 + r], nq[c]))
+                acc_n += r.size
+                if acc_n > 200_000:
+                    compact()
+
+        bands_l, bucks_l, vids_l, qs_l = [], [], [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("band_id", "bucket", "vec_id", "embedding")}
+            bands_l.append(np.asarray(batch.column(idx["band_id"]),
+                                      dtype=np.int64))
+            bucks_l.append(np.asarray(batch.column(idx["bucket"]),
+                                      dtype=np.int64))
+            vids_l.append(np.asarray(batch.column(idx["vec_id"]),
+                                     dtype=np.int64))
+            col = batch.column(idx["embedding"])
+            if col.null_count or col.values.null_count:
+                raise ValueError("NULL embedding or NULL element in "
+                                 "neardup input")
+            off = np.asarray(col.offsets, dtype=np.int64)
+            base = off[0]
+            flat = np.asarray(col.values, dtype=np.float64)[base:off[-1]]
+            if np.any(np.diff(off - base) != EMB_DIM):
+                raise ValueError(f"embedding dimension != {EMB_DIM}")
+            qs_l.append(np.floor(flat * QSCALE).astype(np.int64)
+                        .reshape(-1, EMB_DIM))
+        if bands_l:
+            band = np.concatenate(bands_l)
+            buck = np.concatenate(bucks_l)
+            vid = np.concatenate(vids_l)
+            Q = np.vstack(qs_l)
+            bands_l = bucks_l = vids_l = qs_l = None
+            order = np.lexsort((vid, buck, band))
+            band, buck, vid, Q = band[order], buck[order], vid[order], \
+                Q[order]
+            nq = np.einsum("ij,ij->i", Q, Q)
+            brk = np.flatnonzero((band[1:] != band[:-1])
+                                 | (buck[1:] != buck[:-1]))
+            for s, e in zip(np.concatenate(([0], brk + 1)),
+                            np.concatenate((brk + 1, [band.size]))):
+                emit_group(vid[s:e], Q[s:e], nq[s:e])
+        if acc:
+            compact()
+            ida, idb, dot, na, nb = acc[0]
+            if ida.size:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ida, pa.int64()), pa.array(idb, pa.int64()),
+                     pa.array(dot, pa.int64()), pa.array(na, pa.int64()),
+                     pa.array(nb, pa.int64())],
+                    names=["id_a", "id_b", "dot", "na", "nb"])
+
+    return part.mapInArrow(
+        run, "id_a long, id_b long, dot long, na long, nb long")

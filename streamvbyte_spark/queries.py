@@ -1492,6 +1492,70 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in pipeline_sql.PIPELINE_QUERIES:
         q[name] = make_pipeline(name)
 
+    # embedding_neardup, restructured for r11 (optimization guide §2.3/§8 —
+    # shuffle lightweight keys, not payloads): the generic SPARK_STAGES form
+    # self-joined the band table and then joined every candidate PAIR back
+    # to the embedding table twice, so ~n^2/256-per-band pair rows each
+    # carried 2 x 64 floats through two join exchanges and an Arrow
+    # crossing (measured 12.4 s isolated at sf1.0, ~3M pairs — the round's
+    # biggest headliner).  Now the materialized stage is the BANDED table
+    # (vec_id, band_id, bucket, embedding — the bucket UDF and explode run
+    # once, at stage build), each embedding crosses ONE numbered exchange
+    # per band, the per-bucket gram-matrix kernel (neardup_local_topk)
+    # computes all co-bucketed dots AND both norms in-kernel, and only
+    # per-task top-50 survivor rows (<= fanout * 50) leave Python for the
+    # global distinct + rank — no norm join, one Python node, zero scans in
+    # the final plan (test_lsh_self_joins_materialize_signatures).  The
+    # DuckDB oracle keeps the single-text CTE join form, so the driver gate
+    # proves the kernel's dots value-identical to the SQL algorithm.
+    def embedding_neardup(spark, sf_dir):
+        import uuid as _uuid
+        from pyspark.sql import Window as _W
+        from .functions.embedding_udfs import (neardup_local_topk,
+                                               register_embedding_udfs)
+        from .operators.staging import materialize
+        register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
+                                pipeline_sql.NEARDUP_PLANES_PER_BAND)
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .createOrReplaceTempView("embeddings")
+        # numbered-repartition hint INSIDE the stage: the embeddings parquet
+        # is one row group, so an unhinted stage would run the bucket UDF
+        # single-task (pipeline_sql._SCAN_FANOUT note; AQE-exempt)
+        raw_bands = (
+            "select vec_id, band_id, bucket, embedding from "
+            "(select vec_id, embedding, emb_band_buckets(embedding) as bks "
+            f"from (select /*+ REPARTITION({pipeline_sql._SCAN_FANOUT}, "
+            "vec_id) */ vec_id, embedding from embeddings)) "
+            "lateral view posexplode(bks) _t as band_id, bucket")
+        fp = (sf_dir, raw_bands, "local-topk-v2")
+        hit = _stage_cache_get(spark, "embedding_neardup", fp)
+        if hit is not None:
+            bands_view = hit[0]
+        else:
+            bands_view = f"svb_stage_nd_bands_{_uuid.uuid4().hex[:8]}"
+            bdf = materialize(spark.sql(raw_bands))
+            bdf.createOrReplaceTempView(bands_view)
+            _stage_cache_put(spark, "embedding_neardup", fp,
+                             ((bands_view, bdf),), (bands_view,))
+        lt = neardup_local_topk(spark.table(bands_view), k=50)
+        top = (lt.distinct()
+               .orderBy(F.desc("dot"), "id_a", "id_b").limit(50))
+        ranked = (top
+                  .select("id_a", "id_b", "dot", F.expr(
+                      "case when na = 0 or nb = 0 then cast(0.0 as double) "
+                      "else round(cast(dot as double) / "
+                      "(sqrt(cast(na as double)) * sqrt(cast(nb as double))"
+                      "), 4) end").alias("cos_sim"))
+                  .withColumn("rnk", F.row_number().over(
+                      _W.orderBy(F.desc("dot"), "id_a", "id_b"))))
+        return (ranked.where("rnk <= 50")
+                .select(F.col("id_a").cast("string").alias("id_a"),
+                        F.col("id_b").cast("string").alias("id_b"),
+                        "cos_sim",
+                        F.col("rnk").cast("int").alias("rank")))
+
+    q["embedding_neardup"] = embedding_neardup
+
     # near-dup clustering: transitive closure of the MinHash candidate pairs
     # via iterative min-label propagation (operators/components.py); the
     # oracle recomputes the identical components with a recursive CTE

@@ -79,3 +79,52 @@ def test_dot_matches_scalar():
     dots = np.einsum("ij,ij->i", qa, qb)
     for r in range(15):
         assert dots[r] == sum(int(x) * int(y) for x, y in zip(qa[r], qb[r]))
+
+
+def test_neardup_local_topk_matches_bruteforce():
+    """The r11 gram-matrix local-top-k kernel (the embedding_neardup
+    candidate generator) must reproduce the brute-force distinct top-50:
+    same pairs, same dots, same norms — including through its compaction
+    (>200k buffered pairs) and running-threshold admit paths, which a
+    skewed 700-vector bucket forces (~245k pairs in one group)."""
+    import pyspark.sql.functions as F
+    from streamvbyte_spark.session import get_spark
+
+    k = 50
+    n = 700
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, E.EMB_DIM)).astype(np.float32)
+    # a few exact duplicates: tie dots must resolve by (id_a, id_b)
+    vecs[5] = vecs[3]
+    vecs[17] = vecs[3]
+    q = np.floor(vecs.astype(np.float64) * E.QSCALE).astype(np.int64)
+
+    # brute-force distinct top-k over BOTH bands' identical bucket — the
+    # pair set is every i<j (one bucket per band)
+    iu, ju = np.triu_indices(n, 1)
+    dots = np.einsum("ij,ij->i", q[iu], q[ju])
+    nq = np.einsum("ij,ij->i", q, q)
+    order = np.lexsort((ju, iu, -dots))[:k]
+    want = [(int(iu[o]), int(ju[o]), int(dots[o]),
+             int(nq[iu[o]]), int(nq[ju[o]])) for o in order]
+
+    spark = get_spark(app="neardup-topk-test", master="local[4]",
+                      shuffle_partitions=4)
+    try:
+        import pandas as pd
+        pdf = pd.DataFrame({
+            # two bands over ONE bucket each: every pair duplicated across
+            # bands — the kernel's dedup must collapse them
+            "band_id": np.repeat(np.array([0, 1], dtype=np.int32), n),
+            "bucket": np.zeros(2 * n, dtype=np.int32),
+            "vec_id": np.tile(np.arange(n, dtype=np.int64), 2),
+            "embedding": list(vecs) * 2,
+        })
+        banded = spark.createDataFrame(pdf)
+        lt = E.neardup_local_topk(banded, k=k, fanout=4)
+        rows = lt.distinct().orderBy(F.desc("dot"), "id_a", "id_b") \
+            .limit(k).collect()
+        got = [(r.id_a, r.id_b, r.dot, r.na, r.nb) for r in rows]
+        assert got == want
+    finally:
+        spark.stop()
