@@ -309,10 +309,15 @@ def q_dedup_simhash(d: Dialect) -> str:
     still proves the fused UDF bit-for-bit."""
     if d.kind == "spark":
         # pinned-count fanout: the UDF stage is CPU-bound over a possibly
-        # single-row-group file (see _SCAN_FANOUT note above)
-        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
-                "cast(doc_id as string) as doc_id, "
-                "doc_simhash_text(text) as simhash from documents")
+        # single-row-group file (see _SCAN_FANOUT note above).  The hint
+        # must sit in an INNER select of raw columns: a hint in the SAME
+        # select as the UDF plans the exchange ABOVE the projection, so the
+        # UDF still ran on the scan's single task (r11 plan audit — the
+        # whole simhash kernel on 1 of 32 cores at sf1.0)
+        return ("select cast(doc_id as string) as doc_id, "
+                "doc_simhash_text(text) as simhash from "
+                f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+                "doc_id, text from documents)")
     tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     h = f"(cast({SIMHASH_A} as bigint) * t + {SIMHASH_B}) % {MINHASH_P}"
     bit_terms = []
@@ -792,14 +797,19 @@ def q_quality_score(d: Dialect) -> str:
     n = d.alen(w)
     if d.kind == "spark":
         n, stops, distinct = "s.n_words", "s.stops", "s.n_distinct"
+        # hint on the INNERMOST raw-column select so the word-stats UDF
+        # evaluates ABOVE the exchange (same-select hints leave the UDF on
+        # the scan's single task — r11 plan audit)
         return (
-            f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ doc_id, "
+            "select doc_id, "
             f"{n} as n_words, "
             f"round(cast(length(text) - {n} + 1 as double) / {n}, 4) as avg_word_len, "
             f"round(cast({stops} as double) / {n}, 4) as stopword_ratio, "
             f"round(cast({distinct} as double) / {n}, 4) as distinct_ratio "
             "from (select cast(doc_id as string) as doc_id, text, "
-            "quality_counts(text) as s from documents)"
+            "quality_counts(text) as s from "
+            f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+            "doc_id, text from documents))"
         )
     stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
     stops = d.alen(d.afilter(w, f"x -> x in ({stop_in})"))
@@ -836,10 +846,12 @@ def q_lang_id(d: Dialect) -> str:
         f"when {hits['fr']} > 0 then 'fr' else 'unknown' end"
     )
     if d.kind == "spark":
-        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ doc_id, "
-                f"{cases} as lang_pred, lang as lang_true "
+        # innermost hint: see q_quality_score's r11 plan-audit note
+        return (f"select doc_id, {cases} as lang_pred, lang as lang_true "
                 "from (select cast(doc_id as string) as doc_id, lang, "
-                "lang_counts(text) as s from documents)")
+                "lang_counts(text) as s from "
+                f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+                "doc_id, lang, text from documents))")
     return (f"select cast(doc_id as string) as doc_id, {cases} as lang_pred, "
             "lang as lang_true from documents")
 
@@ -850,9 +862,11 @@ def q_fingerprint(d: Dialect) -> str:
     Spark side: fused text -> fingerprint pandas UDF (doc_fingerprint_text;
     same rationale as q_dedup_simhash); the oracle keeps the SQL fold."""
     if d.kind == "spark":
-        return (f"select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
-                "cast(doc_id as string) as doc_id, "
-                "doc_fingerprint_text(text) as fingerprint from documents")
+        # innermost hint: see q_quality_score's r11 plan-audit note
+        return ("select cast(doc_id as string) as doc_id, "
+                "doc_fingerprint_text(text) as fingerprint from "
+                f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+                "doc_id, text from documents)")
     fp = d.fold0("tokens", "(acc * 31 + t) % 1000000007")
     tok = f"select cast(doc_id as string) as doc_id, {d.tokens()} as tokens from documents"
     return f"with tok as ({tok}) select doc_id, {fp} as fingerprint from tok"

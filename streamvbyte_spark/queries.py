@@ -578,12 +578,17 @@ def curated_encoded_rows(spark, sf_dir, qname="curated_pack_encoded"):
     n_tok = d.alen(d.split("text"))
     # numbered repartition: fans a single-row-group file out so the encode
     # mapInArrow stage is not one task (pipeline_sql._SCAN_FANOUT note) and
-    # is AQE-coalescing-exempt
+    # is AQE-coalescing-exempt.  The hint sits in an INNER raw-column
+    # select: hinted-same-select projections plan BELOW the exchange, so
+    # the tokenize + md5 ran on the scan's single task (r11 plan audit);
+    # the source/length predicates stay below the exchange by predicate
+    # pushdown — cheap codegen'd filters that also shrink the shuffle
     pre = spark.sql(
-        f"select /*+ REPARTITION({pipeline_sql._SCAN_FANOUT}, doc_id) */ "
-        "cast(doc_id as string) as doc_id, source, md5(text) as md5, "
-        f"{d.tokens()} as tokens, {n_tok} as n_tok "
-        f"from documents where source != {msrc} "
+        "select cast(doc_id as string) as doc_id, source, "
+        f"md5(text) as md5, {d.tokens()} as tokens, {n_tok} as n_tok "
+        f"from (select /*+ REPARTITION({pipeline_sql._SCAN_FANOUT}, "
+        "doc_id) */ doc_id, source, text from documents) "
+        f"where source != {msrc} "
         f"and {n_tok} >= {pipeline_sql.CURATE_MIN_TOK}")
     enc = _encode_docs(pre, "auto", batched.VECTOR_COST_CODECS,
                        carry=("md5",))
