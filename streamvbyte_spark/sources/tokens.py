@@ -98,8 +98,19 @@ def posting_lists(spark: SparkSession, sf_dir: str,
     partitioning, so they shouldn't pay for it (r4 verdict item 2)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     key = F.col("l_partkey").cast("string") if string_key else F.col("l_partkey")
+    # explicit numbered repartition on the GROUP key before the aggregate
+    # (r11, guide §2.4): the groupBy reuses this partitioning (one exchange
+    # either way, plan-verified), but the heavy collect_list now runs wide
+    # on the reduce side instead of as a map-side partial over however few
+    # tasks the scan yields (6 row groups here) — partial aggregation wins
+    # nothing for collect_list (lists don't combine smaller), so skipping
+    # the narrow partial stage is pure gain: 0.88 -> 0.65 s (bigint) /
+    # 1.44 -> 1.21 s (string) measured at sf1.0.
+    fanout = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     grouped = (
-        li.groupBy(key.alias("doc_id"))
+        li.select(key.alias("doc_id"), "l_orderkey")
+        .repartition(fanout, "doc_id")
+        .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("l_orderkey")).alias("tokens"))
     )
     doc_id = F.col("doc_id") if string_key else F.col("doc_id").cast("string")
