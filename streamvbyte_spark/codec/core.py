@@ -36,7 +36,11 @@ import sys
 
 import numpy as np
 
-assert sys.byteorder == "little", "streamvbyte_spark requires a little-endian host"
+# explicit raise, not assert: PYTHONOPTIMIZE strips asserts, and this is a
+# correctness guard (byte-viewed uint32 wires) — mirrors session.py's check
+# (r10 verdict "What's wrong" item 1)
+if sys.byteorder != "little":
+    raise RuntimeError("streamvbyte_spark requires a little-endian host")
 
 _SHIFTS = np.array([0, 2, 4, 6], dtype=np.uint8)
 _PLACE = np.array([1, 4, 16, 64], dtype=np.uint8)  # 2-bit codes packed LSB-first

@@ -1096,11 +1096,14 @@ def curated_tok_select(d: Dialect, hits_src: str, msrc: str) -> str:
     gate: same pack volumes, different concatenation order).  Only the
     hits comparison casts (hits ids come from the string-keyed shingle
     pipeline)."""
+    src = ("documents" if d.kind != "spark" else
+           f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+           "doc_id, source, text from documents)")
     inner = (f"select doc_id, source, "
              f"{d.tokens()} as tokens, {d.alen(d.split('text'))} as n_tok, "
              "row_number() over (partition by md5(text) "
              "order by cast(doc_id as string)) as rn "
-             f"from documents where source != {msrc}")
+             f"from {src} where source != {msrc}")
     return (f"select doc_id, source, tokens, n_tok from ({inner}) base "
             f"where rn = 1 and n_tok >= {CURATE_MIN_TOK} "
             f"and not exists (select 1 from {hits_src} h "
@@ -1289,9 +1292,15 @@ def q_pack_sequences(d: Dialect, bucket_expr: str | None = None,
     # takes the query from two corpus scans to one.  tok_select: override
     # the whole corpus SELECT (must yield doc_id, source, tokens, n_tok) —
     # queries.curated_pack_sequences packs a curated subset this way.
+    # Spark: innermost fanout hint (r11 plan audit) — without it the
+    # tokenizer transform computed below the window's exchange, i.e. on
+    # the single-row-group scan task
+    src = ("documents" if d.kind != "spark" else
+           f"(select /*+ REPARTITION({_SCAN_FANOUT}, doc_id) */ "
+           "doc_id, source, text from documents)")
     tok = tok_select or (
         f"select doc_id, source, {d.tokens()} as tokens, "
-        f"{d.alen(d.split('text'))} as n_tok from documents")
+        f"{d.alen(d.split('text'))} as n_tok from {src}")
     bkt = (bucket_expr or _default_pack_bucket(d)) if d.kind == "spark" else ""
     cum = _two_level_cum_sql(d, bkt, carry=", tokens",
                              tot_src=ntok_table or "t")

@@ -510,6 +510,14 @@ def _gate_scalar(rows: DataFrame, terms: list[str],
     the rows-returning serving functions directly (r9 verdict item 3 /
     r10 item 5: the distributed rows are now the public return)."""
     from ..queries import spark_fingerprint
+    if len(terms) > 26:
+        # term_{chr(97+i)} runs out of alphabet past 26 terms and would
+        # silently emit garbage column names (term_{, term_|, ...) — the
+        # gate wrapper is for small probe lists; scale consumers take the
+        # rows-returning serving functions (r10 advice item 1)
+        raise ValueError(
+            f"_gate_scalar supports at most 26 probe terms, got "
+            f"{len(terms)}")
     names = [f"term_{chr(97 + i)}" for i in range(len(terms))]
     return (rows.groupBy()
             .agg(F.sort_array(F.collect_list("did")).alias("ids"))

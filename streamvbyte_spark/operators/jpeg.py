@@ -735,7 +735,14 @@ def decode_jpeg_batch(payloads: list, parsed: list | None = None) \
         # to the per-payload fallback.  Re-decode per payload through the
         # single path — the byte-identity contract holds trivially, and a
         # payload the single path ALSO rejects still raises (the fallback
-        # makes the batch never stricter, never laxer).
+        # makes the batch never stricter, never laxer).  The fallback is
+        # LOGGED (executor stderr) so a systematic lockstep-kernel
+        # regression surfaces as more than a silent performance cliff
+        # (r10 advice item 3).
+        import logging
+        logging.getLogger(__name__).warning(
+            "jpeg lockstep batch decode fell back to the per-payload "
+            "path for a %d-image batch", len(parsed))
         return [_decode_scan(data, pos, frame, scan, qt, huff, ri)
                 for (data, frame, scan, qt, huff, ri, pos) in parsed]
     # ONE dequantized IDCT over every block of every image/component —

@@ -671,7 +671,10 @@ def encode_png(px: np.ndarray, filters: str = "cycle") -> bytes:
     import struct
     import zlib
     h, w, nch = px.shape
-    assert nch in (3, 4)
+    if nch not in (3, 4):
+        # explicit raise, not assert: survives PYTHONOPTIMIZE (CLAUDE.md
+        # kernel-guard rule)
+        raise ValueError(f"encode_png expects RGB/RGBA, got {nch} channels")
     px32 = px.astype(np.int32)
     rows = []
     prev = np.zeros((w, nch), np.int32)

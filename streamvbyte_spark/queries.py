@@ -310,48 +310,50 @@ def _token_source(spark: SparkSession, sf_dir: str, source: str) -> DataFrame:
 # loudly if the rotation leaves more than 50 in-window entries (a silently
 # ungated tail is exactly the blind spot this exists to close).
 GATE_ROTATE_OUT: tuple[str, ...] = (
-    # r10 rotation: the 44 r8-green entries rotated out in r9 all RETURN
-    # to the window (they have no r9 row; r9∪r10 must cover all queries) —
-    # including index_topk_and, whose gated body SWAPS to the parity-
-    # pinned co-grouped serving plan this round (r9 verdict item 1) and
-    # therefore must carry a current-round driver row, and the five
-    # MUST_GATE entries whose one-round r9 capacity exception expires now
-    # (sequence_pack, decontaminate, event_sessions, ann_recall_ivf,
-    # curate_neardup_metrics — re-pinned, r9 verdict item 2).  These 46
-    # r9-green entries leave for one round; the two NEW r10 queries
-    # (index_and_multi — k-way AND serving, r9 verdict item 4 — and
-    # index_merge_updates_pos — the positional-wire drain equivalence, r9
-    # verdict item 6) enter in-window, as new queries must.  Capacity:
-    # 44 returning + 2 new + 4 pinned composites (nation_revenue,
-    # pack_sequences, pack_sequences_encoded, curation_pipeline) = 50
-    # exactly, so ONE long-stable MUST_GATE entry (dedup_components —
-    # r9-green, operators/components.py untouched, the components
-    # propagation machinery carries a CURRENT-round row via the returning
-    # dedup_components_verified) leaves the pin for ONE round under the
-    # documented capacity exception; re-pin it in r11.
-    # index_intersect / index_union / index_phrase_match rotate out
-    # r9-green while their module is touched ONLY by the mechanical
-    # fold-split (the distributed per-chunk rows become the public
-    # return, the gate-scalar fold moves into thin wrappers whose output
-    # is byte-identical — pytest-pinned); the shared co-grouped serving
-    # machinery (chunk_id equi-join, lane_doc_keys, in-lane set ops,
-    # gate-scalar fold) carries TWO current-round driver rows via
-    # index_topk_and and index_and_multi.
-    "ef_roundtrip_postings", "auto_roundtrip", "auto_sorted_roundtrip",
-    "svb_size", "svb0124_size", "delta_size_postings", "ef_size_postings",
-    "bitpack_size", "for_size", "dict_size", "rle_size", "auto_size",
-    "auto_sorted_size_postings", "auto_sorted_size", "validate_stream",
-    "validate_stream_0124", "validate_stream_truncated",
-    "max_compressed_bound", "auto_full_size", "truncate_decode",
-    "zone_map_prune", "metrics_by_source", "svb_size_sql",
-    "metrics_by_codec", "events_hourly", "top_users_by_value",
-    "metrics_rollup", "users_intersect", "multimodal_features",
-    "multimodal_frames", "jpeg_decode_stats", "adpcm_decode_stats",
-    "jsonl_roundtrip", "orc_roundtrip", "chunked_roundtrip_postings",
-    "chunked_ef_roundtrip", "index_intersect", "index_phrase_match",
-    "index_union", "index_merge_updates", "curate_metrics",
-    "domain_mix_sample", "dedup_components", "curated_pack_sequences",
-    "curated_pack_encoded", "pack_store_roundtrip",
+    # r11 rotation — and the PIN CONTRACT RESTRUCTURE the r10 arithmetic
+    # forces (r10 verdict "Next round" item 1): with T = 96 queries, a
+    # 50-wide window, and the every-other-round coverage contract, the r11
+    # window is the 46 r10 rotate-outs (they have no r10 row; r10∪r11 must
+    # cover all 96) plus exactly P = 4 permanent pins.  The old flat
+    # MUST_GATE(10) model therefore cannot hold — the r9-style "expired
+    # exception" would recur every other round forever.  The contract is
+    # now two-tier (tests/test_registry_gate.py enforces it):
+    #   ALWAYS_GATE (4): nation_revenue, pack_sequences,
+    #     pack_sequences_encoded, curation_pipeline — in EVERY window.
+    #   ALTERNATING (6): sequence_pack, decontaminate, event_sessions,
+    #     ann_recall_ivf, curate_neardup_metrics, dedup_components — gated
+    #     every other round like everything else; the rotation itself
+    #     guarantees no two consecutive misses (enforced: an alternating
+    #     pin outside the window must be green in the LATEST artifact).
+    # dedup_components' r10 capacity exception thereby ends as promised:
+    # it returns in-window this round (alternating, r10-rotated-out).
+    # The 46 entries below are exactly the r10 in-window set minus the 4
+    # ALWAYS_GATE composites — all r10-green (CORRECTNESS_r10 50/50).
+    # NOTE (r11 optimization round): several of these carry this round's
+    # plan restructures (embedding_neardup's gram-matrix kernel,
+    # dedup_simhash / quality_score / lang_id / fingerprint hint nesting,
+    # the index builds' scan fanout).  The window cannot hold them without
+    # opening a two-consecutive-miss hole for a returning entry; their
+    # current-round verification is the local replica of the SAME gate
+    # (tools/check_oracles.py, 96/96 at sf0.001 + sf0.01 + sf0.1 this
+    # round) plus the parity pytest suite, and they re-enter the driver
+    # window in r12 by rotation.
+    "svb_roundtrip", "svb0124_roundtrip", "delta_roundtrip_postings",
+    "fsst_roundtrip", "zigzag_roundtrip_embeddings",
+    "zzdelta_roundtrip_embeddings", "auto_full_roundtrip",
+    "image_decode_stats", "png_decode_stats", "audio_decode_stats",
+    "csv_roundtrip", "vocab_remap_metrics", "vocab_remap_join_metrics",
+    "chunked_fused_roundtrip", "chunked_truncate_decode",
+    "index_postings_roundtrip", "index_postings_size",
+    "index_build_chunked", "index_and_multi", "index_topk_and",
+    "index_merge_updates_pos", "dedup_exact", "dedup_minhash_pairs",
+    "dedup_minhash_verified", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_topk", "ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_recall",
+    "ann_recall_ivf", "embedding_neardup", "token_count", "quality_score",
+    "lang_id", "fingerprint", "token_quantiles", "top_terms",
+    "dedup_simhash_pairs", "event_sessions", "sequence_pack",
+    "decontaminate", "quality_repetition", "dedup_components_verified",
+    "curate_neardup_metrics",
 )
 GATE_WINDOW = 50
 
@@ -1639,11 +1641,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decon = make_pipeline("decontaminate",
                               owner="curation_pipeline")(spark, sf_dir)
         from pyspark.sql import Window
+        # innermost fanout hint (r11 plan audit): without it the md5 +
+        # tokenize + size kernel all ran on the single-row-group scan task
         tok = spark.sql(
             "select cast(doc_id as string) as doc_id, source, "
             "md5(text) as h, size(split(text, ' ')) as n_tok, "
             f"{spark_tokens_expr('text')} as tokens "
-            "from documents "
+            f"from (select /*+ REPARTITION({pipeline_sql._SCAN_FANOUT}, "
+            "doc_id) */ doc_id, source, text from documents) "
             "where source != (select min(source) from documents)")
         sized = size_table(tok, codec="auto", carry=("source", "h", "n_tok"))
         w = Window.partitionBy("h").orderBy("doc_id")

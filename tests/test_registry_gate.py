@@ -10,34 +10,71 @@ from __future__ import annotations
 import __spark_entry__ as entry
 from streamvbyte_spark import queries as q
 
-# descended from the r5-verdict list (never driver-gated before round 6).
-# r10: the five entries whose one-round r9 capacity exception expired are
-# RE-PINNED (r9 verdict item 2): sequence_pack, decontaminate,
-# event_sessions, ann_recall_ivf, curate_neardup_metrics — all return to
-# the window this round anyway (rotated out in r9, so r9∪r10 coverage
-# requires them in-window).  ONE long-stable entry leaves the pin for ONE
-# round under the documented capacity exception (queries.GATE_ROTATE_OUT
-# r10 note): dedup_components — r9-green, operators/components.py
-# untouched, and the components-propagation machinery carries a
-# CURRENT-round driver row via the returning dedup_components_verified
-# (same operator, adversarial oracle).  Its slot admits the second NEW
-# r10 query (index_and_multi + index_merge_updates_pos must both enter
-# in-window, and 44 returning + 2 new + 4 pins = 50 exactly).  Re-pin
-# dedup_components in r11; re-pin ANY entry immediately if its code is
-# touched.
-MUST_GATE = {
+# Two-tier pin contract (r11 restructure — the r10 window arithmetic
+# saturated: with T = 96 queries, a 50-wide window and the every-other-
+# round rotation, W_next = (T - 50) + P forces P <= 4, so the old flat
+# 10-entry MUST_GATE cannot hold and the r9-style "expired exception"
+# would recur every other round forever; r10 verdict "Next round" item 1).
+#
+# ALWAYS_GATE: the four flagship composites — inside EVERY driver window.
+# ALTERNATING: the other six long-watched operators — gated every other
+# round exactly like the rest of the registry; the rotation contract
+# already guarantees no two consecutive misses, and the test below
+# enforces it directly (an alternating pin outside the current window
+# must be fully green in the LATEST driver artifact, i.e. it was
+# in-window last round).  At T = 96 any NEW query requires retiring or
+# merging an existing one — there are zero free slots.
+ALWAYS_GATE = {
     "pack_sequences", "pack_sequences_encoded", "curation_pipeline",
     "nation_revenue",
+}
+ALTERNATING_GATE = {
     "sequence_pack", "decontaminate", "event_sessions", "ann_recall_ivf",
-    "curate_neardup_metrics",
+    "curate_neardup_metrics", "dedup_components",
 }
 
 
-def test_rotation_targets_inside_gate_window():
+def _latest_green():
+    import glob
+    import json
+    import os
+    files = sorted(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    if not files:
+        return None
+    green = set()
+    for name, row in json.load(open(files[-1])).items():
+        if isinstance(row, dict) and row.get("rows_match") \
+                and row.get("schema_match") and row.get("hash_match"):
+            green.add(name)
+    return green
+
+
+def test_always_gate_inside_window():
     names = list(entry.queries())
     first = set(names[:q.GATE_WINDOW])
-    missing = MUST_GATE - first
+    missing = ALWAYS_GATE - first
     assert not missing, f"not in the driver's first-{q.GATE_WINDOW}: {missing}"
+
+
+def test_alternating_pins_never_miss_twice():
+    """An ALTERNATING pin may sit outside the window only when the LATEST
+    driver artifact shows it fully green (it was in-window last round) —
+    that is the no-two-consecutive-misses guarantee, enforced on the
+    artifact rather than assumed from the rotation."""
+    names = list(entry.queries())
+    first = set(names[:q.GATE_WINDOW])
+    outside = ALTERNATING_GATE - first
+    if not outside:
+        return
+    green = _latest_green()
+    if green is None:
+        import pytest
+        pytest.skip("no driver correctness artifacts yet (round 1)")
+    stale = outside - green
+    assert not stale, \
+        f"alternating pins outside the window without a latest-round " \
+        f"green row: {stale}"
 
 
 def test_every_query_has_an_oracle():

@@ -76,7 +76,10 @@ def main():
     if args.and_terms:
         from streamvbyte_spark.operators.index import intersect_terms_rows
         terms = [t for t in args.and_terms.split(",") if t]
-        rows = intersect_terms_rows(stored, terms)
+        # localCheckpoint the intersection ONCE: the count/min aggregate
+        # and the bounded id sample otherwise each re-scan and re-decode
+        # the stored index (r10 advice item 2)
+        rows = intersect_terms_rows(stored, terms).localCheckpoint()
         # count + a bounded id sample, never the full (possibly huge) list
         agg = rows.agg(F.count("*").alias("n"),
                        F.min("did").alias("min_did")).collect()[0]
