@@ -917,8 +917,14 @@ def q_event_sessions(d: Dialect) -> str:
               " + cast(date_format(ts, 'SSSSSS') as bigint))")
     else:
         ep = "epoch_us(ts)"
+    # Spark: fan the single-row-group events scan out on the WINDOW key so
+    # the 4x date_format epoch math runs wide AND the session windows reuse
+    # the exchange (hashpartitioning(user_id) either way — r11 plan audit)
+    src = ("events" if d.kind != "spark" else
+           f"(select /*+ REPARTITION({_SCAN_FANOUT}, user_id) */ "
+           "user_id, event_id, ts from events)")
     return (
-        f"with e as (select user_id, event_id, {ep} as ep from events), "
+        f"with e as (select user_id, event_id, {ep} as ep from {src}), "
         "m as (select user_id, event_id, ep, "
         " case when ep - lag(ep) over w > 1800000000 or lag(ep) over w is null "
         " then 1 else 0 end as brk from e window w as "

@@ -30,6 +30,21 @@ MEDIA_SCHEMA = ("doc_id string, media_type string, payload binary, "
 FEATURE_SCHEMA = "doc_id string, n_bytes bigint, byte_sum bigint, feature array<float>"
 
 
+def _fanout_docs(docs: DataFrame) -> DataFrame:
+    """Scale-adaptive fanout before the per-doc Python synth encoders
+    (optimization guide §2.5 input skew): the driver testdata ships
+    documents as one parquet row group, so the synth mapInArrow stages —
+    and everything decoding their payloads downstream — ran as a SINGLE
+    task (jpeg_decode_stats measured 340 s on 1 of 32 cores at sf1.0).
+    No-op on real multi-file corpora and for streaming inputs."""
+    if docs.isStreaming:
+        return docs
+    from ..functions.pipeline_sql import _SCAN_FANOUT
+    if docs.rdd.getNumPartitions() < _SCAN_FANOUT:
+        docs = docs.repartition(_SCAN_FANOUT, "doc_id")
+    return docs
+
+
 def synth_media_table(docs: DataFrame) -> DataFrame:
     """Deterministic fake media: payload = utf-8 bytes of the text column
     (stands in for image bytes); metadata struct carries size + format."""
@@ -614,8 +629,9 @@ def synth_adpcm_table(docs: DataFrame, rate: int = 16000) -> DataFrame:
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])
 
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.encode("text", "utf-8").alias("payload"))
+    base = _fanout_docs(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
     return (base.mapInArrow(run, "doc_id string, payload binary")
             .where(F.col("payload").isNotNull()))
 
@@ -656,8 +672,9 @@ def synth_ppm_table(docs: DataFrame, width: int = 4) -> DataFrame:
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])
 
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.encode("text", "utf-8").alias("payload"))
+    base = _fanout_docs(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
     out = base.mapInArrow(run, "doc_id string, payload binary")
     return out.where(F.col("payload").isNotNull())
 
@@ -740,8 +757,9 @@ def synth_png_table(docs: DataFrame, width: int = 4) -> DataFrame:
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])
 
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.encode("text", "utf-8").alias("payload"))
+    base = _fanout_docs(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
     return (base.mapInArrow(run, "doc_id string, payload binary")
             .where(F.col("payload").isNotNull()))
 
@@ -774,8 +792,9 @@ def synth_jpeg_table(docs: DataFrame, width_blocks: int = 2) -> DataFrame:
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])
 
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.encode("text", "utf-8").alias("payload"))
+    base = _fanout_docs(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
     return (base.mapInArrow(run, "doc_id string, payload binary")
             .where(F.col("payload").isNotNull()))
 
@@ -808,8 +827,9 @@ def synth_wav_table(docs: DataFrame, rate: int = 16000) -> DataFrame:
                 [doc, pa.array(payloads, pa.binary())],
                 names=["doc_id", "payload"])
 
-    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.encode("text", "utf-8").alias("payload"))
+    base = _fanout_docs(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"))
     return (base.mapInArrow(run, "doc_id string, payload binary")
             .where(F.col("payload").isNotNull()))
 

@@ -804,11 +804,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Arrow-batched svb_size UDF / encode_table remain the throughput path
     def svb_size_sql(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # scale-adaptive fanout + codegen'd word count (r11): the
+        # interpreted aggregate() fold ran twice-tokenized on the scan's
+        # single task (3.1 s at sf1.0 -> 0.3 s); the fold itself stays —
+        # this query IS the zero-Python composability demo
+        if docs.rdd.getNumPartitions() < pipeline_sql._SCAN_FANOUT:
+            docs = docs.repartition(pipeline_sql._SCAN_FANOUT, "doc_id")
         t = spark_tokens_expr("text")
         return docs.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.expr(
-                f"cast((size({t}) + 3) div 4 as bigint) + "
+                "cast((size(split(text, ' ')) + 3) div 4 as bigint) + "
                 f"aggregate({t}, cast(0 as bigint), (acc, x) -> acc + 1 + "
                 f"(case when x > 255 then 1 else 0 end) + "
                 f"(case when x > 65535 then 1 else 0 end) + "
@@ -1061,9 +1067,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_roundtrip"] = csv_roundtrip
 
     # corpus-wide vocabulary remap: frequency-ranked ids shrink the encoded
-    # bytes; compare per-source auto-codec output before vs after
-    def _vocab_remap_metrics(spark, sf_dir, remap_fn):
-        tok = tokens_from_documents(spark, sf_dir)
+    # bytes; compare per-source auto-codec output before vs after.
+    # r11: the token table is MATERIALIZED once per invocation (the stage
+    # machinery every self-join query uses) — it feeds THREE consumers
+    # (before-encode, the vocab build's explode, the remap input), which
+    # otherwise each re-ran scan+tokenize (3.3/4.2 s -> see
+    # OPTIMIZATION_r11.md; same SPARK_STAGES rationale: Catalyst inlines a
+    # shared subtree into every consumer)
+    def _vocab_remap_metrics(spark, sf_dir, remap_fn, qname):
+        import uuid as _uuid
+        from .operators.staging import materialize
+        fp = (sf_dir, "tok-stage-v1")
+        hit = _stage_cache_get(spark, qname, fp)
+        if hit is not None:
+            tok = spark.table(hit[0])
+        else:
+            view = f"svb_stage_vmtok_{_uuid.uuid4().hex[:8]}"
+            tdf = materialize(tokens_from_documents(spark, sf_dir))
+            tdf.createOrReplaceTempView(view)
+            _stage_cache_put(spark, qname, fp, ((view, tdf),), (view,))
+            tok = spark.table(view)
         remapped = remap_fn(tok)
         before = (encode_table(tok, codec="auto").groupBy("source")
                   .agg(F.sum("out_bytes").alias("bytes_before")))
@@ -1075,7 +1098,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def vocab_remap_metrics(spark, sf_dir):
         from .operators.vocab import build_vocab, remap_tokens
         return _vocab_remap_metrics(
-            spark, sf_dir, lambda tok: remap_tokens(tok, build_vocab(tok)))
+            spark, sf_dir, lambda tok: remap_tokens(tok, build_vocab(tok)),
+            "vocab_remap_metrics")
 
     q["vocab_remap_metrics"] = vocab_remap_metrics
 
@@ -1087,7 +1111,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from .operators.vocab import build_vocab, remap_tokens_join
         return _vocab_remap_metrics(
             spark, sf_dir,
-            lambda tok: remap_tokens_join(tok, build_vocab(tok)))
+            lambda tok: remap_tokens_join(tok, build_vocab(tok)),
+            "vocab_remap_join_metrics")
 
     q["vocab_remap_join_metrics"] = vocab_remap_join_metrics
 
