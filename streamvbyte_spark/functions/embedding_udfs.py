@@ -108,6 +108,122 @@ def register_embedding_udfs(spark: SparkSession, n_bands: int,
                        make_band_buckets_udf(n_bands, planes_per_band))
 
 
+def ann_exact_local_topk(cands, q_ids: np.ndarray, q_quant: np.ndarray,
+                         k: int = 5, cosine: bool = False,
+                         fanout: int | None = None):
+    """(vec_id, embedding) candidate rows -> per-task top-`k` exact
+    neighbors per query: (qid, cid, dot[, na, nb]) with dot the exact
+    BIGINT quantized dot product against the Q broadcast query vectors
+    (q_ids int64[Q], q_quant int64[Q, EMB_DIM] — quantized like
+    emb_dot_q), self-pairs (cid == qid) excluded.
+
+    Replaces the r10 plan's BroadcastNestedLoopJoin + per-pair pandas-UDF
+    dot, which shipped BOTH 64-float embeddings per (query, candidate)
+    pair through the join and an Arrow crossing (~200 MB at sf1.0,
+    measured 4.2-4.8 s): here each candidate crosses once, all Q dots come
+    from one exact BLAS/einsum matmul per batch, and only per-task top-k
+    survivor rows leave Python.  Candidates are partitioned disjointly, so
+    the union of per-task top-k sets per query is a superset of the global
+    top-k (no dedup needed).
+
+    cosine=True ranks by the UNROUNDED cosine and keeps, per query, every
+    pair with cos >= (k-th best cos) - 1e-6 — a provable superset of the
+    final ROUNDED-cos top-k: round(x, 6) moves a value by <= 5e-7, so two
+    pairs whose rounded order differs from their raw order are within 1e-6
+    of each other; a pair more than 1e-6 below k distinct pairs loses to
+    all of them after rounding too.  The caller computes the exact rounded
+    cosine and the final rank in SQL over the survivors (zero-norm pairs
+    rank at cos = 0 on both sides)."""
+    spark = cands.sparkSession
+    if fanout is None:
+        fanout = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = cands.select("vec_id", "embedding")
+    if part.rdd.getNumPartitions() < fanout:
+        part = part.repartition(fanout, "vec_id")
+    Q = int(q_ids.shape[0])
+    q_norms = np.einsum("ij,ij->i", q_quant, q_quant) if Q else \
+        np.zeros(0, np.int64)
+    mxq = int(np.abs(q_quant).max()) if Q else 0
+    out_schema = ("qid long, cid long, dot long, na long, nb long"
+                  if cosine else "qid long, cid long, dot long")
+
+    def run(batches):
+        import pyarrow as pa
+        per_q: list[list[tuple]] = [[] for _ in range(Q)]
+
+        def select_local(j, cid, dot, nb):
+            """Per-query local selection: exact top-k for dot ranking, the
+            1e-6-slack superset for cosine ranking."""
+            if not cosine:
+                o = np.lexsort((cid, -dot))[:k]
+                return cid[o], dot[o], None
+            na = q_norms[j]
+            nb_f = nb.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot.astype(np.float64) / np.sqrt(float(na) * nb_f)
+            cos[(na == 0) | (nb == 0)] = 0.0
+            if cos.size > k:
+                kth = np.partition(cos, cos.size - k)[cos.size - k]
+                keep = cos >= kth - 1e-6
+                cid, dot, nb = cid[keep], dot[keep], nb[keep]
+            return cid, dot, nb
+
+        for batch in batches:
+            if batch.num_rows == 0 or Q == 0:
+                continue
+            idx = {n: batch.schema.get_field_index(n)
+                   for n in ("vec_id", "embedding")}
+            cid = np.asarray(batch.column(idx["vec_id"]), dtype=np.int64)
+            col = batch.column(idx["embedding"])
+            if col.null_count or col.values.null_count:
+                raise ValueError("NULL embedding in ANN input")
+            off = np.asarray(col.offsets, dtype=np.int64)
+            base = off[0]
+            flat = np.asarray(col.values, dtype=np.float64)[base:off[-1]]
+            if np.any(np.diff(off - base) != EMB_DIM):
+                raise ValueError(f"embedding dimension != {EMB_DIM}")
+            C = np.floor(flat * QSCALE).astype(np.int64) \
+                .reshape(-1, EMB_DIM)
+            nb = np.einsum("ij,ij->i", C, C)
+            mxc = int(np.abs(C).max()) if C.size else 0
+            use_blas = mxc > 0 and mxq > 0 and \
+                EMB_DIM * mxc * mxq < 2 ** 53
+            D = (C.astype(np.float64) @ q_quant.T.astype(np.float64))\
+                .astype(np.int64) if use_blas else C @ q_quant.T
+            for j in range(Q):
+                m = cid != q_ids[j]
+                cj, dj, nbj = select_local(j, cid[m], D[m, j], nb[m])
+                per_q[j].append((cj, dj, nbj))
+
+        cols = {"qid": [], "cid": [], "dot": [], "nb": []}
+        for j in range(Q):
+            if not per_q[j]:
+                continue
+            cid = np.concatenate([p[0] for p in per_q[j]])
+            dot = np.concatenate([p[1] for p in per_q[j]])
+            nb = np.concatenate([p[2] for p in per_q[j]]) if cosine else None
+            cj, dj, nbj = select_local(j, cid, dot, nb)
+            cols["qid"].append(np.full(cj.size, q_ids[j], np.int64))
+            cols["cid"].append(cj)
+            cols["dot"].append(dj)
+            if cosine:
+                cols["nb"].append(nbj)
+        if cols["qid"]:
+            qid = np.concatenate(cols["qid"])
+            arrays = [pa.array(qid, pa.int64()),
+                      pa.array(np.concatenate(cols["cid"]), pa.int64()),
+                      pa.array(np.concatenate(cols["dot"]), pa.int64())]
+            names = ["qid", "cid", "dot"]
+            if cosine:
+                arrays += [pa.array(q_norms[np.searchsorted(q_ids, qid)],
+                                    pa.int64()),
+                           pa.array(np.concatenate(cols["nb"]), pa.int64())]
+                names += ["na", "nb"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return part.mapInArrow(run, out_schema)
+
+
 def neardup_local_topk(banded, k: int = 50,
                        fanout: int | None = None):
     """(band_id, bucket, vec_id, embedding) rows -> per-task top-`k`

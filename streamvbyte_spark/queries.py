@@ -1588,6 +1588,146 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup"] = embedding_neardup
 
+    # exact-ANN family, restructured for r11 (same guide §8 rationale as
+    # embedding_neardup): the SQL form planned a BroadcastNestedLoopJoin
+    # (qid != cid) whose every (query, candidate) pair carried BOTH
+    # 64-float embeddings into a per-pair pandas-UDF dot (~200 MB Arrow
+    # traffic, 4.2-4.8 s isolated at sf1.0).  The <= 10 query vectors are
+    # a BOUNDED driver collect (fixed vec_id < 10 predicate — the same
+    # class as the index probe pick), quantized once and closed over by
+    # the kernel; all dots come from one exact matmul per batch and only
+    # per-task top-5 survivors reach the global rank window.  The DuckDB
+    # oracles keep the join + list-lambda form, proving the kernel's
+    # integers (and the cosine's rounded doubles) value-identical.
+    def _ann_query_vectors(spark, sf_dir):
+        from .functions.embedding_udfs import EMB_DIM, QSCALE
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.where(F.col("vec_id") < 10) \
+            .select("vec_id", "embedding").collect()
+        rows.sort(key=lambda r: r.vec_id)
+        q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        if rows:
+            q_mat = np.floor(np.array([r.embedding for r in rows],
+                                      dtype=np.float64) * QSCALE) \
+                .astype(np.int64)
+            if q_mat.shape[1] != EMB_DIM:
+                raise ValueError(f"query embedding dim != {EMB_DIM}")
+        else:
+            q_mat = np.zeros((0, EMB_DIM), np.int64)
+        return emb, q_ids, q_mat
+
+    def ann_topk(spark, sf_dir):
+        from pyspark.sql import Window as _W
+        from .functions.embedding_udfs import ann_exact_local_topk
+        emb, q_ids, q_mat = _ann_query_vectors(spark, sf_dir)
+        lt = ann_exact_local_topk(emb, q_ids, q_mat, k=5, cosine=False)
+        w = _W.partitionBy("qid").orderBy(F.desc("dot"), "cid")
+        return (lt.withColumn("rnk", F.row_number().over(w))
+                .where("rnk <= 5")
+                .select(F.col("qid").cast("string").alias("query_id"),
+                        F.col("cid").cast("string").alias("neighbor_id"),
+                        F.col("dot").alias("dot_sim"),
+                        F.col("rnk").cast("int").alias("rank")))
+
+    q["ann_topk"] = ann_topk
+
+    def ann_cosine_topk(spark, sf_dir):
+        from pyspark.sql import Window as _W
+        from .functions.embedding_udfs import ann_exact_local_topk
+        emb, q_ids, q_mat = _ann_query_vectors(spark, sf_dir)
+        lt = ann_exact_local_topk(emb, q_ids, q_mat, k=5, cosine=True)
+        # the exact ROUNDED cosine + final rank run in SQL over the
+        # kernel's provable superset (identical expression text to
+        # q_ann_cosine — the cross-engine float rule)
+        cosed = lt.select("qid", "cid", F.expr(
+            "case when na = 0 or nb = 0 then cast(0 as double) "
+            "else round(cast(dot as double) / "
+            "sqrt(cast(na as double) * cast(nb as double)), 6) end")
+            .alias("cos"))
+        w = _W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+        return (cosed.withColumn("rnk", F.row_number().over(w))
+                .where("rnk <= 5")
+                .select(F.col("qid").cast("string").alias("query_id"),
+                        F.col("cid").cast("string").alias("neighbor_id"),
+                        F.col("cos").alias("cos_sim"),
+                        F.col("rnk").cast("int").alias("rank")))
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def _recall_join_df(ex, ap):
+        """DataFrame mirror of pipeline_sql._ann_recall_join (identical
+        aggregate expressions and the in-query round)."""
+        ap2 = ap.select("query_id",
+                        F.col("neighbor_id").alias("ap_nid"))
+        exj = ex.select("query_id", "neighbor_id")
+        j = exj.join(
+            ap2,
+            (exj["query_id"] == ap2["query_id"])
+            & (exj["neighbor_id"] == ap2["ap_nid"]),
+            "left").drop(ap2["query_id"])
+        return (j.groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                     F.count("ap_nid").cast("bigint").alias("n_hit"))
+                .select("query_id", "n_exact", "n_hit",
+                        F.expr("round(cast(n_hit as double) / n_exact, 4)")
+                        .alias("recall")))
+
+    def _staged_approx(spark, sf_dir, qname, stages, final):
+        """Materialize `stages` ((basename, sql_fn(d, *views)), ...) under
+        the stage cache for `qname` and return spark.sql(final(*views)) —
+        the ann_recall/_ivf approximate sides, built exactly like their
+        SPARK_STAGES form but composable with a DataFrame exact side."""
+        import uuid as _uuid
+        from .operators.staging import materialize
+        d = pipeline_sql.Dialect("spark")
+        raw_fns = [fn for _, fn in stages]
+        fp = (sf_dir, tuple(f.__qualname__ for f in raw_fns), "df-v1")
+        hit = _stage_cache_get(spark, qname, fp)
+        if hit is not None:
+            views = list(hit)
+        else:
+            tag = _uuid.uuid4().hex[:8]
+            views, tracked = [], []
+            for (base, fn) in stages:
+                view = f"{base}_{tag}"
+                mdf = materialize(spark.sql(fn(d, *views)))
+                mdf.createOrReplaceTempView(view)
+                tracked.append((view, mdf))
+                views.append(view)
+            _stage_cache_put(spark, qname, fp, tracked, tuple(views))
+        return spark.sql(final(pipeline_sql.Dialect("spark"), *views))
+
+    def ann_recall(spark, sf_dir):
+        from .functions.embedding_udfs import register_embedding_udfs
+        register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
+                                pipeline_sql.NEARDUP_PLANES_PER_BAND)
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .createOrReplaceTempView("embeddings")
+        ap = _staged_approx(
+            spark, sf_dir, "ann_recall",
+            [("svb_stage_rec_b", lambda d: pipeline_sql._ann_lsh_spark_b(d))],
+            lambda d, b: "with " + pipeline_sql._ann_lsh_final(d, b))
+        return _recall_join_df(ann_topk(spark, sf_dir), ap)
+
+    q["ann_recall"] = ann_recall
+
+    def ann_recall_ivf(spark, sf_dir):
+        from .functions.embedding_udfs import register_embedding_udfs
+        register_embedding_udfs(spark, pipeline_sql.NEARDUP_BANDS,
+                                pipeline_sql.NEARDUP_PLANES_PER_BAND)
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .createOrReplaceTempView("embeddings")
+        ap = _staged_approx(
+            spark, sf_dir, "ann_recall_ivf",
+            [("svb_stage_recivf_e",
+              lambda d: pipeline_sql._ivf_spark_e(d)),
+             ("svb_stage_recivf_cells",
+              lambda d, e: pipeline_sql._ivf_cells(d, e))],
+            lambda d, e, c: "with " + pipeline_sql._ivf_final(d, e, c))
+        return _recall_join_df(ann_topk(spark, sf_dir), ap)
+
+    q["ann_recall_ivf"] = ann_recall_ivf
+
     # near-dup clustering: transitive closure of the MinHash candidate pairs
     # via iterative min-label propagation (operators/components.py); the
     # oracle recomputes the identical components with a recursive CTE

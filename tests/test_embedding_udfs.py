@@ -128,3 +128,79 @@ def test_neardup_local_topk_matches_bruteforce():
         assert got == want
     finally:
         spark.stop()
+
+
+def test_ann_exact_local_topk_matches_bruteforce():
+    """The r11 exact-ANN kernel must reproduce the brute-force per-query
+    top-5 — dot ranking exactly, and for cosine ranking its 1e-6-slack
+    survivor set must contain the ROUNDED-cos top-5 (including zero-norm
+    candidates, which rank at cos = 0)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from streamvbyte_spark.session import get_spark
+
+    n, Q, k = 400, 6, 5
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((n, E.EMB_DIM)).astype(np.float32)
+    vecs[50] = 0.0                      # zero-norm candidate
+    vecs[7] = vecs[3]                   # duplicate -> tie dots
+    q = np.floor(vecs.astype(np.float64) * E.QSCALE).astype(np.int64)
+    q_ids = np.arange(Q, dtype=np.int64)
+    q_mat = q[:Q]
+    nq = np.einsum("ij,ij->i", q, q)
+
+    def brute(cosine):
+        want = []
+        for j in range(Q):
+            cand = np.array([c for c in range(n) if c != j])
+            dots = q[cand] @ q_mat[j]
+            if cosine:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots.astype(np.float64) / np.sqrt(
+                        float(nq[j]) * nq[cand].astype(np.float64))
+                cos[(nq[j] == 0) | (nq[cand] == 0)] = 0.0
+                # the SQL rounds half-up; emulate via decimal on the
+                # shortest repr (adequate for a random test corpus)
+                import decimal
+                r = np.array([float(decimal.Decimal(repr(c)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP)) for c in cos])
+                o = np.lexsort((cand, -r))[:k]
+                want.append([(j, int(cand[i]), float(r[i])) for i in o])
+            else:
+                o = np.lexsort((cand, -dots))[:k]
+                want.append([(j, int(cand[i]), int(dots[i])) for i in o])
+        return want
+
+    spark = get_spark(app="ann-topk-test", master="local[4]",
+                      shuffle_partitions=4)
+    try:
+        import pandas as pd
+        cands = spark.createDataFrame(pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(vecs)}))
+        # dot ranking: exact top-5 per query
+        lt = E.ann_exact_local_topk(cands, q_ids, q_mat, k=k,
+                                    cosine=False, fanout=4)
+        w = Window.partitionBy("qid").orderBy(F.desc("dot"), "cid")
+        rows = (lt.withColumn("rnk", F.row_number().over(w))
+                .where("rnk <= 5").orderBy("qid", "rnk").collect())
+        got = [(r.qid, r.cid, r.dot) for r in rows]
+        assert got == [t for per in brute(False) for t in per]
+        # cosine ranking: rounded-cos top-5 from the slack survivors
+        lt = E.ann_exact_local_topk(cands, q_ids, q_mat, k=k,
+                                    cosine=True, fanout=4)
+        cosed = lt.select("qid", "cid", F.expr(
+            "case when na = 0 or nb = 0 then cast(0 as double) "
+            "else round(cast(dot as double) / "
+            "sqrt(cast(na as double) * cast(nb as double)), 6) end")
+            .alias("cos"))
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+        rows = (cosed.withColumn("rnk", F.row_number().over(w))
+                .where("rnk <= 5").orderBy("qid", "rnk").collect())
+        got = [(r.qid, r.cid, round(r.cos, 6)) for r in rows]
+        want = [(a, b, round(c, 6))
+                for per in brute(True) for (a, b, c) in per]
+        assert got == want
+    finally:
+        spark.stop()
