@@ -238,8 +238,13 @@ def pack_encoded_rows(enc: DataFrame, cap: int = PACK_CAP,
            .repartition(fanout, "source", "bkt"))
     w1 = (Window.partitionBy("source", "bkt").orderBy("okey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    lvl = enc.withColumn("cum_local",
-                         F.sum(F.col("n_tok").cast("long")).over(w1))
+    # project BEFORE the checkpoint (r11): doc_id and okey are dead after
+    # the window ordering — dropping them shrinks the materialized blocks
+    # (okey is a per-row string for string-id corpora)
+    lvl = (enc.withColumn("cum_local",
+                          F.sum(F.col("n_tok").cast("long")).over(w1))
+           .select("source", "bkt", "n_tok", "codec", "encoded",
+                   "cum_local"))
     # bucket totals = max(cum_local) per bucket, read from the MATERIALIZED
     # level-1 output.  Two alternatives both re-execute corpus-sized work:
     # a separate totals branch over the source table re-SCANS the whole
