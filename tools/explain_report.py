@@ -58,18 +58,22 @@ NOTES = {
         "MapInArrow over the parquet scan — a dataloader-shaped plan.",
     "png_decode_stats": "Real compressed decode: one MapInArrow "
         "synthesizes the PNG containers, one decodes (zlib inflate + "
-        "filter reversal); map-only, zero shuffles.",
-    "auto_roundtrip": "Expected: scan -> JVM tokenizer (measured faster "
-                      "than the fused numpy kernel) -> MapInArrow(encode) "
-                      "-> MapInArrow(decode+fingerprint fused), ZERO "
-                      "shuffle Exchanges; the decoded token column never "
-                      "crosses back (no aggregate() fold, no extra "
-                      "ArrowEvalPython).",
+        "filter reversal); map-only after the derived single-row-group "
+        "fanout exchange (r11).",
+    "auto_roundtrip": "Expected: scan -> derived single-row-group fanout "
+                      "Exchange of the RAW TEXT rows (r11; absent on a "
+                      "multi-file corpus) -> JVM tokenizer -> "
+                      "MapInArrow(encode) -> MapInArrow(decode+fingerprint "
+                      "fused); the decoded token column never crosses back "
+                      "(no aggregate() fold, no extra ArrowEvalPython).",
     "auto_size": "Expected: map-only, ONE MapInArrow running the COST-ONLY "
                  "kernel (size_table = the reference compressedbytes: no "
                  "encode pass, no encoded bytes in the plan).",
-    "delta_roundtrip_postings": "One Exchange for the groupBy(l_partkey) "
-                                "posting-list build; encode/decode add none.",
+    "delta_roundtrip_postings": "One Exchange for the posting-list build "
+                                "(r11: an explicit group-key repartition "
+                                "the groupBy reuses, so the heavy "
+                                "collect_list runs wide on the reduce "
+                                "side); encode/decode add none.",
     "metrics_by_source": "Partial (map-side) HashAggregate before the "
                          "Exchange, final after — sums combine map-side.",
     "dedup_minhash_pairs": "Bands MATERIALIZED (localCheckpoint) before the "
@@ -79,16 +83,24 @@ NOTES = {
                            "scans — asserted in tests). ONE shuffle on the "
                            "band-key equi-join + one for the group-by. "
                            "Asserted: no cartesian in plan.",
-    "embedding_neardup": "Banded hyperplane LSH with the vector+norm and "
-                         "bucket tables MATERIALIZED before the self-join "
-                         "(bucket UDF runs once, not per join side); "
-                         "candidates from an EQUI-join on (band_id, bucket), "
-                         "then two equi-joins back to vectors for exact "
-                         "per-pair dots (the one Arrow stage allowed in the "
-                         "join plan). Asserted: no CartesianProduct / "
+    "embedding_neardup": "r11 gram-matrix form: the BANDED table "
+                         "(vec_id, band_id, bucket, embedding) is "
+                         "MATERIALIZED once (bucket UDF + explode at stage "
+                         "build); ONE numbered exchange on (band_id, "
+                         "bucket) feeds ONE MapInArrow computing each "
+                         "co-bucketed group's dots as a gram matrix with "
+                         "both norms in-kernel and emitting only per-task "
+                         "top-50 survivors; global distinct -> "
+                         "TakeOrderedAndProject(50) -> rank window over "
+                         "<= fanout*50 rows.  No pair join, no norm join. "
+                         "Asserted: no CartesianProduct / "
                          "BroadcastNestedLoopJoin, zero parquet scans.",
-    "ann_topk": "Small query side should broadcast (BroadcastHashJoin / "
-                "BroadcastNestedLoopJoin on qid != cid).",
+    "ann_topk": "r11 kernel form: the <= 10 query vectors are a bounded "
+                "driver collect closed over by ONE MapInArrow that "
+                "computes all dots per batch with one exact matmul and "
+                "emits per-task top-5 per query; the rank window sees "
+                "<= fanout*Q*5 rows.  No BroadcastNestedLoopJoin anywhere "
+                "in the registry anymore.",
     "events_hourly": "Partial agg + single Exchange on (hour, event_type).",
     "curate_metrics": "Composed pipeline: one Exchange for the md5-dedup "
                       "window, gate filter map-side, encode map-only, one "
@@ -109,10 +121,10 @@ NOTES = {
                "final plan joins probes to inverted lists on the cell key "
                "and ranks only probed cells — no full-corpus scoring, no "
                "cartesian, one Arrow stage for the exact per-pair dot.",
-    "truncate_decode": "Map-only: scan -> encode -> PREFIX decode (one "
-                       "MapInArrow reading only each stream's first "
-                       "ceil(n/4) control bytes + 32 tokens of data bytes, "
-                       "folding the fingerprint in-kernel); ZERO shuffles "
+    "truncate_decode": "scan -> derived fanout exchange (r11) -> encode "
+                       "-> PREFIX decode (one MapInArrow reading only each "
+                       "stream's first ceil(n/4) control bytes + 32 tokens "
+                       "of data bytes, folding the fingerprint in-kernel) "
                        "— truncation never touches the tail.",
     "sequence_pack": "Two-level distributed prefix sum: the running-sum "
                      "window partitions on (source, doc_id-range bucket) — "
@@ -125,14 +137,16 @@ NOTES = {
                      "re-scanned the text corpus once per side).",
     "dedup_simhash": "ONE fused pandas UDF (text -> tokenize -> simhash): "
                      "only the text column crosses to Python, no HOF "
-                     "lambda, no tokens column; REPARTITION hint fans the "
-                     "CPU-bound UDF stage out of a single-row-group scan.",
+                     "lambda, no tokens column; the REPARTITION hint is "
+                     "NESTED below the UDF (r11 — a same-select hint left "
+                     "the kernel on the scan's single task).",
     "auto_full_roundtrip": "8-codec selector incl. fsst: fsst-mix token "
                            "mapping as a numpy flat_transform INSIDE the "
                            "encode MapInArrow (was a per-token transform() "
                            "HOF), decode+fingerprint fused in a second; "
-                           "ZERO shuffles, zero per-row Python "
-                           "(whole-batch fsst kernels).",
+                           "zero per-row Python (whole-batch fsst "
+                           "kernels); only the derived fanout exchange "
+                           "(r11).",
     "pack_sequences": "Materialized pack writer: the same two-level prefix "
                       "sum as sequence_pack (window on (source, bucket), "
                       "broadcast offsets), then a codegen'd slice() span "
@@ -158,11 +172,10 @@ NOTES = {
                               "column (~1.5 B/token).  Same oracle as "
                               "pack_sequences proves value-identity.",
     "ann_recall": "Recall@5 of the LSH index vs the exact baseline: the "
-                  "exact side broadcasts the 10-query set over the corpus "
-                  "(the one allowed BroadcastNestedLoopJoin, on qid != "
-                  "cid); the approximate side reads the MATERIALIZED "
-                  "bucket table (ann_lsh's stage); the recall join itself "
-                  "is over Q x k rows.",
+                  "exact side is the r11 broadcast-queries matmul kernel "
+                  "(see ann_topk); the approximate side reads the "
+                  "MATERIALIZED bucket table (ann_lsh's stage); the "
+                  "recall join itself is over Q x k rows.",
     "token_quantiles": "Exact rank selection over the VALUE-COUNT table: "
                        "partial-agg groupBy(source, n) reduces per-doc rows "
                        "map-side; both windows run over that tiny table — "
@@ -193,11 +206,12 @@ NOTES = {
     "jpeg_decode_stats": "Real baseline JPEG decode (r7, no PIL): one "
         "MapInArrow synthesizes lossless constant-block JPEGs, one runs "
         "the marker walk + canonical Huffman + batched einsum IDCT; "
-        "map-only, zero shuffles.",
+        "map-only after the derived single-row-group fanout exchange "
+        "(r11).",
     "adpcm_decode_stats": "Real compressed-audio decode (r7, no "
         "soundfile): block-vectorized IMA ADPCM — state arrays across "
-        "blocks, the loop is over samples-in-block; map-only, zero "
-        "shuffles.",
+        "blocks, the loop is over samples-in-block; map-only after the "
+        "derived single-row-group fanout exchange (r11).",
     "index_intersect": "AND serving from the encoded set wire (r9, "
         "co-grouped): common dids can only live in co-occupied chunks "
         "(chunking is by did div span, term-independent), so the two "
